@@ -1,0 +1,900 @@
+"""CRS registry, proj-string parser, pipeline composer and the
+``Transform`` object — the engine's equivalent of the reference's
+``Proj`` type (/root/reference/src/proj.rs:575-579).
+
+Driver-side only: a ``Transform`` is a small parameter object (plain
+floats + numpy coefficient arrays) that is captured by closure into
+Arrow-batched pandas UDFs (see :mod:`proj_spark.functions.transform`).
+It is cheap to pickle and is cached per Python worker, the analog of the
+reference's per-thread shared context (/root/reference/src/context.rs:84-89).
+
+API parity map (reference operator -> here):
+  Proj::new                  -> Transform.new            (src/proj.rs:675-677)
+  Proj::new_known_crs        -> Transform.new_known_crs  (src/proj.rs:726-732)
+  create_crs_to_crs_from_pj  -> Transform.crs_to_crs_from_transforms
+                                                         (src/proj.rs:778-789)
+  Proj::project              -> Transform.project        (src/proj.rs:932-975)
+  Proj::convert              -> Transform.convert        (src/proj.rs:1011-1046)
+  Proj::convert_array        -> Transform.convert_array  (src/proj.rs:1080-1086)
+  Proj::project_array        -> Transform.project_array  (src/proj.rs:1113-1123)
+  Proj::transform_bounds     -> Transform.transform_bounds (src/proj.rs:1159-1205)
+  Proj::area_of_use          -> Transform.area_of_use    (src/proj.rs:828-877)
+  Proj::proj_info / def      -> Transform.proj_info/definition (src/proj.rs:888-923)
+  Proj::as_wkt               -> Transform.as_wkt         (src/proj.rs:1310-1377)
+  Proj::to_projjson          -> Transform.to_projjson    (src/proj.rs:1280-1308)
+  Proj::equivalent_to        -> Transform.equivalent_to  (src/proj.rs:1391-1410)
+  coordinate_metadata_*      -> Transform.with_epoch/epoch (src/proj.rs:607-637)
+  Proj::area_set_bbox        -> Transform.area_set_bbox  (src/proj.rs:801-813)
+  TryFrom<&str>/(&str,&str)  -> Transform.from_spec      (src/proj.rs:1455-1492)
+  Proj::lib_info             -> lib_info()               (src/proj.rs:313-335)
+
+Axis-order semantics follow the reference exactly: ``new_known_crs``
+normalizes to lon,lat / easting,northing regardless of the CRS's
+declared axis order (src/proj.rs:498-508, test at :1963-1972), while
+``new`` leaves coordinate order caller-owned (src/proj.rs:986-991).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Union
+
+import numpy as np
+
+from . import kernels as K
+
+__all__ = [
+    "Area",
+    "ComparisonCriterion",
+    "CrsEntry",
+    "ProjCreateError",
+    "ProjError",
+    "Transform",
+    "TransformBuilder",
+    "EPSG",
+    "lib_info",
+    "parse_proj_string",
+]
+
+ENGINE_VERSION = "0.1.0"
+# semantics modeled on libproj >= 9.6.2 (reference pin:
+# /root/reference/proj-sys/build.rs:7)
+MODELED_PROJ_VERSION = "9.6.2"
+
+US_FOOT = 1200.0 / 3937.0
+UNITS_TO_M = {
+    "m": 1.0,
+    "meter": 1.0,
+    "metre": 1.0,
+    "km": 1000.0,
+    "us-ft": US_FOOT,
+    "ft": 0.3048,
+    "deg": math.pi / 180.0,  # angular units only valid in unitconvert
+    "rad": 1.0,
+}
+
+INVALID_COORD = "Invalid coordinate"
+
+
+class ProjError(Exception):
+    """Conversion/projection failure (reference ProjError,
+    /root/reference/src/proj.rs:96-139)."""
+
+
+class ProjCreateError(Exception):
+    """Failure constructing a transform (reference ProjCreateError,
+    /root/reference/src/proj.rs:148-158)."""
+
+
+@dataclass(frozen=True)
+class Area:
+    """Bounding box of an area of use.  Antimeridian rule: ``west > east``
+    when the area crosses +/-180 deg (/root/reference/src/proj.rs:167-192)."""
+
+    west: float
+    south: float
+    east: float
+    north: float
+
+    def contains(self, lon, lat):
+        lon = np.asarray(lon)
+        lat = np.asarray(lat)
+        lat_ok = (lat >= self.south) & (lat <= self.north)
+        if self.west > self.east:  # crosses antimeridian
+            lon_ok = (lon >= self.west) | (lon <= self.east)
+        else:
+            lon_ok = (lon >= self.west) & (lon <= self.east)
+        return lon_ok & lat_ok
+
+
+class ComparisonCriterion:
+    """CRS comparison levels (/root/reference/src/proj.rs:160-165)."""
+
+    Strict = "strict"
+    Equivalent = "equivalent"
+    EquivalentExceptAxisOrder = "equivalent_except_axis_order"
+
+
+# ---------------------------------------------------------------------------
+# proj-string parsing (the `+key=value` grammar of E2,
+# /root/reference/src/proj.rs:226-238 delegates this to libproj; here it
+# is a ~30-line pure-Python parser)
+# ---------------------------------------------------------------------------
+_FLAG_KEYS = {"inv", "no_defs", "south", "over", "wktext", "no_off"}
+
+
+def _parse_kv(tokens: Sequence[str]) -> dict:
+    params: dict = {}
+    for tok in tokens:
+        tok = tok.lstrip("+")
+        if not tok:
+            continue
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            params[k] = v
+        else:
+            params[tok] = True
+    return params
+
+
+def parse_proj_string(definition: str) -> list[dict]:
+    """Parse a PROJ string into a list of step-param dicts.
+
+    A plain single-op string yields one step; ``+proj=pipeline`` yields
+    one dict per ``+step`` (pipeline grammar: /root/reference/src/lib.rs:45-75).
+    """
+    if "\x00" in definition:
+        raise ProjCreateError("definition contains NUL byte")
+    tokens = definition.split()
+    is_pipeline = any(tok.lstrip("+") == "proj=pipeline" for tok in tokens)
+    if not is_pipeline:
+        params = _parse_kv(tokens)
+        if "proj" not in params and "init" not in params:
+            raise ProjCreateError(f"no +proj in definition: {definition!r}")
+        return [params]
+    # split on +step
+    steps: list[dict] = []
+    cur: list[str] = []
+    seen_step = False
+    globals_: list[str] = []
+    for tok in tokens:
+        if tok.lstrip("+") == "step":
+            if cur:
+                steps.append(_parse_kv(cur))
+            cur = []
+            seen_step = True
+        elif tok.lstrip("+").startswith("proj=pipeline"):
+            continue
+        elif not seen_step:
+            globals_.append(tok)
+        else:
+            cur.append(tok)
+    if cur:
+        steps.append(_parse_kv(cur))
+    gparams = _parse_kv(globals_)
+    out = []
+    for s in steps:
+        merged = dict(gparams)
+        merged.update(s)
+        out.append(merged)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pipeline steps
+# ---------------------------------------------------------------------------
+class _StepBase:
+    """One pipeline step: apply(x, y, forward) -> (x, y).  Invalid points
+    come back NaN; error text accumulates on the owning Transform."""
+
+    has_inverse = True
+    inv_flag = False
+
+    def apply(self, x, y, forward=True):
+        raise NotImplementedError
+
+
+class ProjStep(_StepBase):
+    def __init__(self, params: dict):
+        name = params["proj"]
+        if name == "utm":
+            params = dict(params)
+            zone = int(params["zone"])
+            params["lon_0"] = -183.0 + 6.0 * zone
+            params.setdefault("k", 0.9996)
+            params.setdefault("x_0", 500000.0)
+            params.setdefault("y_0", 10000000.0 if params.get("south") else 0.0)
+        if name not in K.PROJECTIONS:
+            raise ProjCreateError(f"unsupported projection: {name}")
+        self.name = name
+        self.inv_flag = bool(params.get("inv", False))
+        self.a, self.es = K.ellipsoid(params)
+        self.lam0 = math.radians(float(params.get("lon_0", 0.0)))
+        self.x0 = float(params.get("x_0", 0.0))
+        self.y0 = float(params.get("y_0", 0.0))
+        self.over = bool(params.get("over", False))
+        unit = params.get("units", "m")
+        self.to_meter = float(params.get("to_meter", UNITS_TO_M.get(unit, 1.0)))
+        setup, self._fwd, self._inv = K.PROJECTIONS[name]
+        self.P = dict(setup(params, self.a, self.es))
+        if name == "geos":
+            self.P["_h_over_a"] = float(params["h"]) / self.a
+        self.is_angular = name in ("longlat", "latlong")
+        self.params = dict(params)
+        self.has_inverse = name != "geos"
+
+    def apply(self, x, y, forward=True):
+        forward = forward != self.inv_flag
+        if self.is_angular:
+            return x, y
+        if forward:
+            lam = np.asarray(x, dtype=np.float64)
+            phi = np.asarray(y, dtype=np.float64)
+            # generic lat-range check, like PROJ's forward prepare; this is
+            # what makes the reference's test_conversion_error raise
+            # "Invalid coordinate" (/root/reference/src/proj.rs:1905-1918)
+            bad = np.abs(phi) > (K.HALFPI + K.LAT_EPS)
+            lam = lam - self.lam0
+            if not self.over:
+                lam = K.adjlon(lam)
+            with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+                px, py = self._fwd(lam, phi, self.P)
+            X = (self.a * px + self.x0) / self.to_meter
+            Y = (self.a * py + self.y0) / self.to_meter
+            X = np.where(bad, np.nan, X)
+            Y = np.where(bad, np.nan, Y)
+            return X, Y
+        if not self.has_inverse:
+            raise ProjError(f"projection {self.name} has no inverse")
+        X = (np.asarray(x, dtype=np.float64) * self.to_meter - self.x0) / self.a
+        Y = (np.asarray(y, dtype=np.float64) * self.to_meter - self.y0) / self.a
+        with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+            lam, phi = self._inv(X, Y, self.P)
+        lam = lam + self.lam0
+        if not self.over:
+            lam = K.adjlon(lam)
+        return lam, phi
+
+
+class UnitConvertStep(_StepBase):
+    def __init__(self, params: dict):
+        self.inv_flag = bool(params.get("inv", False))
+        self.xy_in = float(UNITS_TO_M[params.get("xy_in", "m")])
+        self.xy_out = float(UNITS_TO_M[params.get("xy_out", "m")])
+        self.params = dict(params)
+
+    def apply(self, x, y, forward=True):
+        forward = forward != self.inv_flag
+        f = self.xy_in / self.xy_out if forward else self.xy_out / self.xy_in
+        return np.asarray(x, dtype=np.float64) * f, np.asarray(y, dtype=np.float64) * f
+
+
+class AxisSwapStep(_StepBase):
+    """+proj=axisswap +order=2,1[,3,4] (reference usage:
+    /root/reference/src/transform.rs:24)."""
+
+    def __init__(self, params: dict):
+        self.inv_flag = bool(params.get("inv", False))
+        order = [s for s in str(params.get("order", "2,1")).split(",")][:2]
+        self.order = order
+        self.params = dict(params)
+
+    def apply(self, x, y, forward=True):
+        vals = {
+            "1": np.asarray(x, dtype=np.float64),
+            "2": np.asarray(y, dtype=np.float64),
+        }
+        vals["-1"] = -vals["1"]
+        vals["-2"] = -vals["2"]
+        ox = vals[self.order[0]]
+        oy = vals[self.order[1]]
+        # axisswap of order 2,1 is its own inverse; sign flips invert too
+        return ox, oy
+
+
+class DatumShiftStep(_StepBase):
+    """Fused geodetic->ECEF->Helmert7->ECEF->geodetic datum shift
+    (the +towgs84 semantics exercised by the reference's stereo70/OSGB36
+    pipelines, /root/reference/src/proj.rs:1819-1863).  Input/output are
+    geodetic radians; z=0 on the source datum, matching the reference's
+    PJ_COORD construction with z=0 (/root/reference/src/proj.rs:951)."""
+
+    def __init__(self, src_a, src_es, src_towgs84, dst_a, dst_es, dst_towgs84):
+        self.src_a, self.src_es = src_a, src_es
+        self.dst_a, self.dst_es = dst_a, dst_es
+        self.src_h = K.helmert_params(src_towgs84) if src_towgs84 else None
+        self.dst_h = K.helmert_params(dst_towgs84) if dst_towgs84 else None
+
+    def apply(self, x, y, forward=True):
+        if forward:
+            src_a, src_es, dst_a, dst_es = self.src_a, self.src_es, self.dst_a, self.dst_es
+            first, second = self.src_h, self.dst_h
+        else:
+            src_a, src_es, dst_a, dst_es = self.dst_a, self.dst_es, self.src_a, self.src_es
+            first, second = self.dst_h, self.src_h
+        lam = np.asarray(x, dtype=np.float64)
+        phi = np.asarray(y, dtype=np.float64)
+        X, Y, Z = K.geodetic_to_ecef(lam, phi, src_a, src_es)
+        if first is not None:
+            X, Y, Z = K.helmert_fwd(X, Y, Z, first)
+        if second is not None:
+            X, Y, Z = K.helmert_inv(X, Y, Z, second)
+        lam2, phi2 = K.ecef_to_geodetic(X, Y, Z, dst_a, dst_es)
+        return lam2, phi2
+
+
+class DegRadStep(_StepBase):
+    """Boundary degrees<->radians conversion added by CRS normalization
+    (the analog of proj_normalize_for_visualization's unitconvert,
+    /root/reference/src/proj.rs:259-264)."""
+
+    def apply(self, x, y, forward=True):
+        f = math.pi / 180.0 if forward else 180.0 / math.pi
+        return np.asarray(x, dtype=np.float64) * f, np.asarray(y, dtype=np.float64) * f
+
+
+def make_step(params: dict) -> _StepBase:
+    name = params.get("proj")
+    if name == "unitconvert":
+        return UnitConvertStep(params)
+    if name == "axisswap":
+        return AxisSwapStep(params)
+    if name in ("noop", "pop", "push"):
+        s = _StepBase()
+        s.apply = lambda x, y, forward=True: (x, y)  # type: ignore[assignment]
+        return s
+    return ProjStep(params)
+
+
+# ---------------------------------------------------------------------------
+# EPSG registry — the engine's stand-in for libproj's EPSG database
+# (the lookup behind Proj::new("EPSG:...."), /root/reference/src/proj.rs:679-685).
+# Definitions are the standard published proj-strings for each code.
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class CrsEntry:
+    code: str
+    name: str
+    kind: str  # "geographic" | "projected"
+    proj: str  # proj-string (projection only; datum handled via towgs84)
+    towgs84: Optional[tuple] = None  # None -> only ballpark available
+    axis_order: str = "en"  # user-facing declared order: "en" or "ne"
+    unit: str = "m"
+    area: Optional[Area] = None
+    area_name: str = ""
+    accuracy: float = -1.0
+    # geodetic (datum) ellipsoid — may differ from the projection's sphere
+    # (EPSG:3857 projects on a sphere but its datum is WGS84)
+    datum_ellps: str = "WGS84"
+
+
+def _e(code, name, kind, proj, towgs84=None, axis_order="en", unit="m",
+       area=None, area_name="", accuracy=-1.0, datum_ellps="WGS84"):
+    return CrsEntry(code, name, kind, proj, towgs84, axis_order, unit, area,
+                    area_name, accuracy, datum_ellps)
+
+
+_CA6_LCC = (
+    "+proj=lcc +lat_0=32.1666666666667 +lon_0=-116.25 "
+    "+lat_1=33.8833333333333 +lat_2=32.7833333333333 "
+)
+
+EPSG: dict[str, CrsEntry] = {}
+for entry in [
+    _e("EPSG:4326", "WGS 84", "geographic", "+proj=longlat +ellps=WGS84",
+       towgs84=(0, 0, 0), axis_order="ne", unit="deg",
+       area=Area(-180, -90, 180, 90), area_name="World."),
+    _e("OGC:CRS84", "WGS 84 (CRS84)", "geographic", "+proj=longlat +ellps=WGS84",
+       towgs84=(0, 0, 0), axis_order="en", unit="deg",
+       area=Area(-180, -90, 180, 90), area_name="World."),
+    _e("EPSG:4269", "NAD83", "geographic", "+proj=longlat +ellps=GRS80",
+       axis_order="ne", unit="deg",
+       area=Area(167.65, 14.92, -47.74, 86.45), area_name="North America.", datum_ellps="GRS80"),
+    # NAD27 carries the EPSG 3-parameter geocentric translation that
+    # grid-less libproj selects (dx=-8, dy=159, dz=175); grid-based NADCON
+    # shifts are out of scope (SURVEY.md §7 risk 6)
+    _e("EPSG:4267", "NAD27", "geographic", "+proj=longlat +ellps=clrk66",
+       towgs84=(-8.0, 159.0, 175.0),
+       axis_order="ne", unit="deg",
+       area=Area(167.65, 7.15, -47.74, 83.17), area_name="North America.", datum_ellps="clrk66"),
+    _e("EPSG:4258", "ETRS89", "geographic", "+proj=longlat +ellps=GRS80",
+       towgs84=(0, 0, 0), axis_order="ne", unit="deg",
+       area=Area(-35.58, 24.6, 44.83, 84.73), area_name="Europe - ETRS89.", datum_ellps="GRS80"),
+    _e("EPSG:3857", "WGS 84 / Pseudo-Mercator", "projected",
+       "+proj=webmerc +a=6378137", towgs84=(0, 0, 0),
+       area=Area(-180, -85.06, 180, 85.06), area_name="World between 85.06 S and 85.06 N."),
+    _e("EPSG:2230", "NAD83 / California zone 6 (ftUS)", "projected",
+       _CA6_LCC + "+x_0=2000000.0001016 +y_0=500000.0001016 +ellps=GRS80 +units=us-ft",
+       unit="us-ft",
+       area=Area(-118.15, 32.53, -114.42, 34.08),
+       area_name="United States (USA) - California - SPCS - 6.", datum_ellps="GRS80"),
+    _e("EPSG:26946", "NAD83 / California zone 6", "projected",
+       _CA6_LCC + "+x_0=2000000 +y_0=500000 +ellps=GRS80 +units=m",
+       area=Area(-118.15, 32.53, -114.42, 34.08),
+       area_name="United States (USA) - California - SPCS - 6.", datum_ellps="GRS80"),
+    _e("EPSG:3309", "NAD27 / California Albers", "projected",
+       "+proj=aea +lat_0=0 +lon_0=-120 +lat_1=34 +lat_2=40.5 "
+       "+x_0=0 +y_0=-4000000 +ellps=clrk66 +units=m",
+       towgs84=(-8.0, 159.0, 175.0),
+       area=Area(-124.45, 32.53, -114.12, 42.01),
+       area_name="United States (USA) - California.", datum_ellps="clrk66"),
+    _e("EPSG:6366", "Mexico ITRF2008 / UTM zone 11N", "projected",
+       "+proj=utm +zone=11 +ellps=GRS80 +units=m",
+       area=Area(-118.47, 27.39, -114.0, 32.72),
+       area_name="Mexico west of 114 W.", datum_ellps="GRS80"),
+    _e("EPSG:32611", "WGS 84 / UTM zone 11N", "projected",
+       "+proj=utm +zone=11 +ellps=WGS84 +units=m", towgs84=(0, 0, 0),
+       area=Area(-120, 0, -114, 84), area_name="Between 120 W and 114 W, northern hemisphere."),
+    _e("EPSG:27700", "OSGB36 / British National Grid", "projected",
+       "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 "
+       "+y_0=-100000 +ellps=airy +units=m",
+       towgs84=(446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489), datum_ellps="airy",
+       area=Area(-9.01, 49.75, 2.01, 61.01),
+       area_name="United Kingdom (UK) - offshore to boundary of UKCS."),
+    _e("EPSG:3844", "Pulkovo 1942(58) / Stereo70", "projected",
+       "+proj=sterea +lat_0=46 +lon_0=25 +k=0.99975 +x_0=500000 +y_0=500000 "
+       "+ellps=krass +units=m",
+       towgs84=(33.4, -146.6, -76.3, -0.359, -0.053, 0.844, -0.84), datum_ellps="krass",
+       area=Area(20.26, 43.62, 31.41, 48.27), area_name="Romania - onshore and offshore."),
+    _e("EPSG:3035", "ETRS89-extended / LAEA Europe", "projected",
+       "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+       "+ellps=GRS80 +units=m", towgs84=(0, 0, 0), axis_order="ne",
+       area=Area(-35.58, 24.6, 44.83, 84.73),
+       area_name="Europe - European Union (EU) countries and candidates.", datum_ellps="GRS80"),
+    _e("EPSG:8857", "WGS 84 / Equal Earth Greenwich", "projected",
+       "+proj=eqearth +lon_0=0 +ellps=WGS84 +units=m", towgs84=(0, 0, 0),
+       area=Area(-180, -90, 180, 90), area_name="World."),
+    _e("EPSG:8858", "WGS 84 / Equal Earth Americas", "projected",
+       "+proj=eqearth +lon_0=-90 +ellps=WGS84 +units=m", towgs84=(0, 0, 0),
+       area=Area(-180, -90, 180, 90), area_name="World."),
+    _e("EPSG:8859", "WGS 84 / Equal Earth Asia-Pacific", "projected",
+       "+proj=eqearth +lon_0=150 +ellps=WGS84 +units=m", towgs84=(0, 0, 0),
+       area=Area(-180, -90, 180, 90), area_name="World."),
+]:
+    EPSG[entry.code] = entry
+
+# name aliases the reference accepts (src/proj.rs:679-685 mentions CRS names)
+_CRS_ALIASES = {
+    "WGS84": "EPSG:4326",
+    "NAD83": "EPSG:4269",
+    "NAD27": "EPSG:4267",
+    "ETRS89": "EPSG:4258",
+}
+
+
+def resolve_crs(spec: str) -> CrsEntry:
+    spec = spec.strip()
+    if spec in _CRS_ALIASES:
+        spec = _CRS_ALIASES[spec]
+    key = spec.upper().replace("EPSG:", "EPSG:")
+    if key in EPSG:
+        return EPSG[key]
+    raise ProjCreateError(f"unknown CRS: {spec!r} (not in engine registry)")
+
+
+def lib_info() -> dict:
+    """Engine version info (reference Proj::lib_info,
+    /root/reference/src/proj.rs:313-335)."""
+    return {
+        "engine_version": ENGINE_VERSION,
+        "modeled_proj_version": MODELED_PROJ_VERSION,
+        "searchpath": "",
+        "network_enabled": False,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Transform
+# ---------------------------------------------------------------------------
+class Transform:
+    """A composed coordinate transform: list of steps + metadata.
+
+    Error model (mirrors /root/reference/src/proj.rs:96-139, 1259):
+      * strict (default, like reference arrays): any invalid point raises
+        ``ProjError`` — all-or-nothing; the Transform stays usable
+        afterwards (error-recovery contract, src/proj.rs:1921-1944).
+      * row-wise: ``convert_array(..., errors="mask")`` returns
+        ``(x, y, err)`` with NaN outputs and an error-message object array
+        — the scalable mode for 10^12-row jobs.
+    """
+
+    def __init__(self, steps, *, definition="", src=None, dst=None,
+                 angular_io=("rad", "rad"), area=None, name="", epoch=None):
+        self._steps: list[_StepBase] = list(steps)
+        self._definition = definition
+        self._src: Optional[CrsEntry] = src
+        self._dst: Optional[CrsEntry] = dst
+        self._angular_io = angular_io
+        self._area: Optional[Area] = area
+        self._name = name
+        self._epoch = epoch
+
+    # -- constructors -------------------------------------------------
+    @classmethod
+    def new(cls, definition: str) -> "Transform":
+        """From a PROJ string or ``AUTHORITY:CODE`` (Proj::new,
+        /root/reference/src/proj.rs:675-677).  Coordinate order is
+        caller-owned; for single projections ``project()`` consumes
+        geodetic radians (src/proj.rs:986-991)."""
+        definition = definition.strip()
+        if not definition.startswith("+") and ":" in definition:
+            entry = resolve_crs(definition)
+            steps = [make_step(p) for p in parse_proj_string(entry.proj)]
+            return cls(steps, definition=entry.proj, src=entry, dst=entry,
+                       area=entry.area, name=entry.name)
+        try:
+            step_params = parse_proj_string(definition)
+        except ProjCreateError:
+            raise
+        # expand +datum= shorthand (def() normalization KAT,
+        # /root/reference/src/proj.rs:1642-1649)
+        datum_expand = {
+            "WGS84": {"ellps": "WGS84", "towgs84": "0,0,0"},
+            "NAD83": {"ellps": "GRS80", "towgs84": "0,0,0"},
+            "OSGB36": {
+                "ellps": "airy",
+                "towgs84": "446.448,-125.157,542.06,0.15,0.247,0.842,-20.489",
+            },
+        }
+        for p in step_params:
+            if p.get("datum") in datum_expand:
+                for k, v in datum_expand[p["datum"]].items():
+                    p.setdefault(k, v)
+        steps: list[_StepBase] = [make_step(p) for p in step_params]
+        # A single-op string with +towgs84 is a BoundCRS to WGS84 (legacy
+        # proj4-string semantics kept by libproj): project()/convert()
+        # input is WGS84 geodetic radians, shifted onto the string's datum
+        # before projecting.  Verified against the reference's stereo70 and
+        # OSGB36 KATs (/root/reference/src/proj.rs:1819-1863).
+        if len(step_params) == 1 and "towgs84" in step_params[0]:
+            tw = tuple(float(v) for v in str(step_params[0]["towgs84"]).split(","))
+            if any(tw):
+                a, es = K.ellipsoid(step_params[0])
+                wa, wes = K.ellipsoid({"ellps": "WGS84"})
+                steps = [DatumShiftStep(wa, wes, None, a, es, tw)] + steps
+        return cls(steps, definition=definition)
+
+    @classmethod
+    def new_known_crs(cls, from_crs: str, to_crs: str,
+                      area: Optional[Area] = None, **options) -> "Transform":
+        """CRS->CRS transform with axis order normalized to lon,lat / E,N
+        (Proj::new_known_crs + proj_normalize_for_visualization,
+        /root/reference/src/proj.rs:726-732, :259-264, :498-508).
+
+        options: allow_ballpark (default True), only_best (default False),
+        force_over (default False), accuracy — mirroring the option strings
+        of create_crs_to_crs_from_pj (src/proj.rs:749-754).
+        """
+        src = resolve_crs(from_crs)
+        dst = resolve_crs(to_crs)
+        allow_ballpark = bool(options.get("allow_ballpark", True))
+        only_best = bool(options.get("only_best", False))
+        force_over = bool(options.get("force_over", False))
+
+        steps: list[_StepBase] = []
+        # normalized input is degrees lon,lat for geographic src,
+        # CRS units E,N for projected src
+        if src.kind == "geographic":
+            steps.append(DegRadStep())
+        else:
+            for p in reversed(parse_proj_string(src.proj)):
+                p = dict(p)
+                p["inv"] = not p.get("inv", False)
+                steps.append(make_step(p))
+        # datum shift (both datums known and different -> helmert path;
+        # any side unknown -> ballpark identity, like PROJ's
+        # "ballpark geographic offset")
+        src_a, src_es = K.ellipsoid({"ellps": src.datum_ellps})
+        dst_a, dst_es = K.ellipsoid({"ellps": dst.datum_ellps})
+        if src.towgs84 is not None and dst.towgs84 is not None:
+            if tuple(src.towgs84) != tuple(dst.towgs84) or (src_a, src_es) != (dst_a, dst_es):
+                steps.append(DatumShiftStep(src_a, src_es,
+                                            src.towgs84 if any(src.towgs84) else None,
+                                            dst_a, dst_es,
+                                            dst.towgs84 if any(dst.towgs84) else None))
+        else:
+            if not allow_ballpark or only_best:
+                raise ProjCreateError(
+                    f"no non-ballpark transformation between {from_crs} and {to_crs}"
+                )
+            # ballpark: reinterpret lon/lat — identity step
+        if dst.kind == "geographic":
+            steps.append(DegRadStep())
+            # DegRadStep is direction-aware; wrap to run inverse on fwd
+            steps[-1] = _InverseOf(steps[-1])
+        else:
+            for p in parse_proj_string(dst.proj):
+                p = dict(p)
+                if force_over:
+                    p["over"] = True
+                steps.append(make_step(p))
+        t = cls(
+            steps,
+            definition=f"{from_crs} -> {to_crs}",
+            src=src,
+            dst=dst,
+            angular_io=("deg" if src.kind == "geographic" else "unit",
+                        "deg" if dst.kind == "geographic" else "unit"),
+            area=area or dst.area,
+            name=f"{src.name} -> {dst.name}",
+        )
+        return t
+
+    @classmethod
+    def crs_to_crs_from_transforms(cls, src: "Transform", dst: "Transform",
+                                   area: Optional[Area] = None, **options) -> "Transform":
+        """Compose CRS->CRS from two existing Transform objects
+        (create_crs_to_crs_from_pj, /root/reference/src/proj.rs:778-789)."""
+        if src._src is None or dst._src is None:
+            raise ProjCreateError("both transforms must be CRS objects")
+        return cls.new_known_crs(src._src.code, dst._src.code, area, **options)
+
+    @classmethod
+    def from_spec(cls, spec: Union[str, tuple]) -> "Transform":
+        """TryFrom<&str> / TryFrom<(&str, &str)> equivalents
+        (/root/reference/src/proj.rs:1455-1492)."""
+        if isinstance(spec, tuple):
+            return cls.new_known_crs(spec[0], spec[1])
+        return cls.new(spec)
+
+    # -- execution ----------------------------------------------------
+    def _run(self, x, y, forward=True, errors="strict"):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        scalar = x.ndim == 0
+        x = np.atleast_1d(x).copy()
+        y = np.atleast_1d(y).copy()
+        steps = self._steps if forward else list(reversed(self._steps))
+        for s in steps:
+            x, y = s.apply(x, y, forward=forward)
+        bad = ~(np.isfinite(x) & np.isfinite(y))
+        if errors == "strict" and bad.any():
+            # all-or-nothing, matching reference array semantics
+            # (/root/reference/src/proj.rs:1259) and scalar error text
+            # (src/proj.rs:1914-1917)
+            raise ProjError(
+                f"The conversion failed with the following error: {INVALID_COORD}"
+            )
+        err = None
+        if errors == "mask":
+            err = np.where(bad, INVALID_COORD, None)
+        if scalar:
+            x, y = x[0], y[0]
+            err = err[0] if err is not None else None
+        if errors == "mask":
+            return x, y, err
+        return x, y
+
+    def project(self, x, y, inverse: bool = False, errors: str = "strict"):
+        """Forward (or inverse) projection; geodetic radians domain for
+        single-projection transforms (Proj::project,
+        /root/reference/src/proj.rs:932-975)."""
+        return self._run(x, y, forward=not inverse, errors=errors)
+
+    def convert(self, x, y, errors: str = "strict"):
+        """Conversion, always pipeline-forward (Proj::convert,
+        /root/reference/src/proj.rs:1011-1046)."""
+        return self._run(x, y, forward=True, errors=errors)
+
+    # batch aliases — in numpy the scalar and array paths are the same
+    # vectorized kernel (reference's convert_array/project_array,
+    # /root/reference/src/proj.rs:1080-1123)
+    def convert_array(self, x, y, errors: str = "strict"):
+        return self._run(x, y, forward=True, errors=errors)
+
+    def project_array(self, x, y, inverse: bool = False, errors: str = "strict"):
+        return self._run(x, y, forward=not inverse, errors=errors)
+
+    def transform_bounds(self, left, bottom, right, top, densify_pts: int = 21):
+        """Transform a bbox by densifying each edge and reducing to the
+        outermost bounds (Proj::transform_bounds,
+        /root/reference/src/proj.rs:1159-1205)."""
+        if densify_pts < 0:
+            densify_pts = 21
+        n = densify_pts + 1
+        xs = np.linspace(left, right, n)
+        ys = np.linspace(bottom, top, n)
+        ex = np.concatenate([xs, np.full(n, right), xs[::-1], np.full(n, left)])
+        ey = np.concatenate([np.full(n, bottom), ys, np.full(n, top), ys[::-1]])
+        tx, ty = self._run(ex, ey, forward=True, errors="strict")
+        return float(np.min(tx)), float(np.min(ty)), float(np.max(tx)), float(np.max(ty))
+
+    # -- metadata -----------------------------------------------------
+    @property
+    def has_inverse(self) -> bool:
+        return all(s.has_inverse for s in self._steps)
+
+    @property
+    def accuracy(self) -> float:
+        return self._src.accuracy if self._src else -1.0
+
+    def proj_info(self) -> dict:
+        """id/description/definition/has_inverse/accuracy (ProjInfo,
+        /root/reference/src/proj.rs:888-915, 1497-1504)."""
+        return {
+            "id": self._src.code if self._src else None,
+            "description": self._name or self._definition,
+            "definition": self.definition(),
+            "has_inverse": self.has_inverse,
+            "accuracy": self.accuracy,
+        }
+
+    def definition(self) -> str:
+        """Normalized definition string (Proj::def,
+        /root/reference/src/proj.rs:921-923; KAT at :1642-1649)."""
+        parts = []
+        for tok in self._definition.split():
+            parts.append(tok.lstrip("+"))
+        out = " ".join(parts)
+        # expand datum shorthand like libproj does (KAT:
+        # "proj=longlat datum=WGS84 no_defs ellps=WGS84 towgs84=0,0,0")
+        if "datum=WGS84" in out and "ellps=" not in out:
+            out += " ellps=WGS84 towgs84=0,0,0"
+        return out
+
+    def area_of_use(self):
+        """(Area|None, name|None); sentinel -1000.0 in libproj means
+        unknown -> None here (Proj::area_of_use,
+        /root/reference/src/proj.rs:828-877)."""
+        if self._src is None or self._src.area is None:
+            return None, None
+        return self._src.area, self._src.area_name
+
+    def area_set_bbox(self, area: Area) -> None:
+        """Restrict area of use post-construction (Proj::area_set_bbox,
+        /root/reference/src/proj.rs:801-813). No-op unless CRS->CRS."""
+        if self._src is not None and self._dst is not None and self._src != self._dst:
+            self._area = area
+
+    def with_epoch(self, epoch: float) -> "Transform":
+        """Attach a coordinate epoch (coordinate_metadata_create,
+        /root/reference/src/proj.rs:607-623).  Pipelines are rejected,
+        like the reference (src/proj.rs:154-157)."""
+        if self._src is None:
+            raise ProjCreateError("cannot attach epoch to a pipeline/operation")
+        t = Transform(self._steps, definition=self._definition, src=self._src,
+                      dst=self._dst, angular_io=self._angular_io,
+                      area=self._area, name=self._name, epoch=epoch)
+        return t
+
+    @property
+    def epoch(self) -> float:
+        """NaN when absent (src/proj.rs:631)."""
+        return self._epoch if self._epoch is not None else float("nan")
+
+    def equivalent_to(self, other: "Transform", criterion: str) -> bool:
+        """3-level CRS comparison (Proj::equivalent_to,
+        /root/reference/src/proj.rs:1391-1410; matrix test :2031-2053)."""
+        a, b = self._src, other._src
+        if a is None or b is None:
+            return self._definition == other._definition
+        same_core = (
+            a.proj == b.proj
+            and a.towgs84 == b.towgs84
+            and a.kind == b.kind
+            and a.unit == b.unit
+        )
+        if criterion == ComparisonCriterion.Strict:
+            return same_core and a.code == b.code and a.axis_order == b.axis_order
+        if criterion == ComparisonCriterion.Equivalent:
+            return same_core and a.axis_order == b.axis_order
+        return same_core
+
+    # -- exports ------------------------------------------------------
+    def to_projjson(self, multiline: Optional[bool] = None,
+                    indent_width: Optional[int] = None,
+                    schema: Optional[str] = None) -> str:
+        """PROJJSON export (Proj::to_projjson,
+        /root/reference/src/proj.rs:1280-1308).  Default schema v0.7 and
+        multiline output, matching the reference's assertions
+        (src/proj.rs:1988-2009)."""
+        schema = schema or "https://proj.org/schemas/v0.7/projjson.schema.json"
+        entry = self._src
+        obj = {
+            "$schema": schema,
+            "type": ("GeographicCRS" if entry and entry.kind == "geographic"
+                     else "ProjectedCRS" if entry else "Transformation"),
+            "name": self._name or self._definition,
+        }
+        if entry:
+            auth, _, code = entry.code.partition(":")
+            obj["id"] = {"authority": auth, "code": int(code) if code.isdigit() else code}
+            obj["proj_string"] = entry.proj
+            if entry.area:
+                obj["bbox"] = {
+                    "south_latitude": entry.area.south,
+                    "west_longitude": entry.area.west,
+                    "north_latitude": entry.area.north,
+                    "east_longitude": entry.area.east,
+                }
+        if multiline is False:
+            return json.dumps(obj, separators=(",", ":"))
+        return json.dumps(obj, indent=indent_width or 2)
+
+    def as_wkt(self, version: str = "WKT2_2019", multiline: bool = True) -> str:
+        """WKT export (Proj::as_wkt, /root/reference/src/proj.rs:1310-1377).
+        Golden-string parity for EPSG:4326 single-line WKT2:2019
+        (src/proj.rs:2012-2028); other CRS get a generated WKT2 skeleton."""
+        entry = self._src
+        if entry is None:
+            raise ProjError("WKT export requires a CRS object")
+        if entry.code == "EPSG:4326":
+            wkt = (
+                'GEOGCRS["WGS 84",ENSEMBLE["World Geodetic System 1984 ensemble",'
+                'MEMBER["World Geodetic System 1984 (Transit)"],'
+                'MEMBER["World Geodetic System 1984 (G730)"],'
+                'MEMBER["World Geodetic System 1984 (G873)"],'
+                'MEMBER["World Geodetic System 1984 (G1150)"],'
+                'MEMBER["World Geodetic System 1984 (G1674)"],'
+                'MEMBER["World Geodetic System 1984 (G1762)"],'
+                'MEMBER["World Geodetic System 1984 (G2139)"],'
+                'MEMBER["World Geodetic System 1984 (G2296)"],'
+                'ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]],'
+                'ENSEMBLEACCURACY[2.0]],'
+                'PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]],'
+                'CS[ellipsoidal,2],'
+                'AXIS["geodetic latitude (Lat)",north,ORDER[1],'
+                'ANGLEUNIT["degree",0.0174532925199433]],'
+                'AXIS["geodetic longitude (Lon)",east,ORDER[2],'
+                'ANGLEUNIT["degree",0.0174532925199433]],'
+                'USAGE[SCOPE["Horizontal component of 3D system."],'
+                'AREA["World."],BBOX[-90,-180,90,180]],ID["EPSG",4326]]'
+            )
+            return wkt
+        a, es = K.ellipsoid(parse_proj_string(entry.proj)[0])
+        rf = 0.0 if es == 0 else 1.0 / (1.0 - math.sqrt(1.0 - es))
+        kind = "GEOGCRS" if entry.kind == "geographic" else "PROJCRS"
+        auth, _, code = entry.code.partition(":")
+        body = (
+            f'{kind}["{entry.name}",'
+            f'ELLIPSOID["{entry.name}",{a},{rf:.9f},LENGTHUNIT["metre",1]],'
+            f'ID["{auth}",{code}]]'
+        )
+        return body
+
+    def __repr__(self) -> str:
+        return f"Transform({self._definition!r})"
+
+
+class _InverseOf(_StepBase):
+    def __init__(self, inner: _StepBase):
+        self._inner = inner
+
+    def apply(self, x, y, forward=True):
+        return self._inner.apply(x, y, forward=not forward)
+
+
+class TransformBuilder:
+    """Construction-time configuration (ProjBuilder,
+    /root/reference/src/proj.rs:462-544).  Grid download / network
+    features (O21/O22) are deliberately out of scope — the engine's CRS
+    are closed-form; grid-requiring options raise."""
+
+    def __init__(self):
+        self._network = False
+
+    def enable_network(self, enable: bool):
+        if enable:
+            raise NotImplementedError(
+                "grid download is out of scope: engine transforms are closed-form "
+                "(reference network layer: /root/reference/src/network.rs)"
+            )
+        self._network = False
+        return self
+
+    def grid_cache_enable(self, enable: bool):
+        if enable:
+            raise NotImplementedError("no grid cache: closed-form transforms only")
+        return self
+
+    def set_search_paths(self, *_):
+        return self
+
+    def proj(self, definition: str) -> Transform:
+        return Transform.new(definition)
+
+    def proj_known_crs(self, from_crs: str, to_crs: str,
+                       area: Optional[Area] = None) -> Transform:
+        return Transform.new_known_crs(from_crs, to_crs, area)

@@ -1,0 +1,1075 @@
+"""Vectorized numpy projection kernels.
+
+This module is the numerical core of the engine: forward/inverse map
+projections and datum shifts implemented as pure numpy array functions
+(float64 in, float64 out — one call transforms a whole column, the
+Spark analog of the reference's batch path ``proj_trans_array``,
+/root/reference/src/proj.rs:1210-1274).
+
+All math is re-derived from public sources — Snyder, *Map Projections:
+A Working Manual* (USGS PP 1395, 1987); Karney, *Transverse Mercator
+with an accuracy of a few nanometers* (J. Geodesy 85, 2011); the Equal
+Earth projection paper (Šavrič, Patterson & Jenny 2018); EPSG Guidance
+Note 7-2 — NOT translated from the reference (which delegates all math
+to libproj C via FFI).
+
+Semantics intentionally mirrored from the reference's tests:
+  * known-answer coordinates — /root/reference/src/proj.rs:1780-1789,
+    1819-1875, README.md:181-232 (see tests/test_kernels.py)
+  * geodetic latitude out of range -> "Invalid coordinate" error, and a
+    failed call must not poison later calls —
+    /root/reference/src/proj.rs:1905-1944
+  * longitude wrapping vs FORCE_OVER — /root/reference/src/proj.rs:1675-1700
+
+Every kernel is a triple ``(setup, fwd, inv)`` registered in
+``PROJECTIONS``; ``setup(params) -> dict`` precomputes constants on the
+driver, ``fwd(lam, phi, P)`` / ``inv(x, y, P)`` run on executors inside
+Arrow-batched UDFs.  ``lam``/``phi`` are radians with ``lam`` already
+reduced by ``lon_0``; x/y are in units of the semi-major axis *a* (the
+generic wrapper in :mod:`proj_spark.crs` applies ``a``, false
+easting/northing and axis units, matching PROJ's generic fwd/inv
+pre/post steps).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "ELLIPSOIDS",
+    "PROJECTIONS",
+    "ProjKernelError",
+    "adjlon",
+    "ellipsoid",
+    "geodetic_to_ecef",
+    "ecef_to_geodetic",
+    "helmert_fwd",
+    "helmert_inv",
+]
+
+HALFPI = np.pi / 2.0
+TWOPI = 2.0 * np.pi
+
+# lat out-of-range tolerance, like PROJ's generic forward-prepare check
+LAT_EPS = 1e-12
+
+
+class ProjKernelError(ValueError):
+    """Raised in strict mode when any point fails (all-or-nothing batch
+    semantics of the reference: /root/reference/src/proj.rs:1259)."""
+
+
+# ---------------------------------------------------------------------------
+# ellipsoids (a, reciprocal flattening rf).  rf == 0 -> sphere.
+# parameter values are standard published constants.
+# ---------------------------------------------------------------------------
+ELLIPSOIDS = {
+    "GRS80": (6378137.0, 298.257222101),
+    "WGS84": (6378137.0, 298.257223563),
+    "airy": (6377563.396, 299.3249646),
+    "krass": (6378245.0, 298.3),
+    "clrk66": (6378206.4, 294.9786982),
+    "intl": (6378388.0, 297.0),
+    "sphere": (6370997.0, 0.0),
+}
+
+
+def ellipsoid(params: dict) -> tuple[float, float]:
+    """Resolve (a, es) from step params: ellps name, a/b, a/rf or a/f."""
+    if "a" in params:
+        a = float(params["a"])
+        if "b" in params:
+            b = float(params["b"])
+            es = 1.0 - (b * b) / (a * a)
+        elif "rf" in params:
+            rf = float(params["rf"])
+            f = 1.0 / rf if rf else 0.0
+            es = f * (2.0 - f)
+        elif "f" in params:
+            f = float(params["f"])
+            es = f * (2.0 - f)
+        else:
+            es = 0.0
+        return a, es
+    name = params.get("ellps", "GRS80")
+    a, rf = ELLIPSOIDS[name]
+    f = 1.0 / rf if rf else 0.0
+    return a, f * (2.0 - f)
+
+
+def adjlon(lam: np.ndarray) -> np.ndarray:
+    """Wrap longitude(s) to (-pi, pi]."""
+    lam = np.asarray(lam, dtype=np.float64)
+    out = lam - TWOPI * np.floor((lam + np.pi) / TWOPI)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# shared ellipsoidal helpers (Snyder 1987 notation)
+# ---------------------------------------------------------------------------
+def _tsfn(phi, sinphi, e):
+    """Snyder (7-10): isometric colatitude function t."""
+    con = e * sinphi
+    return np.tan(0.5 * (HALFPI - phi)) / np.power((1.0 - con) / (1.0 + con), 0.5 * e)
+
+
+def _msfn(sinphi, cosphi, es):
+    """Snyder (14-15): m = cos(phi)/sqrt(1 - es sin^2 phi)."""
+    return cosphi / np.sqrt(1.0 - es * sinphi * sinphi)
+
+
+def _phi2(ts, e, iterations=15, tol=1.0e-13):
+    """Inverse of _tsfn: latitude from t (Snyder 7-9), fixed-point."""
+    phi = HALFPI - 2.0 * np.arctan(ts)
+    for _ in range(iterations):
+        con = e * np.sin(phi)
+        dphi = (
+            HALFPI
+            - 2.0 * np.arctan(ts * np.power((1.0 - con) / (1.0 + con), 0.5 * e))
+            - phi
+        )
+        phi = phi + dphi
+        if np.all(np.abs(dphi) < tol):
+            break
+    return phi
+
+
+def _qsfn(sinphi, e, one_es):
+    """Authalic q (Snyder 3-12)."""
+    if e < 1e-7:
+        return 2.0 * sinphi
+    con = e * sinphi
+    return one_es * (
+        sinphi / (1.0 - con * con) - (0.5 / e) * np.log((1.0 - con) / (1.0 + con))
+    )
+
+
+def _authlat_inv(q, e, one_es, qp, iterations=12):
+    """Latitude from authalic q (Snyder 3-16), Newton iteration."""
+    phi = np.arcsin(np.clip(0.5 * q, -1.0, 1.0))
+    if e < 1e-7:
+        return phi
+    for _ in range(iterations):
+        sinphi = np.sin(phi)
+        cosphi = np.cos(phi)
+        con = e * sinphi
+        com = 1.0 - con * con
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dphi = (
+                0.5
+                * com
+                * com
+                / np.maximum(cosphi, 1e-300)
+                * (
+                    q / one_es
+                    - sinphi / com
+                    + (0.5 / e) * np.log((1.0 - con) / (1.0 + con))
+                )
+            )
+        dphi = np.where(np.abs(cosphi) < 1e-12, 0.0, dphi)
+        phi = phi + dphi
+    return phi
+
+
+# ---------------------------------------------------------------------------
+# longlat (identity in radians)
+# ---------------------------------------------------------------------------
+def longlat_setup(params, a, es):
+    return {}
+
+
+def longlat_fwd(lam, phi, P):
+    return lam, phi
+
+
+def longlat_inv(x, y, P):
+    return x, y
+
+
+# ---------------------------------------------------------------------------
+# merc — Mercator, spherical and ellipsoidal (Snyder ch. 7)
+# EPSG:3857 uses the spherical case on the WGS84 semi-major axis;
+# the reference exercises "+proj=merc +lat_ts=56.5 +ellps=GRS80"
+# (/root/reference/src/proj.rs:653-656) and 4326->3857
+# (/root/reference/src/transform.rs:80-83).
+# ---------------------------------------------------------------------------
+def merc_setup(params, a, es):
+    e = np.sqrt(es)
+    k0 = float(params.get("k", params.get("k_0", 1.0)))
+    if "lat_ts" in params:
+        phits = np.radians(float(params["lat_ts"]))
+        if es > 0.0:
+            k0 = float(_msfn(np.sin(phits), np.cos(phits), es))
+        else:
+            k0 = float(np.cos(phits))
+    return {"e": e, "es": es, "k0": k0}
+
+
+def merc_fwd(lam, phi, P):
+    k0 = P["k0"]
+    x = k0 * lam
+    if P["es"] > 0.0:
+        y = -k0 * np.log(np.maximum(_tsfn(phi, np.sin(phi), P["e"]), 1e-300))
+    else:
+        y = k0 * np.log(np.tan(np.pi / 4.0 + 0.5 * phi))
+    return x, y
+
+
+def merc_inv(x, y, P):
+    k0 = P["k0"]
+    lam = x / k0
+    if P["es"] > 0.0:
+        phi = _phi2(np.exp(-y / k0), P["e"])
+    else:
+        phi = HALFPI - 2.0 * np.arctan(np.exp(-y / k0))
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# webmerc — EPSG:3857: spherical Mercator formulas with WGS84 a,
+# geodetic latitude used directly (EPSG method 1024).
+# ---------------------------------------------------------------------------
+def webmerc_setup(params, a, es):
+    return {"k0": 1.0}
+
+
+def webmerc_fwd(lam, phi, P):
+    return lam, np.log(np.tan(np.pi / 4.0 + 0.5 * phi))
+
+
+def webmerc_inv(x, y, P):
+    return x, HALFPI - 2.0 * np.arctan(np.exp(-y))
+
+
+# ---------------------------------------------------------------------------
+# tmerc — transverse Mercator, exact Krüger series order n^6
+# (Karney 2011, eqs. 5-35; same accuracy class as the reference's
+# libproj etmerc used for EPSG:27700 / 6366 KATs,
+# /root/reference/src/proj.rs:1849-1863, README.md:222-232).
+# ---------------------------------------------------------------------------
+def tmerc_setup(params, a, es):
+    e = np.sqrt(es)
+    f = 1.0 - np.sqrt(1.0 - es)
+    n = f / (2.0 - f)
+    n2, n3, n4, n5, n6 = n * n, n**3, n**4, n**5, n**6
+    # Karney (2011) alpha (fwd) / beta (inv) coefficients, order 6
+    alpha = np.array(
+        [
+            n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180 - 127 * n5 / 288
+            + 7891 * n6 / 37800,
+            13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630
+            - 1983433 * n6 / 1935360,
+            61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880
+            + 167603 * n6 / 181440,
+            49561 * n4 / 161280 - 179 * n5 / 168 + 6601661 * n6 / 7257600,
+            34729 * n5 / 80640 - 3418889 * n6 / 1995840,
+            212378941 * n6 / 319334400,
+        ]
+    )
+    beta = np.array(
+        [
+            n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360 - 81 * n5 / 512
+            + 96199 * n6 / 604800,
+            n2 / 48 + n3 / 15 - 437 * n4 / 1440 + 46 * n5 / 105
+            - 1118711 * n6 / 3870720,
+            17 * n3 / 480 - 37 * n4 / 840 - 209 * n5 / 4480 + 5569 * n6 / 90720,
+            4397 * n4 / 161280 - 11 * n5 / 504 - 830251 * n6 / 7257600,
+            4583 * n5 / 161280 - 108847 * n6 / 3991680,
+            20648693 * n6 / 638668800,
+        ]
+    )
+    # rectifying radius / a
+    A = (1.0 / (1.0 + n)) * (1.0 + n2 / 4.0 + n4 / 64.0 + n6 / 256.0)
+    k0 = float(params.get("k", params.get("k_0", 1.0)))
+    P = {"e": e, "es": es, "n": n, "alpha": alpha, "beta": beta, "A": A, "k0": k0}
+    # false-northing origin: forward of (lat_0, lam=0) has y = k0*A*xi(lat_0)
+    lat0 = np.radians(float(params.get("lat_0", 0.0)))
+    if lat0 != 0.0:
+        _, y0 = _tmerc_core_fwd(np.array([0.0]), np.array([lat0]), P)
+        P["y_origin"] = float(y0[0])
+    else:
+        P["y_origin"] = 0.0
+    # Evenden/Snyder coefficients for the near-meridian (algo=auto) path
+    P["esp"] = es / (1.0 - es) if es < 1.0 else 0.0
+    P["en"] = _enfn(es)
+    P["ml0"] = float(_mlfn(lat0, np.sin(lat0), np.cos(lat0), P["en"]))
+    # default to the exact series like libproj 9.x; +approx selects the
+    # faster Evenden/Snyder 4th-order variant
+    algo = params.get("algo", "poder_engsager")
+    if params.get("approx"):
+        algo = "evenden_snyder"
+    if algo not in ("auto", "evenden_snyder", "poder_engsager"):
+        algo = "poder_engsager"
+    P["algo"] = algo
+    return P
+
+
+def _conformal_lat_tan(phi, e):
+    """tan(chi): tau' = tau*sqrt(1+sigma^2) - sigma*sqrt(1+tau^2) (Karney eq 7)."""
+    tau = np.tan(phi)
+    sigma = np.sinh(e * np.arctanh(e * tau / np.hypot(1.0, tau)))
+    return tau * np.hypot(1.0, sigma) - sigma * np.hypot(1.0, tau)
+
+
+def _conformal_lat_tan_inv(taup, e, iterations=8):
+    """tau from tau' by Newton (Karney 2011 eq. 19-21)."""
+    # initial guess
+    e2m = 1.0 - e * e
+    tau = taup / e2m
+    for _ in range(iterations):
+        sigma = np.sinh(e * np.arctanh(e * tau / np.hypot(1.0, tau)))
+        taupa = tau * np.hypot(1.0, sigma) - sigma * np.hypot(1.0, tau)
+        dtau = (
+            (taup - taupa)
+            * (1.0 + e2m * tau * tau)
+            / (e2m * np.hypot(1.0, tau) * np.hypot(1.0, taupa))
+        )
+        tau = tau + dtau
+    return tau
+
+
+def _tmerc_core_fwd(lam, phi, P):
+    taup = _conformal_lat_tan(phi, P["e"])
+    coslam = np.cos(lam)
+    xip = np.arctan2(taup, coslam)
+    etap = np.arcsinh(np.sin(lam) / np.hypot(taup, coslam))
+    zeta = xip + 1j * etap
+    j = np.arange(1, 7)
+    # zeta + sum alpha_j sin(2 j zeta)  (complex -> both series at once)
+    corr = (P["alpha"][:, None] * np.sin(2.0 * j[:, None] * zeta[None, :])).sum(axis=0)
+    z = zeta + corr
+    scale = P["k0"] * P["A"]
+    return scale * z.imag, scale * z.real
+
+
+def _tmerc_exact_fwd(lam, phi, P):
+    x, y = _tmerc_core_fwd(np.asarray(lam), np.asarray(phi), P)
+    return x, y - P["y_origin"]
+
+
+def _tmerc_exact_inv(x, y, P):
+    scale = P["k0"] * P["A"]
+    xi = (np.asarray(y) + P["y_origin"]) / scale
+    eta = np.asarray(x) / scale
+    z = xi + 1j * eta
+    j = np.arange(1, 7)
+    corr = (P["beta"][:, None] * np.sin(2.0 * j[:, None] * z[None, :])).sum(axis=0)
+    zp = z - corr
+    xip, etap = zp.real, zp.imag
+    taup = np.sin(xip) / np.hypot(np.sinh(etap), np.cos(xip))
+    lam = np.arctan2(np.sinh(etap), np.cos(xip))
+    tau = _conformal_lat_tan_inv(taup, P["e"])
+    return lam, np.arctan(tau)
+
+
+def tmerc_fwd(lam, phi, P):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    algo = P.get("algo", "auto")
+    if algo == "poder_engsager":
+        return _tmerc_exact_fwd(lam, phi, P)
+    if algo == "evenden_snyder":
+        return _tmerc_approx_fwd(lam, phi, P)
+    near = np.abs(lam) <= _TMERC_AUTO_SWITCH
+    if near.all():
+        return _tmerc_approx_fwd(lam, phi, P)
+    if not near.any():
+        return _tmerc_exact_fwd(lam, phi, P)
+    ax, ay = _tmerc_approx_fwd(lam, phi, P)
+    ex, ey = _tmerc_exact_fwd(lam, phi, P)
+    return np.where(near, ax, ex), np.where(near, ay, ey)
+
+
+def tmerc_inv(x, y, P):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    algo = P.get("algo", "auto")
+    if algo == "poder_engsager":
+        return _tmerc_exact_inv(x, y, P)
+    if algo == "evenden_snyder":
+        return _tmerc_approx_inv(x, y, P)
+    # same switch in projected space: |eta| ~ |x|/(k0*A) vs sin(3 deg)
+    near = np.abs(x) <= (P["k0"] * P["A"] * np.sin(_TMERC_AUTO_SWITCH))
+    if near.all():
+        return _tmerc_approx_inv(x, y, P)
+    if not near.any():
+        return _tmerc_exact_inv(x, y, P)
+    al, ap = _tmerc_approx_inv(x, y, P)
+    el, ep = _tmerc_exact_inv(x, y, P)
+    return np.where(near, al, el), np.where(near, ap, ep)
+
+
+# ---------------------------------------------------------------------------
+# tmerc approximate variant — Evenden/Snyder 4th-order series (Snyder
+# 1987 eq. 8-9..8-17, the classic proj.4 tmerc).  libproj's default
+# "algo=auto" uses this within ~3 deg of the central meridian and the
+# exact Krüger series beyond, so we reproduce that selection to match
+# the reference KATs bit-for-bit near the meridian (OSGB36 inverse KAT,
+# /root/reference/src/proj.rs:1849-1863).
+# ---------------------------------------------------------------------------
+_FC1, _FC2, _FC3, _FC4 = 1.0, 0.5, 1.0 / 6.0, 1.0 / 12.0
+_FC5, _FC6, _FC7, _FC8 = 1.0 / 120.0, 1.0 / 360.0, 1.0 / 5040.0, 1.0 / 1260.0
+
+_C00 = 1.0
+_C02 = 0.25
+_C04 = 0.046875
+_C06 = 0.01953125
+_C08 = 0.01068115234375
+_C22 = 0.75
+_C44 = 0.46875
+_C46 = 0.01302083333333333333
+_C48 = 0.00712076822916666666
+_C66 = 0.36458333333333333333
+_C68 = 0.00569661458333333333
+_C88 = 0.3076171875
+
+
+def _enfn(es):
+    """Meridian-arc series coefficients (Snyder 3-21)."""
+    en = np.empty(5)
+    en[0] = _C00 - es * (_C02 + es * (_C04 + es * (_C06 + es * _C08)))
+    en[1] = es * (_C22 - es * (_C04 + es * (_C06 + es * _C08)))
+    t = es * es
+    en[2] = t * (_C44 - es * (_C46 + es * _C48))
+    t = t * es
+    en[3] = t * (_C66 - es * _C68)
+    en[4] = t * es * _C88
+    return en
+
+
+def _mlfn(phi, sphi, cphi, en):
+    cphi = cphi * sphi
+    sphi = sphi * sphi
+    return en[0] * phi - cphi * (en[1] + sphi * (en[2] + sphi * (en[3] + sphi * en[4])))
+
+
+def _inv_mlfn(arg, es, en, iterations=10, tol=1e-11):
+    k = 1.0 / (1.0 - es)
+    phi = np.array(arg, copy=True, dtype=np.float64)
+    for _ in range(iterations):
+        s = np.sin(phi)
+        t = 1.0 - es * s * s
+        t = (_mlfn(phi, s, np.cos(phi), en) - arg) * (t * np.sqrt(t)) * k
+        phi = phi - t
+        if np.all(np.abs(t) < tol):
+            break
+    return phi
+
+
+def _tmerc_approx_fwd(lam, phi, P):
+    es, esp, k0, en = P["es"], P["esp"], P["k0"], P["en"]
+    sinphi = np.sin(phi)
+    cosphi = np.cos(phi)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(np.abs(cosphi) > 1e-10, sinphi / cosphi, 0.0)
+    t = t * t
+    al = cosphi * lam
+    als = al * al
+    al = al / np.sqrt(1.0 - es * sinphi * sinphi)
+    n = esp * cosphi * cosphi
+    x = k0 * al * (
+        _FC1
+        + _FC3 * als * (
+            1.0 - t + n
+            + _FC5 * als * (
+                5.0 + t * (t - 18.0) + n * (14.0 - 58.0 * t)
+                + _FC7 * als * (61.0 + t * (t * (179.0 - t) - 479.0))
+            )
+        )
+    )
+    y = k0 * (
+        _mlfn(phi, sinphi, cosphi, en)
+        - P["ml0"]
+        + sinphi * al * lam * _FC2 * (
+            1.0
+            + _FC4 * als * (
+                5.0 - t + n * (9.0 + 4.0 * n)
+                + _FC6 * als * (
+                    61.0 + t * (t - 58.0) + n * (270.0 - 330.0 * t)
+                    + _FC8 * als * (1385.0 + t * (t * (543.0 - t) - 3111.0))
+                )
+            )
+        )
+    )
+    return x, y
+
+
+def _tmerc_approx_inv(x, y, P):
+    es, esp, k0, en = P["es"], P["esp"], P["k0"], P["en"]
+    phi = _inv_mlfn(P["ml0"] + np.asarray(y) / k0, es, en)
+    sinphi = np.sin(phi)
+    cosphi = np.cos(phi)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(np.abs(cosphi) > 1e-10, sinphi / cosphi, 0.0)
+    n = esp * cosphi * cosphi
+    con = 1.0 - es * sinphi * sinphi
+    d = np.asarray(x) * np.sqrt(con) / k0
+    con = con * t
+    t = t * t
+    ds = d * d
+    phi_out = phi - (con * ds / (1.0 - es)) * _FC2 * (
+        1.0
+        - ds * _FC4 * (
+            5.0 + t * (3.0 - 9.0 * n) + n * (1.0 - 4.0 * n)
+            - ds * _FC6 * (
+                61.0 + t * (90.0 - 252.0 * n + 45.0 * t) + 46.0 * n
+                - ds * _FC8 * (1385.0 + t * (3633.0 + t * (4095.0 + 1575.0 * t)))
+            )
+        )
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lam = d * (
+            _FC1
+            - ds * _FC3 * (
+                1.0 + 2.0 * t + n
+                - ds * _FC5 * (
+                    5.0 + t * (28.0 + 24.0 * t + 8.0 * n) + 6.0 * n
+                    - ds * _FC7 * (61.0 + t * (662.0 + t * (1320.0 + 720.0 * t)))
+                )
+            )
+        ) / cosphi
+    at_pole = np.abs(phi) >= HALFPI
+    phi_out = np.where(at_pole, np.sign(np.asarray(y)) * HALFPI, phi_out)
+    lam = np.where(at_pole, 0.0, lam)
+    return lam, phi_out
+
+
+# PROJ algo=auto switches exact<->approx at ~3 degrees from the meridian
+_TMERC_AUTO_SWITCH = np.radians(3.0)
+
+
+# ---------------------------------------------------------------------------
+# utm — shorthand: tmerc k0=0.9996, lon_0 from zone, x_0=500000
+# (handled at the step layer; setup merely derives params).
+# ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# lcc — Lambert Conformal Conic 1SP/2SP (Snyder ch. 15).
+# Exercised by EPSG:2230<->26946 (/root/reference/src/proj.rs:1780-1789,
+# pipeline printed at :1868-1875).
+# ---------------------------------------------------------------------------
+def lcc_setup(params, a, es):
+    e = np.sqrt(es)
+    phi1 = np.radians(float(params.get("lat_1", 0.0)))
+    phi2 = np.radians(float(params.get("lat_2", params.get("lat_1", 0.0))))
+    phi0 = np.radians(float(params.get("lat_0", 0.0)))
+    k0 = float(params.get("k", params.get("k_0", 1.0)))
+    sinphi = np.sin(phi1)
+    cosphi = np.cos(phi1)
+    secant = abs(phi1 - phi2) >= 1e-10
+    if es > 0.0:
+        m1 = _msfn(sinphi, cosphi, es)
+        ml1 = _tsfn(phi1, sinphi, e)
+        if secant:
+            sinphi2 = np.sin(phi2)
+            n = np.log(m1 / _msfn(sinphi2, np.cos(phi2), es))
+            n = n / np.log(ml1 / _tsfn(phi2, sinphi2, e))
+        else:
+            n = sinphi
+        c = m1 * np.power(ml1, -n) / n
+        rho0 = 0.0
+        if abs(abs(phi0) - HALFPI) > 1e-10:
+            rho0 = c * np.power(_tsfn(phi0, np.sin(phi0), e), n)
+    else:
+        if secant:
+            n = np.log(cosphi / np.cos(phi2)) / np.log(
+                np.tan(np.pi / 4.0 + 0.5 * phi2) / np.tan(np.pi / 4.0 + 0.5 * phi1)
+            )
+        else:
+            n = sinphi
+        c = cosphi * np.power(np.tan(np.pi / 4.0 + 0.5 * phi1), n) / n
+        rho0 = 0.0
+        if abs(abs(phi0) - HALFPI) > 1e-10:
+            rho0 = c * np.power(np.tan(np.pi / 4.0 + 0.5 * phi0), -n)
+    return {
+        "e": e,
+        "es": es,
+        "n": float(n),
+        "c": float(c),
+        "rho0": float(rho0),
+        "k0": k0,
+    }
+
+
+def lcc_fwd(lam, phi, P):
+    n, c, e = P["n"], P["c"], P["e"]
+    if P["es"] > 0.0:
+        ts = _tsfn(phi, np.sin(phi), e)
+        rho = c * np.power(ts, n)
+    else:
+        rho = c * np.power(np.tan(np.pi / 4.0 + 0.5 * phi), -n)
+    # poles of the cone: rho -> 0
+    rho = np.where(np.abs(np.abs(phi) - HALFPI) < 1e-10, 0.0, rho)
+    x = P["k0"] * rho * np.sin(n * lam)
+    y = P["k0"] * (P["rho0"] - rho * np.cos(n * lam))
+    return x, y
+
+
+def lcc_inv(x, y, P):
+    n, c, e = P["n"], P["c"], P["e"]
+    x = np.asarray(x) / P["k0"]
+    y = P["rho0"] - np.asarray(y) / P["k0"]
+    rho = np.hypot(x, y)
+    if n < 0.0:
+        rho = -rho
+        x = -x
+        y = -y
+    lam = np.arctan2(x, y) / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if P["es"] > 0.0:
+            ts = np.power(rho / c, 1.0 / n)
+            phi = _phi2(ts, e)
+        else:
+            phi = 2.0 * np.arctan(np.power(c / rho, 1.0 / n)) - HALFPI
+    phi = np.where(rho == 0.0, np.sign(n) * HALFPI, phi)
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# sterea — oblique stereographic on the Gaussian sphere (EPSG method 9809,
+# "double stereographic"; RD/stereo70).  KATs:
+# /root/reference/src/proj.rs:1819-1846 (stereo70 fwd/inv).
+# ---------------------------------------------------------------------------
+def sterea_setup(params, a, es):
+    e = np.sqrt(es)
+    phi0 = np.radians(float(params.get("lat_0", 0.0)))
+    k0 = float(params.get("k", params.get("k_0", 1.0)))
+    sphi = np.sin(phi0)
+    cphi2 = np.cos(phi0) ** 2
+    R = np.sqrt(1.0 - es) / (1.0 - es * sphi * sphi)  # /a
+    C = np.sqrt(1.0 + es * cphi2 * cphi2 / (1.0 - es))
+    chi0 = np.arcsin(sphi / C)
+    ratexp = 0.5 * C * e
+    K = np.tan(0.5 * chi0 + np.pi / 4.0) / (
+        np.power(np.tan(0.5 * phi0 + np.pi / 4.0), C)
+        * np.power((1.0 - e * sphi) / (1.0 + e * sphi), ratexp)
+    )
+    return {
+        "e": e,
+        "es": es,
+        "C": float(C),
+        "K": float(K),
+        "ratexp": float(ratexp),
+        "chi0": float(chi0),
+        "sinc0": float(np.sin(chi0)),
+        "cosc0": float(np.cos(chi0)),
+        "R": float(R),
+        "k0": k0,
+    }
+
+
+def _gauss_fwd(lam, phi, P):
+    e = P["e"]
+    srat = np.power(
+        (1.0 - e * np.sin(phi)) / (1.0 + e * np.sin(phi)), P["ratexp"]
+    )
+    chi = (
+        2.0
+        * np.arctan(P["K"] * np.power(np.tan(0.5 * phi + np.pi / 4.0), P["C"]) * srat)
+        - HALFPI
+    )
+    return P["C"] * lam, chi
+
+
+def _gauss_inv(lam, chi, P, iterations=20, tol=1e-14):
+    e = P["e"]
+    lam_out = lam / P["C"]
+    num = np.power(np.tan(0.5 * chi + np.pi / 4.0) / P["K"], 1.0 / P["C"])
+    phi = chi
+    for _ in range(iterations):
+        con = e * np.sin(phi)
+        new = (
+            2.0
+            * np.arctan(num * np.power((1.0 + con) / (1.0 - con), 0.5 * e))
+            - HALFPI
+        )
+        if np.all(np.abs(new - phi) < tol):
+            phi = new
+            break
+        phi = new
+    return lam_out, phi
+
+
+def sterea_fwd(lam, phi, P):
+    lamc, chi = _gauss_fwd(lam, phi, P)
+    sinc = np.sin(chi)
+    cosc = np.cos(chi)
+    cosl = np.cos(lamc)
+    k = P["k0"] * 2.0 * P["R"] / (1.0 + P["sinc0"] * sinc + P["cosc0"] * cosc * cosl)
+    x = k * cosc * np.sin(lamc)
+    y = k * (P["cosc0"] * sinc - P["sinc0"] * cosc * cosl)
+    return x, y
+
+
+def sterea_inv(x, y, P):
+    R2 = 2.0 * P["R"]
+    x = np.asarray(x, dtype=np.float64) / P["k0"]
+    y = np.asarray(y, dtype=np.float64) / P["k0"]
+    rho = np.hypot(x, y)
+    c = 2.0 * np.arctan2(rho, R2)
+    sinc = np.sin(c)
+    cosc = np.cos(c)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        chi = np.where(
+            rho == 0.0,
+            P["chi0"],
+            np.arcsin(np.clip(cosc * P["sinc0"] + y * sinc * P["cosc0"] / np.where(rho == 0, 1, rho), -1, 1)),
+        )
+        lamc = np.where(
+            rho == 0.0,
+            0.0,
+            np.arctan2(x * sinc, rho * P["cosc0"] * cosc - y * P["sinc0"] * sinc),
+        )
+    return _gauss_inv(lamc, chi, P)
+
+
+# ---------------------------------------------------------------------------
+# eqearth — Equal Earth (Šavrič, Patterson & Jenny 2018), ellipsoidal via
+# authalic latitude.  KATs K11/K12 (FORCE_OVER) —
+# /root/reference/src/proj.rs:1675-1700.
+# ---------------------------------------------------------------------------
+_EQE_A1 = 1.340264
+_EQE_A2 = -0.081106
+_EQE_A3 = 0.000893
+_EQE_A4 = 0.003796
+_EQE_M = np.sqrt(3.0) / 2.0
+
+
+def eqearth_setup(params, a, es):
+    e = np.sqrt(es)
+    one_es = 1.0 - es
+    qp = float(_qsfn(1.0, e, one_es)) if es > 0 else 2.0
+    rqda = np.sqrt(0.5 * qp) if es > 0 else 1.0
+    return {"e": e, "es": es, "one_es": one_es, "qp": qp, "rqda": float(rqda)}
+
+
+def _eqearth_theta_poly(theta):
+    t2 = theta * theta
+    t6 = t2 * t2 * t2
+    y = theta * (_EQE_A1 + _EQE_A2 * t2 + t6 * (_EQE_A3 + _EQE_A4 * t2))
+    dy = _EQE_A1 + 3.0 * _EQE_A2 * t2 + t6 * (7.0 * _EQE_A3 + 9.0 * _EQE_A4 * t2)
+    return y, dy
+
+
+def eqearth_fwd(lam, phi, P):
+    if P["es"] > 0:
+        q = _qsfn(np.sin(phi), P["e"], P["one_es"])
+        beta = np.arcsin(np.clip(q / P["qp"], -1.0, 1.0))
+    else:
+        beta = phi
+    theta = np.arcsin(np.clip(_EQE_M * np.sin(beta), -1.0, 1.0))
+    y, dy = _eqearth_theta_poly(theta)
+    x = P["rqda"] * lam * np.cos(theta) / (_EQE_M * dy)
+    return x, P["rqda"] * y
+
+
+def eqearth_inv(x, y, P, iterations=12, tol=1e-14):
+    yr = np.asarray(y, dtype=np.float64) / P["rqda"]
+    theta = np.array(yr, copy=True)
+    for _ in range(iterations):
+        f, df = _eqearth_theta_poly(theta)
+        dtheta = (yr - f) / df
+        theta = theta + dtheta
+        if np.all(np.abs(dtheta) < tol):
+            break
+    _, dy = _eqearth_theta_poly(theta)
+    lam = _EQE_M * np.asarray(x) * dy / (P["rqda"] * np.cos(theta))
+    beta = np.arcsin(np.clip(np.sin(theta) / _EQE_M, -1.0, 1.0))
+    if P["es"] > 0:
+        q = P["qp"] * np.sin(beta)
+        phi = _authlat_inv(q, P["e"], P["one_es"], P["qp"])
+    else:
+        phi = beta
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# aea — Albers Equal Area (Snyder ch. 14).  EPSG:3309 (NAD27/California
+# Albers) KAT at /root/reference/README.md:181-190.
+# ---------------------------------------------------------------------------
+def aea_setup(params, a, es):
+    e = np.sqrt(es)
+    one_es = 1.0 - es
+    phi1 = np.radians(float(params.get("lat_1", 0.0)))
+    phi2 = np.radians(float(params.get("lat_2", params.get("lat_1", 0.0))))
+    phi0 = np.radians(float(params.get("lat_0", 0.0)))
+    sinphi = np.sin(phi1)
+    cosphi = np.cos(phi1)
+    secant = abs(phi1 - phi2) >= 1e-10
+    if es > 0:
+        m1 = _msfn(sinphi, cosphi, es)
+        ml1 = _qsfn(sinphi, e, one_es)
+        if secant:
+            sinphi2 = np.sin(phi2)
+            m2 = _msfn(sinphi2, np.cos(phi2), es)
+            ml2 = _qsfn(sinphi2, e, one_es)
+            n = (m1 * m1 - m2 * m2) / (ml2 - ml1)
+        else:
+            n = sinphi
+        c = m1 * m1 + n * ml1
+        dd = 1.0 / n
+        rho0 = dd * np.sqrt(c - n * _qsfn(np.sin(phi0), e, one_es))
+    else:
+        if secant:
+            n = 0.5 * (sinphi + np.sin(phi2))
+        else:
+            n = sinphi
+        c = cosphi * cosphi + 2.0 * n * sinphi
+        dd = 1.0 / n
+        rho0 = dd * np.sqrt(c - 2.0 * n * np.sin(phi0))
+    return {
+        "e": e,
+        "es": es,
+        "one_es": one_es,
+        "n": float(n),
+        "c": float(c),
+        "dd": float(dd),
+        "rho0": float(rho0),
+    }
+
+
+def aea_fwd(lam, phi, P):
+    n = P["n"]
+    if P["es"] > 0:
+        rho = P["dd"] * np.sqrt(P["c"] - n * _qsfn(np.sin(phi), P["e"], P["one_es"]))
+    else:
+        rho = P["dd"] * np.sqrt(P["c"] - 2.0 * n * np.sin(phi))
+    theta = n * lam
+    return rho * np.sin(theta), P["rho0"] - rho * np.cos(theta)
+
+
+def aea_inv(x, y, P):
+    n = P["n"]
+    x = np.asarray(x, dtype=np.float64)
+    y = P["rho0"] - np.asarray(y, dtype=np.float64)
+    rho = np.hypot(x, y)
+    if n < 0.0:
+        rho = -rho
+        x = -x
+        y = -y
+    lam = np.arctan2(x, y) / n
+    rr = rho / P["dd"]
+    if P["es"] > 0:
+        q = (P["c"] - rr * rr) / n
+        phi = _authlat_inv(q, P["e"], P["one_es"], float(_qsfn(1.0, P["e"], P["one_es"])))
+    else:
+        phi = np.arcsin(np.clip((P["c"] - rr * rr) / (2.0 * n), -1.0, 1.0))
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# laea — Lambert Azimuthal Equal Area, oblique ellipsoidal (Snyder ch. 24);
+# backs EPSG:3035, whose area-of-use metadata the reference tests
+# (/root/reference/src/proj.rs:1975-1985).
+# ---------------------------------------------------------------------------
+def laea_setup(params, a, es):
+    e = np.sqrt(es)
+    one_es = 1.0 - es
+    phi0 = np.radians(float(params.get("lat_0", 0.0)))
+    qp = float(_qsfn(1.0, e, one_es)) if es > 0 else 2.0
+    rq = np.sqrt(0.5 * qp)
+    sinphi = np.sin(phi0)
+    sinb1 = float(_qsfn(sinphi, e, one_es)) / qp if es > 0 else sinphi
+    cosb1 = np.sqrt(1.0 - sinb1 * sinb1)
+    if abs(cosb1) < 1e-12:
+        dd = 1.0
+    else:
+        dd = np.cos(phi0) / (np.sqrt(1.0 - es * sinphi * sinphi) * rq * cosb1)
+    return {
+        "e": e,
+        "es": es,
+        "one_es": one_es,
+        "qp": qp,
+        "rq": float(rq),
+        "sinb1": float(sinb1),
+        "cosb1": float(cosb1),
+        "dd": float(dd),
+        "xmf": float(rq * dd),
+        "ymf": float(rq / dd),
+    }
+
+
+def laea_fwd(lam, phi, P):
+    if P["es"] > 0:
+        q = _qsfn(np.sin(phi), P["e"], P["one_es"])
+        sinb = q / P["qp"]
+    else:
+        sinb = np.sin(phi)
+    sinb = np.clip(sinb, -1.0, 1.0)
+    cosb = np.sqrt(1.0 - sinb * sinb)
+    coslam = np.cos(lam)
+    b = 1.0 + P["sinb1"] * sinb + P["cosb1"] * cosb * coslam
+    with np.errstate(divide="ignore", invalid="ignore"):
+        b = np.sqrt(2.0 / np.maximum(b, 1e-300))
+    x = P["xmf"] * b * cosb * np.sin(lam)
+    y = P["ymf"] * b * (P["cosb1"] * sinb - P["sinb1"] * cosb * coslam)
+    return x, y
+
+
+def laea_inv(x, y, P):
+    x = np.asarray(x, dtype=np.float64) / P["dd"]
+    y = np.asarray(y, dtype=np.float64) * P["dd"]
+    rho = np.hypot(x, y)
+    ce = 2.0 * np.arcsin(np.clip(0.5 * rho / P["rq"], -1.0, 1.0))
+    sce = np.sin(ce)
+    cce = np.cos(ce)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sinb = np.where(
+            rho == 0.0,
+            P["sinb1"],
+            cce * P["sinb1"] + y * sce * P["cosb1"] / np.where(rho == 0, 1, rho),
+        )
+        lam = np.where(
+            rho == 0.0,
+            0.0,
+            np.arctan2(x * sce, rho * P["cosb1"] * cce - y * P["sinb1"] * sce),
+        )
+    if P["es"] > 0:
+        phi = _authlat_inv(P["qp"] * sinb, P["e"], P["one_es"], P["qp"])
+    else:
+        phi = np.arcsin(np.clip(sinb, -1.0, 1.0))
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# geos — geostationary satellite view (needed only for the reference's
+# error-semantics tests, /root/reference/src/proj.rs:1905-1944; the
+# visibility check is what raises "Invalid coordinate").
+# ---------------------------------------------------------------------------
+def geos_setup(params, a, es):
+    h = float(params["h"])
+    radius_g_1 = h / 1.0  # normalized by a at the step layer
+    return {"es": es, "h": h, "one_es": 1.0 - es}
+
+
+def geos_fwd(lam, phi, P, a=None):
+    # normalized: radii in units of a
+    es = P["es"]
+    radius_p = np.sqrt(P["one_es"])
+    radius_p2 = P["one_es"]
+    radius_g_1 = P["_h_over_a"]
+    radius_g = 1.0 + radius_g_1
+    phi_c = np.arctan(radius_p2 * np.tan(phi))
+    r = radius_p / np.hypot(radius_p * np.cos(phi_c), np.sin(phi_c))
+    vx = r * np.cos(lam) * np.cos(phi_c)
+    vy = r * np.sin(lam) * np.cos(phi_c)
+    vz = r * np.sin(phi_c)
+    vis = ((radius_g - vx) * vx - vy * vy - vz * vz / radius_p2) >= 0.0
+    tmp = radius_g - vx
+    with np.errstate(invalid="ignore", divide="ignore"):
+        x = radius_g_1 * np.arctan(vy / np.hypot(vz, tmp))
+        y = radius_g_1 * np.arctan(vz / tmp)
+    x = np.where(vis, x, np.nan)
+    y = np.where(vis, y, np.nan)
+    return x, y
+
+
+def geos_inv(x, y, P):
+    raise NotImplementedError("geos inverse not required by reference tests")
+
+
+# ---------------------------------------------------------------------------
+# cart + helmert — geodetic <-> ECEF and 7-parameter datum shift
+# (EPSG 9606 position-vector convention, the meaning of +towgs84=...;
+# exercised through the stereo70/OSGB36 pipelines,
+# /root/reference/src/proj.rs:1819-1863).
+# Units here are METERS (not normalized): the step layer treats cart
+# specially.
+# ---------------------------------------------------------------------------
+def geodetic_to_ecef(lam, phi, a, es, h=0.0):
+    sinphi = np.sin(phi)
+    cosphi = np.cos(phi)
+    N = a / np.sqrt(1.0 - es * sinphi * sinphi)
+    X = (N + h) * cosphi * np.cos(lam)
+    Y = (N + h) * cosphi * np.sin(lam)
+    Z = (N * (1.0 - es) + h) * sinphi
+    return X, Y, Z
+
+
+def ecef_to_geodetic(X, Y, Z, a, es, iterations=10):
+    lam = np.arctan2(Y, X)
+    p = np.hypot(X, Y)
+    phi = np.arctan2(Z, p * (1.0 - es))
+    for _ in range(iterations):
+        sinphi = np.sin(phi)
+        N = a / np.sqrt(1.0 - es * sinphi * sinphi)
+        phi = np.arctan2(Z + es * N * sinphi, p)
+    return lam, phi
+
+
+def helmert_params(towgs84):
+    """towgs84 3- or 7-parameter list -> dict (rotations arcsec->rad, ppm)."""
+    t = list(map(float, towgs84)) + [0.0] * 7
+    arcsec = np.pi / (180.0 * 3600.0)
+    return {
+        "tx": t[0],
+        "ty": t[1],
+        "tz": t[2],
+        "rx": t[3] * arcsec,
+        "ry": t[4] * arcsec,
+        "rz": t[5] * arcsec,
+        "s": 1.0 + t[6] * 1e-6,
+    }
+
+
+def _pv_rot_matrix(H):
+    """Exact position-vector rotation matrix (transpose of the exact
+    coordinate-frame matrix; reduces to I + antisym(r) for small angles).
+    libproj uses the exact trigonometric matrix unless +approx is set."""
+    rx, ry, rz = H["rx"], H["ry"], H["rz"]
+    cx, sx = np.cos(rx), np.sin(rx)
+    cy, sy = np.cos(ry), np.sin(ry)
+    cz, sz = np.cos(rz), np.sin(rz)
+    # coordinate-frame exact matrix
+    M = np.array(
+        [
+            [cy * cz, cx * sz + sx * sy * cz, sx * sz - cx * sy * cz],
+            [-cy * sz, cx * cz - sx * sy * sz, sx * cz + cx * sy * sz],
+            [sy, -sx * cy, cx * cy],
+        ]
+    )
+    return M.T  # position-vector convention
+
+
+def helmert_fwd(X, Y, Z, H):
+    """Position-vector 7-param transform: local datum -> WGS84."""
+    s = H["s"]
+    R = _pv_rot_matrix(H)
+    Xo = H["tx"] + s * (R[0, 0] * X + R[0, 1] * Y + R[0, 2] * Z)
+    Yo = H["ty"] + s * (R[1, 0] * X + R[1, 1] * Y + R[1, 2] * Z)
+    Zo = H["tz"] + s * (R[2, 0] * X + R[2, 1] * Y + R[2, 2] * Z)
+    return Xo, Yo, Zo
+
+
+def helmert_inv(X, Y, Z, H):
+    """Exact inverse of helmert_fwd (rotation matrix is orthogonal)."""
+    s = H["s"]
+    R = _pv_rot_matrix(H)  # inverse rotation = transpose
+    Xs = (X - H["tx"]) / s
+    Ys = (Y - H["ty"]) / s
+    Zs = (Z - H["tz"]) / s
+    Xo = R[0, 0] * Xs + R[1, 0] * Ys + R[2, 0] * Zs
+    Yo = R[0, 1] * Xs + R[1, 1] * Ys + R[2, 1] * Zs
+    Zo = R[0, 2] * Xs + R[1, 2] * Ys + R[2, 2] * Zs
+    return Xo, Yo, Zo
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+PROJECTIONS = {
+    "longlat": (longlat_setup, longlat_fwd, longlat_inv),
+    "latlong": (longlat_setup, longlat_fwd, longlat_inv),
+    "merc": (merc_setup, merc_fwd, merc_inv),
+    "webmerc": (webmerc_setup, webmerc_fwd, webmerc_inv),
+    "tmerc": (tmerc_setup, tmerc_fwd, tmerc_inv),
+    "etmerc": (tmerc_setup, tmerc_fwd, tmerc_inv),
+    "utm": (tmerc_setup, tmerc_fwd, tmerc_inv),
+    "lcc": (lcc_setup, lcc_fwd, lcc_inv),
+    "laea": (laea_setup, laea_fwd, laea_inv),
+    "sterea": (sterea_setup, sterea_fwd, sterea_inv),
+    "eqearth": (eqearth_setup, eqearth_fwd, eqearth_inv),
+    "aea": (aea_setup, aea_fwd, aea_inv),
+    "geos": (geos_setup, geos_fwd, geos_inv),
+}

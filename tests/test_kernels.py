@@ -1,0 +1,338 @@
+"""Known-answer tests for the transform kernels.
+
+Every constant below is taken verbatim from the reference's own test
+suite (citations per case; see /root/repo/FIXTURES.md §3).  Gate:
+coordinates reproduced to <= 1e-6 m (BASELINE.json north_star).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from proj_spark import kernels as K
+from proj_spark.crs import (
+    Area,
+    ComparisonCriterion,
+    ProjCreateError,
+    ProjError,
+    Transform,
+)
+
+M = 1e-6  # meters tolerance (north star)
+R_EARTH = 6.4e6  # radians -> meters conversion scale for angular tolerances
+
+
+def test_k1_lcc_pipeline_epsg_2230_to_26946():
+    # /root/reference/src/proj.rs:1780-1789
+    t = Transform.new_known_crs("EPSG:2230", "EPSG:26946")
+    x, y = t.convert(4760096.421921, 3744293.729449)
+    assert abs(x - 1450880.2910605022) < M
+    assert abs(y - 1141263.0111604782) < M
+
+
+def test_k1_explicit_pipeline_string():
+    # the def() pipeline printed by the reference,
+    # /root/reference/src/proj.rs:1868-1875
+    t = Transform.new(
+        "proj=pipeline step proj=unitconvert xy_in=us-ft xy_out=m "
+        "step inv proj=lcc lat_0=32.1666666666667 lon_0=-116.25 "
+        "lat_1=33.8833333333333 lat_2=32.7833333333333 "
+        "x_0=2000000.0001016 y_0=500000.0001016 ellps=GRS80 "
+        "step proj=lcc lat_0=32.1666666666667 lon_0=-116.25 "
+        "lat_1=33.8833333333333 lat_2=32.7833333333333 x_0=2000000 "
+        "y_0=500000 ellps=GRS80"
+    )
+    x, y = t.convert(4760096.421921, 3744293.729449)
+    assert abs(x - 1450880.2910605022) < M
+    assert abs(y - 1141263.0111604782) < M
+
+
+def test_k2_array_convert():
+    # /root/reference/src/proj.rs:1947-1958
+    t = Transform.new_known_crs("EPSG:2230", "EPSG:26946")
+    xs = np.array([4760096.421921, 4760197.421921])
+    ys = np.array([3744293.729449, 3744394.729449])
+    ox, oy = t.convert_array(xs, ys)
+    assert abs(ox[0] - 1450880.2910605022) < M
+    assert abs(oy[1] - 1141293.7960220438) < 1e-8 + M
+
+
+def test_k3_axis_normalization_4326_to_2230():
+    # EPSG:4326 declares lat,lon order; normalized input is lon,lat
+    # (/root/reference/src/proj.rs:1963-1972)
+    t = Transform.new_known_crs("EPSG:4326", "EPSG:2230")
+    x, y = t.convert(-115.797615, 37.2647978)
+    assert abs(x - 6693625.67217475) < M
+    assert abs(y - 3497301.5918027232) < 1e-6
+
+
+def test_k4_stereo70_forward():
+    # /root/reference/src/proj.rs:1819-1831 (tolerance 1e-5)
+    t = Transform.new(
+        "+proj=sterea +lat_0=46 +lon_0=25 +k=0.99975 +x_0=500000 +y_0=500000 "
+        "+ellps=krass +towgs84=33.4,-146.6,-76.3,-0.359,-0.053,0.844,-0.84 "
+        "+units=m +no_defs"
+    )
+    x, y = t.project(0.436332, 0.802851)
+    assert abs(x - 500119.7035366755) < 1e-5
+    assert abs(y - 500027.77901023754) < 1e-5
+
+
+def test_k5_stereo70_inverse():
+    # /root/reference/src/proj.rs:1834-1846
+    t = Transform.new(
+        "+proj=sterea +lat_0=46 +lon_0=25 +k=0.99975 +x_0=500000 +y_0=500000 "
+        "+ellps=krass +towgs84=33.4,-146.6,-76.3,-0.359,-0.053,0.844,-0.84 "
+        "+units=m +no_defs"
+    )
+    lam, phi = t.project(500119.70352012233, 500027.77896348457, inverse=True)
+    assert abs(lam - 0.43633200013698786) * R_EARTH < M
+    assert abs(phi - 0.8028510000110507) * R_EARTH < M
+
+
+def test_k6_osgb36_inverse():
+    # /root/reference/src/proj.rs:1849-1863
+    t = Transform.new(
+        "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 "
+        "+y_0=-100000 +ellps=airy "
+        "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489 +units=m +no_defs"
+    )
+    lam, phi = t.project(548295.39, 182498.46, inverse=True)
+    assert abs(lam - 0.0023755864830313977) * R_EARTH < M
+    assert abs(phi - 0.89922748952037) * R_EARTH < M
+
+
+def test_k7_webmerc_4326_to_3857():
+    # /root/reference/src/transform.rs:80-83 (f32-precision KAT)
+    t = Transform.new_known_crs("EPSG:4326", "EPSG:3857")
+    x, y = t.convert(-36.508, -54.2815)
+    assert abs(x - (-4064052.0)) < 1.0  # f32 ulp at this magnitude
+    assert abs(y - (-7223650.5)) < 1.0
+
+
+def test_k8_k9_utm_epsg_6366():
+    # /root/reference/README.md:222-232
+    t = Transform.new_known_crs("EPSG:4326", "EPSG:6366")
+    x, y = t.convert(-116.590457069172, 32.55730630167689)
+    assert abs(x - 538447.8454476658) < M
+    assert abs(y - 3602285.563945497) < M
+    x, y = t.convert(-116.590411068973, 32.55714830169309)
+    assert abs(x - 538452.2313532799) < M
+    assert abs(y - 3602268.065714932) < M
+
+
+def test_k10_albers_epsg_3309():
+    # /root/reference/README.md:181-190 (NAD27 ballpark + aea)
+    t = Transform.new_known_crs("EPSG:4326", "EPSG:3309")
+    x, y = t.convert(-118.283555, 34.095620)
+    assert abs(x - 158458.67251293268) < M
+    assert abs(y - (-434296.8803996085)) < M
+
+
+def test_k11_k12_equal_earth_force_over():
+    # /root/reference/src/proj.rs:1675-1700
+    t = Transform.new_known_crs("EPSG:8859", "EPSG:8858")
+    x, y = t.convert(0.0, 0.0)
+    assert abs(x - (-11495972.708144628)) < 1e-8 + M
+    assert abs(y) < M
+    t_over = Transform.new_known_crs("EPSG:8859", "EPSG:8858", force_over=True)
+    x, y = t_over.convert(0.0, 0.0)
+    assert abs(x - 22991945.416289266) < 1e-8 + M
+    assert abs(y) < M
+
+
+def test_k13_transform_bounds():
+    # /root/reference/src/proj.rs:1141-1155 (doctest), tolerance 1e-2
+    t = Transform.new_known_crs("EPSG:2230", "EPSG:26946")
+    b = t.transform_bounds(
+        4760096.421921, 3744293.729449, 4760196.421921, 3744393.729449, 21
+    )
+    expect = (1450880.29, 1141263.01, 1450910.77, 1141293.49)
+    for got, want in zip(b, expect):
+        assert abs(got - want) < 1e-2
+
+
+def test_k14_area_of_use_epsg_3035():
+    # /root/reference/src/proj.rs:1975-1985
+    t = Transform.new("EPSG:3035")
+    area, name = t.area_of_use()
+    assert area.west == -35.58
+    assert area.south == 24.6
+    assert area.east == 44.83
+    assert area.north == 84.73
+    assert "Europe" in name
+
+
+def test_k15_invalid_coordinate_error_and_recovery():
+    # /root/reference/src/proj.rs:1905-1944: the first conversion fails
+    # with "Invalid coordinate" but the transform stays usable.
+    t = Transform.new(
+        "+proj=geos +lon_0=0.00 +lat_0=0.00 +a=6378169.00 +b=6356583.80 +h=35785831.0"
+    )
+    with pytest.raises(ProjError, match="Invalid coordinate"):
+        t.convert(4760096.421921, 3744293.729449)
+    # recovery: a valid conversion afterwards succeeds
+    x, y = t.convert(0.0, 0.0)
+    assert math.isfinite(x) and math.isfinite(y)
+    with pytest.raises(ProjError):
+        t.project(99999.0, 99999.0)
+    x, y = t.project(0.0, 0.0)
+    assert math.isfinite(x) and math.isfinite(y)
+
+
+def test_k15_rowwise_error_mode():
+    # engine extension: row-wise error columns instead of all-or-nothing
+    # (scalable variant of /root/reference/src/proj.rs:1259 semantics)
+    t = Transform.new(
+        "+proj=geos +lon_0=0.00 +lat_0=0.00 +a=6378169.00 +b=6356583.80 +h=35785831.0"
+    )
+    x, y, err = t.convert_array(
+        np.array([0.0, 4760096.421921]), np.array([0.0, 3744293.729449]),
+        errors="mask",
+    )
+    assert math.isfinite(x[0]) and err[0] is None
+    assert np.isnan(x[1]) and err[1] == "Invalid coordinate"
+
+
+def test_k17_def_normalization():
+    # /root/reference/src/proj.rs:1641-1649
+    t = Transform.new("+proj=longlat +datum=WGS84 +no_defs")
+    assert t.definition() == "proj=longlat datum=WGS84 no_defs ellps=WGS84 towgs84=0,0,0"
+
+
+def test_k18_equivalence_matrix():
+    # /root/reference/src/proj.rs:2031-2053
+    crs1 = Transform.new("EPSG:4326")
+    crs2 = Transform.new("EPSG:4326")
+    crs3 = Transform.new("OGC:CRS84")
+    crs4 = Transform.new("EPSG:3857")
+    assert crs1.equivalent_to(crs2, ComparisonCriterion.Strict)
+    assert crs1.equivalent_to(crs2, ComparisonCriterion.Equivalent)
+    assert crs1.equivalent_to(crs2, ComparisonCriterion.EquivalentExceptAxisOrder)
+    assert not crs1.equivalent_to(crs3, ComparisonCriterion.Strict)
+    assert not crs1.equivalent_to(crs3, ComparisonCriterion.Equivalent)
+    assert crs1.equivalent_to(crs3, ComparisonCriterion.EquivalentExceptAxisOrder)
+    assert not crs1.equivalent_to(crs4, ComparisonCriterion.Strict)
+    assert not crs1.equivalent_to(crs4, ComparisonCriterion.Equivalent)
+    assert not crs1.equivalent_to(crs4, ComparisonCriterion.EquivalentExceptAxisOrder)
+
+
+def test_wkt_golden_string_epsg_4326():
+    # /root/reference/src/proj.rs:2012-2028
+    t = Transform.new("EPSG:4326")
+    wkt = t.as_wkt("WKT2_2019", multiline=False)
+    assert wkt.startswith('GEOGCRS["WGS 84",ENSEMBLE["World Geodetic System 1984 ensemble"')
+    assert 'ID["EPSG",4326]]' in wkt
+    assert 'ELLIPSOID["WGS 84",6378137,298.257223563' in wkt
+
+
+def test_projjson():
+    # /root/reference/src/proj.rs:1988-2009
+    t = Transform.new_known_crs("EPSG:2230", "EPSG:26946")
+    default = t.to_projjson()
+    assert "\n" in default
+    assert "https://proj.org/schemas/v0.7/projjson.schema.json" in default
+    single = t.to_projjson(
+        multiline=False,
+        schema="https://proj.org/schemas/v0.6/projjson.schema.json",
+    )
+    assert "\n" not in single
+    assert "v0.6" in single
+
+
+def test_init_errors():
+    # /root/reference/src/proj.rs:1792-1815, 1896-1902
+    with pytest.raises(ProjCreateError):
+        Transform.new("🦀")
+    with pytest.raises(ProjCreateError):
+        Transform.new("\0")
+    with pytest.raises(ProjCreateError):
+        Transform.new_known_crs("EPSG:4326", "EPSG:999999")
+
+
+def test_epoch_metadata():
+    # /root/reference/src/proj.rs:607-637: epoch attach/get, NaN when absent
+    t = Transform.new("EPSG:4326")
+    assert math.isnan(t.epoch)
+    t2 = t.with_epoch(2021.3)
+    assert t2.epoch == 2021.3
+    pipe = Transform.new(
+        "proj=pipeline step proj=unitconvert xy_in=us-ft xy_out=m"
+    )
+    with pytest.raises(ProjCreateError):
+        pipe.with_epoch(2021.3)
+
+
+def test_merc_lat_ts_roundtrip():
+    # constructed like /root/reference/src/proj.rs:653-656
+    t = Transform.new("+proj=merc +lat_ts=56.5 +ellps=GRS80")
+    lam, phi = math.radians(12.0), math.radians(55.0)
+    x, y = t.project(lam, phi)
+    l2, p2 = t.project(x, y, inverse=True)
+    assert abs(l2 - lam) * R_EARTH < M
+    assert abs(p2 - phi) * R_EARTH < M
+
+
+@pytest.mark.parametrize(
+    "definition,lon_range,lat_range",
+    [
+        ("+proj=merc +lat_ts=56.5 +ellps=GRS80", (-179, 179), (-80, 80)),
+        ("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +ellps=airy", (-8, 4), (49, 61)),
+        ("+proj=lcc +lat_0=32.1666666666667 +lon_0=-116.25 +lat_1=33.8833333333333 "
+         "+lat_2=32.7833333333333 +ellps=GRS80", (-120, -112), (30, 36)),
+        ("+proj=sterea +lat_0=46 +lon_0=25 +k=0.99975 +ellps=krass", (20, 30), (43, 49)),
+        ("+proj=eqearth +ellps=WGS84", (-179, 179), (-85, 85)),
+        ("+proj=aea +lat_1=34 +lat_2=40.5 +lon_0=-120 +ellps=clrk66", (-125, -114), (32, 42)),
+        ("+proj=laea +lat_0=52 +lon_0=10 +ellps=GRS80", (-10, 30), (35, 70)),
+        ("+proj=utm +zone=11 +ellps=GRS80", (-120, -114), (0, 84)),
+    ],
+)
+def test_roundtrip_grids(definition, lon_range, lat_range):
+    # fwd . inv == id to <=1e-6 m on dense grids inside area of use
+    # (reference analog: same-CRS fwd/inv KAT pairs, src/proj.rs:1819-1846)
+    t = Transform.new(definition)
+    lon = np.radians(np.linspace(*lon_range, 25))
+    lat = np.radians(np.linspace(*lat_range, 25))
+    LON, LAT = np.meshgrid(lon, lat)
+    x, y = t.project(LON.ravel(), LAT.ravel())
+    l2, p2 = t.project(x, y, inverse=True)
+    assert np.max(np.abs(l2 - LON.ravel())) * R_EARTH < 1e-5
+    assert np.max(np.abs(p2 - LAT.ravel())) * R_EARTH < 1e-5
+
+
+def test_helmert_roundtrip():
+    H = K.helmert_params([446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489])
+    X, Y, Z = 3874938.0, 116218.0, 5047168.0
+    x2, y2, z2 = K.helmert_inv(*K.helmert_fwd(X, Y, Z, H), H)
+    assert abs(x2 - X) < 1e-8 and abs(y2 - Y) < 1e-8 and abs(z2 - Z) < 1e-8
+
+
+def test_ecef_roundtrip():
+    a, es = K.ellipsoid({"ellps": "WGS84"})
+    lam = np.radians(np.linspace(-179, 179, 50))
+    phi = np.radians(np.linspace(-89, 89, 50))
+    X, Y, Z = K.geodetic_to_ecef(lam, phi, a, es)
+    l2, p2 = K.ecef_to_geodetic(X, Y, Z, a, es)
+    assert np.max(np.abs(l2 - lam)) * R_EARTH < M
+    assert np.max(np.abs(p2 - phi)) * R_EARTH < M
+
+
+def test_area_antimeridian_rule():
+    # west > east == crossing the antimeridian (/root/reference/src/proj.rs:167-192)
+    area = Area(west=170.0, south=-10.0, east=-170.0, north=10.0)
+    assert bool(area.contains(175.0, 0.0))
+    assert bool(area.contains(-175.0, 0.0))
+    assert not bool(area.contains(0.0, 0.0))
+
+
+def test_builder_network_out_of_scope():
+    # O21/O22 consciously unsupported (SURVEY.md §7 risk 6)
+    from proj_spark.crs import TransformBuilder
+
+    b = TransformBuilder()
+    with pytest.raises(NotImplementedError):
+        b.enable_network(True)
+    t = b.proj_known_crs("EPSG:2230", "EPSG:26946")
+    x, y = t.convert(4760096.421921, 3744293.729449)
+    assert abs(x - 1450880.2910605022) < M
