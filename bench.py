@@ -1,0 +1,195 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``--scaling`` additionally reruns the flagship pipeline at local[8] and
+local[32] on the same input and writes BENCH/BASELINE.md with
+throughput at both parallelism levels + scaling efficiency — the
+sandbox protocol for the north rule's N -> 4N executor criterion
+(BASELINE.json:2,14; see /root/repo/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def make_spark(cores: str, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    n = int(cores)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"proj_spark-bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(2 * n, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.ui.enabled", "false")
+    )
+    s = builder.getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _sink(df):
+    df.write.mode("overwrite").format("noop").save()
+
+
+def bench_queries(spark, sf_dir):
+    """Headline operator set; returns {name: (seconds, input_rows)}."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from proj_spark.functions.transform import with_transformed
+    from proj_spark.operators import cells as C
+    from proj_spark.operators import tiles as T
+    from proj_spark.operators.joins import knn_join, pip_join
+    from proj_spark.operators.textops import minhash_lsh_pairs
+    from proj_spark.operators.ann import ann_bruteforce_topk
+    from proj_spark.sources.datagen import synthesize_images
+    from proj_spark.sources.images import verify_images
+
+    orders = E._pts(spark, sf_dir, "orders", "o_orderkey", "world").cache()
+    n_orders = orders.count()
+    cust = E._pts(spark, sf_dir, "customer", "c_custkey", "customer").cache()
+    n_cust = cust.count()
+    docs = E._t(spark, sf_dir, "documents").cache()
+    n_docs = docs.count()
+    emb = E._t(spark, sf_dir, "embeddings").cache()
+    n_emb = emb.count()
+
+    results = {}
+
+    def run(name, rows, fn):
+        t0 = time.time()
+        fn()
+        results[name] = (time.time() - t0, rows)
+
+    run("transform_webmerc", n_orders, lambda: _sink(
+        with_transformed(orders, "EPSG:4326", "EPSG:3857", err_col=None)))
+    run("transform_utm", n_orders, lambda: _sink(
+        E.q05_utm_fwd(spark, sf_dir)))
+    run("transform_lcc_pipeline", n_orders, lambda: _sink(
+        E.q04_lcc_pipeline(spark, sf_dir)))
+    run("cell_index", n_orders, lambda: _sink(
+        orders.select(C.cell_col(F.col("lon"), F.col("lat"), 12).alias("cell"))))
+    run("tile_assign_rollup", n_orders, lambda: _sink(
+        T.tile_rollup(T.with_tiles(orders, zoom=8))))
+    run("pip_join", n_orders, lambda: _sink(
+        pip_join(orders.withColumnRenamed("o_orderkey", "point_id"),
+                 E._rect_polys(spark, sf_dir), level=5)))
+    run("knn_join", n_cust, lambda: _sink(
+        knn_join(cust, E._knn_queries(spark, sf_dir), k=5, level=5, ring=1,
+                 point_id_col="c_custkey")))
+    run("minhash_lsh_dedup", n_docs, lambda: _sink(
+        minhash_lsh_pairs(docs, num_hashes=16, bands=4, jaccard_threshold=0.4)))
+    run("ann_bruteforce", n_emb, lambda: _sink(
+        ann_bruteforce_topk(
+            emb,
+            emb.where(F.col("vec_id") < 20).select(
+                F.col("vec_id").alias("query_id"), "embedding"),
+            k=5)))
+    n_img = 2000
+    run("images_verify", n_img, lambda: _sink(
+        verify_images(synthesize_images(spark, n_img))))
+
+    for d in (orders, cust, docs, emb):
+        d.unpersist()
+    return results
+
+
+def flagship(spark, sf_dir):
+    """The end-to-end north-rule pipeline (transform + cell + tile +
+    PIP + rollup) — the job used for the scaling-efficiency measurement."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from proj_spark.functions.transform import with_transformed
+    from proj_spark.operators import cells as C
+    from proj_spark.operators import tiles as T
+    from proj_spark.operators.joins import pip_join
+
+    pts = E._pts(spark, sf_dir, "orders", "o_orderkey", "world")
+    pts = with_transformed(pts, "EPSG:4326", "EPSG:3857", err_col=None)
+    pts = pts.withColumn("cell", C.cell_col(F.col("lon"), F.col("lat"), 8))
+    pts = T.with_tiles(pts, zoom=6)
+    hits = pip_join(pts.withColumnRenamed("o_orderkey", "point_id"),
+                    E._rect_polys(spark, sf_dir), level=5)
+    agg = hits.groupBy("poly_id", "zoom", "tile_x", "tile_y").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("x").alias("ax"), F.avg("y").alias("ay"))
+    _sink(agg)
+
+
+def run_scaling(sf_dir):
+    """Same job, two parallelism levels -> BENCH/BASELINE.md."""
+    out = {}
+    for cores in ("8", "32"):
+        spark = make_spark(cores)
+        try:
+            import __spark_entry__ as E
+
+            n_rows = E._t(spark, sf_dir, "orders").count()
+            flagship(spark, sf_dir)  # warm (JIT, page cache)
+            t0 = time.time()
+            flagship(spark, sf_dir)
+            dt = time.time() - t0
+            out[cores] = {"sec": dt, "rows_per_sec": n_rows / dt, "rows": n_rows}
+        finally:
+            spark.stop()
+    eff = (out["32"]["rows_per_sec"] / out["8"]["rows_per_sec"]) / 4.0
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH/BASELINE — throughput at two parallelism levels\n\n"
+            "Sandbox stand-in for the north rule's N -> 4N executor scaling\n"
+            "criterion (BASELINE.json:2,14): the identical flagship job\n"
+            "(transform -> cell index -> tile assign -> broadcast PIP join ->\n"
+            "rollup) on the same deterministic input at local[8] and local[32].\n\n"
+            f"input: {sf_dir} (orders, {out['8']['rows']} rows)\n\n"
+            "| parallelism | wall sec | rows/sec |\n|---|---|---|\n"
+            f"| local[8]  | {out['8']['sec']:.2f} | {out['8']['rows_per_sec']:.0f} |\n"
+            f"| local[32] | {out['32']['sec']:.2f} | {out['32']['rows_per_sec']:.0f} |\n\n"
+            f"**scaling efficiency (T8/T32)/4 = {eff:.2f}** (target >= 0.8)\n"
+        )
+    return out, eff
+
+
+def main():
+    if "--scaling" in sys.argv:
+        out, eff = run_scaling(SF_DIR)
+        print(json.dumps({"scaling": out, "efficiency": eff}))
+        return
+
+    spark = make_spark(CPUS)
+    try:
+        results = bench_queries(spark, SF_DIR)
+        total_sec = sum(s for s, _ in results.values())
+        total_rows = sum(r for _, r in results.values())
+        print(
+            json.dumps(
+                {
+                    "metric": "spatial-join + transform throughput",
+                    "value": round(total_sec, 3),
+                    "unit": "sec",
+                    "rows_per_sec": round(total_rows / total_sec, 1),
+                    "queries": {k: round(s, 3) for k, (s, _) in results.items()},
+                    "sf": SF_DIR,
+                    "cores": CPUS,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

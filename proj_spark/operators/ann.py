@@ -1,0 +1,199 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the task brief:
+  * brute-force cosine top-k — the exactness baseline.  The dot product
+    is pure JVM column math (``aggregate(zip_with(...))``) so the
+    all-pairs score never leaves codegen; the only shuffle is the
+    per-query top-k window.  Queries are the small side -> broadcast.
+  * LSH-bucketed variant (random-hyperplane signs) — the 100-TB path:
+    signature build is a projection; candidate generation is an
+    equi-join on (band, key) so only colliding vectors meet; exact
+    cosine re-ranks candidates.  Recall is tunable via bands/bits.
+
+Deterministic hyperplanes: components derive from splitmix64 of
+(plane, dim) — no RNG state, stable across partitions and runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "cosine_sim_col",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "embedding_neardup_pairs",
+]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_sim_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float> columns — JVM-side."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ann_bruteforce_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x full scan of vectors,
+    per-query window rank.  Output: query_id, vec_id, cos_sim, rank."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("q_vec")
+    )
+    scored = vectors.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_sim_col(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-gaussian hyperplane via splitmix64 bits."""
+    from ..sources.datagen import splitmix64
+
+    idx = np.arange(dim, dtype=np.uint64) + np.uint64(plane) * np.uint64(1_000_003)
+    h = splitmix64(idx)
+    # sum of 4 uniform 16-bit lanes ~ gaussian-ish, centered
+    lanes = np.stack(
+        [((h >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.float64)
+         for s in (0, 16, 32, 48)]
+    )
+    return list(lanes.sum(axis=0) / 65535.0 - 2.0)
+
+
+def _sign_bits_col(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH signature: sign of <v, h_p> per plane, packed to BIGINT."""
+    acc = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(vec, plane) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        acc = bit if acc is None else acc.bitwiseOR(bit)
+    return acc
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane LSH bucketing, exact
+    re-rank within candidates.  Same output schema as brute force (rank
+    may hold fewer than k rows for out-of-bucket queries — by design)."""
+    planes = [_hyperplane(p, dim) for p in range(n_planes)]
+    rows_per_band = n_planes // bands
+
+    def with_bands(df: DataFrame, vc: str) -> DataFrame:
+        sig = _sign_bits_col(F.col(vc), planes)
+        df = df.withColumn("_sig", sig)
+        parts = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("_sig"), b * rows_per_band)
+                .bitwiseAND(F.lit((1 << rows_per_band) - 1))
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+        return df.withColumn("_bk", F.explode(F.array(*parts))).select(
+            *df.columns, F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key")
+        ).drop("_bk", "_sig")
+
+    v = with_bands(vectors.select(id_col, vec_col), vec_col)
+    q = with_bands(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec")), "q_vec"
+    )
+    cand = (
+        v.join(F.broadcast(q), ["band", "key"])
+        .dropDuplicates([query_id_col, id_col])
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine_sim_col(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via the same LSH buckets:
+    (id_a < id_b, cos_sim >= threshold).  Only bucket-colliding pairs
+    are scored."""
+    planes = [_hyperplane(p, dim) for p in range(n_planes)]
+    rows_per_band = n_planes // bands
+    sig = _sign_bits_col(F.col(vec_col), planes)
+    df = vectors.select(id_col, vec_col).withColumn("_sig", sig)
+    parts = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("_sig"), b * rows_per_band)
+            .bitwiseAND(F.lit((1 << rows_per_band) - 1))
+            .alias("key"),
+        )
+        for b in range(bands)
+    ]
+    ex = df.withColumn("_bk", F.explode(F.array(*parts))).select(
+        id_col, vec_col, F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos_sim", cosine_sim_col(F.col("va"), F.col("vb")))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,317 @@
+"""Training-data text operators: dedup, fingerprinting, quality, lang-ID.
+
+These are the large-scale pipeline operators the engine adds beyond the
+reference's transform surface (task brief: dedup, text analysis) — all
+expressed with built-in ``pyspark.sql.functions`` (JVM-side, codegen)
+so they hold up at 10^12-document scale; the only hash primitive is
+``md5`` because the DuckDB oracle computes the identical value, making
+every operator here value-verifiable cross-engine.
+
+Scale notes per operator:
+  * exact_dedup         — one hash-aggregate (map-side partial combine).
+  * minhash_lsh_pairs   — signature build is a projection (no shuffle);
+                          candidate generation shuffles on (band, key),
+                          i.e. only colliding docs meet; verified pairs
+                          via exact Jaccard on the candidate set only.
+  * simhash             — projection only.
+  * ngram_jaccard_pairs — only for candidate pairs, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text_col",
+    "tokens_col",
+    "shingles_col",
+    "md5_long_col",
+    "exact_dedup",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "simhash_col",
+    "simhash_dedup_pairs",
+    "token_stats",
+    "quality_score",
+    "langid_score",
+    "doc_fingerprint",
+]
+
+_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for "
+    "on with as at by from"
+).split()
+
+
+def normalize_text_col(text: Column) -> Column:
+    """Lowercase + collapse whitespace (the canonical form every dedup
+    operator hashes)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(normalize_text_col(text), " ")
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as strings: transform over token offsets —
+    JVM-side, no UDF."""
+    toks = tokens_col(text)
+    n = F.size(toks) - F.lit(k - 1)
+    # guard: sequence(1, n) with n < 1 would generate a DESCENDING range
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+def md5_long_col(c: Column) -> Column:
+    """First 15 hex digits of md5 as a non-negative BIGINT — the shared
+    Spark/DuckDB hash primitive (both engines implement md5 and base-16
+    conv identically)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by normalized-text md5: returns one row
+    per duplicate group with the canonical (min) id and group size."""
+    h = F.md5(normalize_text_col(F.col(text_col))).alias("text_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      num_hashes: int = 16, k: int = 3) -> DataFrame:
+    """MinHash signature: for each of ``num_hashes`` seeded hash
+    functions, the min md5-derived value over the doc's k-shingles.
+    Pure projection — JVM array ops, no shuffle, no UDF."""
+    sh = shingles_col(F.col(text_col), k)
+
+    def _seeded(i: int):
+        # closure factory: a default-arg lambda would be inspected as a
+        # 2-arg (element, index) lambda by F.transform
+        return lambda s: md5_long_col(F.concat(F.lit(f"mh{i}:"), s))
+
+    sigs = [
+        F.array_min(F.transform(sh, _seeded(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return df.withColumn("shingles", sh).select("*", *sigs).drop("shingles")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    shingle -> minhash -> band -> bucket-join -> exact-Jaccard verify:
+    docs collide iff one band of their signatures matches; candidate
+    pairs are then verified with exact Jaccard over shingle sets (only
+    on candidates — the all-pairs product never materializes).
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df.select(id_col, text_col), text_col,
+                            num_hashes, k)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws("_", *[p.cast("string") for p in parts])).alias("key"))
+        )
+    exploded = sig.select(
+        F.col(id_col), F.col(text_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, text_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{text_col}").alias("text_a"),
+            F.col(f"b.{text_col}").alias("text_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = F.array_distinct(shingles_col(F.col("text_a"), k))
+    sb = F.array_distinct(shingles_col(F.col("text_b"), k))
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_col(text: Column, bits: int = 64, k: int = 1) -> Column:
+    """SimHash: per bit position, sign of the sum over tokens of
+    (+1/-1) from the token's md5 bit.  Expressed as JVM aggregate over
+    the token array per bit — no UDF.  Returns BIGINT."""
+    toks = F.array_distinct(tokens_col(text)) if k == 1 else shingles_col(text, k)
+
+    def _merge_for(i: int):
+        # closure factory: F.aggregate's merge lambda must be exactly
+        # (acc, element) — a default-arg lambda changes its arity
+        def merge(s, t):
+            return s + F.when(
+                F.shiftrightunsigned(md5_long_col(t), i % 60)
+                .bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+
+        return merge
+
+    acc = None
+    for i in range(bits):
+        # bit i of md5-derived value, mapped to +-1, summed over tokens
+        bit = F.aggregate(toks, F.lit(0), _merge_for(i))
+        term = F.when(bit > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        acc = term if acc is None else acc.bitwiseOR(term)
+    return acc
+
+
+def simhash_dedup_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", bits: int = 16,
+                        max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance: band the hash into
+    (max_hamming+1) chunks — pigeonhole guarantees colliding docs share
+    a chunk — then verify exact Hamming distance on candidates."""
+    nb = max_hamming + 1
+    chunk = bits // nb
+    sh = df.select(F.col(id_col), simhash_col(F.col(text_col), bits).alias("simhash"))
+    parts = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), i * chunk)
+            .bitwiseAND(F.lit((1 << chunk) - 1)).alias("key"),
+        )
+        for i in range(nb)
+    ]
+    ex = sh.select(id_col, "simhash", F.explode(F.array(*parts)).alias("bk")).select(
+        id_col, "simhash", "bk.band", "bk.key"
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    x = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    hamming = None
+    for i in range(bits):
+        bit = F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1))
+        hamming = bit if hamming is None else hamming + bit
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+def token_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Token counting + basic stats (whitespace tokens and a BPE-ish
+    subword estimate: ceil(chars/4) is the classic approximation)."""
+    toks = tokens_col(F.col(text_col))
+    nchars = F.length(normalize_text_col(F.col(text_col)))
+    return df.select(
+        F.col(id_col),
+        nchars.alias("n_chars_norm"),
+        F.size(toks).alias("n_tokens"),
+        F.ceil(nchars / F.lit(4.0)).cast("long").alias("n_subwords_est"),
+        (nchars.cast("double") / F.size(toks)).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality scoring: length, punctuation density, stopword
+    ratio, repetition — the standard pretraining-filter features."""
+    norm = normalize_text_col(F.col(text_col))
+    toks = F.split(norm, " ")
+    n_tok = F.size(toks).cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
+    n_punct = (F.length(norm) - F.length(F.regexp_replace(norm, r"[^\w\s]", ""))).cast("double")
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    stop_ratio = n_stop / n_tok
+    punct_ratio = n_punct / F.length(norm).cast("double")
+    score = (
+        F.lit(0.4) * F.least(stop_ratio * 4.0, F.lit(1.0))
+        + F.lit(0.4) * uniq_ratio
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0)))
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def langid_score(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """n-gram/stopword heuristic language ID: English stopword hit rate
+    vs an ASCII-alpha ratio; emits score + predicted label."""
+    norm = normalize_text_col(F.col(text_col))
+    toks = F.split(norm, " ")
+    n_tok = F.size(toks).cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    en_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double") / n_tok
+    ascii_ratio = (
+        F.length(F.regexp_replace(norm, r"[^a-z ]", "")).cast("double")
+        / F.length(norm).cast("double")
+    )
+    score = F.round(F.lit(0.5) * F.least(en_ratio * 5.0, F.lit(1.0))
+                    + F.lit(0.5) * ascii_ratio, 6)
+    return df.select(
+        F.col(id_col),
+        score.alias("en_score"),
+        F.when(score >= 0.5, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Winnowing-style document fingerprint: min shingle hash + the
+    md5 of the full normalized text (rolling-hash analog, cross-engine
+    verifiable)."""
+    sh = shingles_col(F.col(text_col), k)
+    return df.select(
+        F.col(id_col),
+        F.array_min(F.transform(sh, md5_long_col)).alias("min_shingle_hash"),
+        F.md5(normalize_text_col(F.col(text_col))).alias("text_md5"),
+    )

@@ -1,0 +1,675 @@
+"""DuckDB-oracle SQL generators.
+
+For each transform kernel, emit ANSI-SQL that computes the SAME math
+with the projection constants precomputed in Python and embedded as
+literals (repr of the float64, so the literal parses back bit-exact).
+The driver's correctness gate runs the Spark query and this SQL
+side-by-side and hash-compares values — so every expression here must
+be a faithful mirror of the numpy kernel, not an independent
+derivation.
+
+Iterative inverses (phi2, ECEF->geodetic) are unrolled a fixed number
+of iterations; the iteration residual (<1e-12 m) is far below the
+rounding applied to every oracle-checked output column.
+
+DuckDB dialect notes (probed): no sinh/asinh/atanh (exp/ln forms used);
+hex->int via ('0x'||h)::BIGINT; regexp_replace needs the 'g' flag.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import kernels as K
+from .crs import EPSG, US_FOOT, parse_proj_string
+
+__all__ = [
+    "lonlat_exprs",
+    "sql_webmerc_fwd",
+    "sql_merc_ell_fwd",
+    "sql_lcc_fwd",
+    "sql_lcc_inv",
+    "sql_tmerc_fwd",
+    "sql_sterea_fwd",
+    "sql_eqearth_fwd",
+    "sql_aea_fwd",
+    "sql_datum_shift",
+    "sql_cell",
+    "sql_tile_x",
+    "sql_tile_y",
+    "sql_haversine",
+    "sql_md5_long",
+    "sql_norm_text",
+    "sql_tokens",
+    "sql_shingles",
+]
+
+
+def _f(v: float) -> str:
+    """Bit-exact float literal."""
+    return repr(float(v))
+
+
+# ---------------------------------------------------------------------------
+# helpers shared by several projections
+# ---------------------------------------------------------------------------
+def _sinh(x: str) -> str:
+    return f"((exp({x}) - exp(-({x}))) / 2.0)"
+
+
+def _cosh(x: str) -> str:
+    return f"((exp({x}) + exp(-({x}))) / 2.0)"
+
+
+def _asinh(x: str) -> str:
+    return f"ln(({x}) + sqrt(({x})*({x}) + 1.0))"
+
+
+def _atanh(x: str) -> str:
+    return f"(0.5 * ln((1.0 + ({x})) / (1.0 - ({x}))))"
+
+
+def _tsfn(phi: str, e: float) -> str:
+    es = _f(e)
+    return (
+        f"(tan(0.5*({math.pi/2!r} - ({phi}))) / "
+        f"pow((1.0 - {es}*sin({phi})) / (1.0 + {es}*sin({phi})), 0.5*{es}))"
+    )
+
+
+def _qsfn(sinphi: str, e: float, one_es: float) -> str:
+    es = _f(e)
+    return (
+        f"({_f(one_es)} * (({sinphi}) / (1.0 - {es}*{es}*({sinphi})*({sinphi}))"
+        f" - (0.5/{es}) * ln((1.0 - {es}*({sinphi})) / (1.0 + {es}*({sinphi})))))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# derived lon/lat expressions (shared convention between Spark + SQL:
+# both sides compute the SAME arithmetic on the same integer key)
+# ---------------------------------------------------------------------------
+def lonlat_exprs(key: str, kind: str = "world") -> tuple[str, str]:
+    """Deterministic lon/lat from an integer key column — the geo
+    columns FIXTURES.md §1.4 prescribes for the TPC-H tables."""
+    if kind == "world":
+        return (
+            f"(({key}) % 3600) / 10.0 - 180.0 + 0.05",
+            f"(({key}) % 1700) / 10.0 - 85.0 + 0.05",
+        )
+    if kind == "california":
+        return (
+            f"-118.0 + (({key}) % 400) / 100.0",
+            f"32.6 + (({key}) % 170) / 100.0",
+        )
+    if kind == "utm11":
+        return (
+            f"-120.0 + (({key}) % 600) / 100.0",
+            f"0.5 + (({key}) % 830) / 10.0",
+        )
+    if kind == "romania":
+        return (
+            f"21.0 + (({key}) % 900) / 100.0",
+            f"44.0 + (({key}) % 400) / 100.0",
+        )
+    if kind == "customer":
+        return (
+            f"(({key}) % 720) / 2.0 - 180.0 + 0.25",
+            f"(({key}) % 340) / 2.0 - 85.0 + 0.25",
+        )
+    raise ValueError(kind)
+
+
+# ---------------------------------------------------------------------------
+# projections (forward): lon/lat degree expressions -> x/y meter exprs
+# ---------------------------------------------------------------------------
+def sql_webmerc_fwd(lon: str, lat: str) -> tuple[str, str]:
+    a = 6378137.0
+    x = f"({_f(a)} * radians({lon}))"
+    y = f"({_f(a)} * ln(tan({math.pi/4!r} + radians({lat})/2.0)))"
+    return x, y
+
+
+def sql_merc_ell_fwd(lon: str, lat: str, lat_ts: float = 56.5,
+                     ellps: str = "GRS80") -> tuple[str, str]:
+    a, es = K.ellipsoid({"ellps": ellps})
+    P = K.merc_setup({"lat_ts": lat_ts, "ellps": ellps}, a, es)
+    e, k0 = P["e"], P["k0"]
+    phi = f"radians({lat})"
+    x = f"({_f(a * k0)} * radians({lon}))"
+    y = f"(-{_f(a * k0)} * ln({_tsfn(phi, e)}))"
+    return x, y
+
+
+def _lcc_P(code: str):
+    params = parse_proj_string(EPSG[code].proj)[0]
+    a, es = K.ellipsoid(params)
+    P = K.lcc_setup(params, a, es)
+    x0 = float(params.get("x_0", 0.0))
+    y0 = float(params.get("y_0", 0.0))
+    to_m = US_FOOT if params.get("units") == "us-ft" else 1.0
+    lon0 = float(params["lon_0"])
+    return P, a, x0, y0, to_m, lon0
+
+
+def sql_lcc_fwd(lon: str, lat: str, code: str = "EPSG:2230") -> tuple[str, str]:
+    P, a, x0, y0, to_m, lon0 = _lcc_P(code)
+    n, c, rho0, e = P["n"], P["c"], P["rho0"], P["e"]
+    phi = f"radians({lat})"
+    lam = f"radians(({lon}) - {_f(lon0)})"
+    rho = f"({_f(c)} * pow({_tsfn(phi, e)}, {_f(n)}))"
+    xn = f"({rho} * sin({_f(n)} * {lam}))"
+    yn = f"({_f(rho0)} - {rho} * cos({_f(n)} * {lam}))"
+    x = f"(({_f(a)} * {xn} + {_f(x0)}) / {_f(to_m)})"
+    y = f"(({_f(a)} * {yn} + {_f(y0)}) / {_f(to_m)})"
+    return x, y
+
+
+def sql_lcc_inv(x: str, y: str, code: str = "EPSG:2230",
+                iters: int = 8) -> tuple[str, str]:
+    """Inverse LCC with phi2 fixed-point unrolled ``iters`` times.
+    Returns (lon_deg, lat_rad_expr...) -> actually (lon_deg, lat_deg)."""
+    P, a, x0, y0, to_m, lon0 = _lcc_P(code)
+    n, c, rho0, e = P["n"], P["c"], P["rho0"], P["e"]
+    xn = f"((({x}) * {_f(to_m)} - {_f(x0)}) / {_f(a)})"
+    yn = f"({_f(rho0)} - (({y}) * {_f(to_m)} - {_f(y0)}) / {_f(a)})"
+    rho = f"sqrt({xn}*{xn} + {yn}*{yn})"
+    lam = f"(atan2({xn}, {yn}) / {_f(n)})"
+    ts = f"pow({rho} / {_f(c)}, {_f(1.0 / n)})"
+    phi = f"({math.pi/2!r} - 2.0*atan({ts}))"
+    for _ in range(iters):
+        con = f"({_f(e)} * sin({phi}))"
+        phi = (
+            f"({math.pi/2!r} - 2.0*atan({ts} * "
+            f"pow((1.0 - {con})/(1.0 + {con}), {_f(0.5 * e)})))"
+        )
+    lon = f"(degrees({lam}) + {_f(lon0)})"
+    lat = f"degrees({phi})"
+    return lon, lat
+
+
+def sql_tmerc_fwd(lon: str, lat: str, code: str = "EPSG:6366") -> tuple[str, str]:
+    """Exact Krüger forward expanded to real trig (sin/cos x cosh/sinh)."""
+    params = parse_proj_string(EPSG[code].proj)[0]
+    if params["proj"] == "utm":
+        zone = int(params["zone"])
+        params = dict(params)
+        params.update({"lon_0": -183.0 + 6 * zone, "k": 0.9996,
+                       "x_0": 500000.0, "y_0": 0.0})
+    a, es = K.ellipsoid(params)
+    P = K.tmerc_setup(params, a, es)
+    e = P["e"]
+    lon0 = float(params.get("lon_0", 0.0))
+    x0 = float(params.get("x_0", 0.0))
+    y0 = float(params.get("y_0", 0.0))
+    scale = P["k0"] * P["A"]
+    phi = f"radians({lat})"
+    lam = f"radians(({lon}) - {_f(lon0)})"
+    tau = f"tan({phi})"
+    inner = f"({_f(e)} * ({tau}) / sqrt(1.0 + ({tau})*({tau})))"
+    sigma = _sinh(f"{_f(e)} * {_atanh(inner)}")
+    taup = (
+        f"(({tau}) * sqrt(1.0 + ({sigma})*({sigma}))"
+        f" - ({sigma}) * sqrt(1.0 + ({tau})*({tau})))"
+    )
+    xip = f"atan2({taup}, cos({lam}))"
+    etap = _asinh(f"sin({lam}) / sqrt(({taup})*({taup}) + cos({lam})*cos({lam}))")
+    xi_terms = [xip]
+    eta_terms = [etap]
+    for j in range(1, 7):
+        aj = _f(P["alpha"][j - 1])
+        xi_terms.append(f"{aj}*sin({2*j}.0*({xip}))*{_cosh(f'{2*j}.0*({etap})')}")
+        eta_terms.append(f"{aj}*cos({2*j}.0*({xip}))*{_sinh(f'{2*j}.0*({etap})')}")
+    xi = "(" + " + ".join(xi_terms) + ")"
+    eta = "(" + " + ".join(eta_terms) + ")"
+    x = f"({_f(a)} * ({_f(scale)} * {eta}) + {_f(x0)})"
+    y = f"({_f(a)} * ({_f(scale)} * {xi} - {_f(P['y_origin'] )}) + {_f(y0)})"
+    return x, y
+
+
+def sql_datum_shift(lon: str, lat: str, src_ellps: str, dst_ellps: str,
+                    dst_towgs84=None, src_towgs84=None,
+                    iters: int = 8) -> tuple[str, str]:
+    """Geodetic(src, degrees) -> geodetic(dst, RADIAN exprs) through
+    ECEF with optional Helmert shifts — the SQL mirror of
+    DatumShiftStep (cart inverse unrolled)."""
+    sa, ses = K.ellipsoid({"ellps": src_ellps})
+    da, des = K.ellipsoid({"ellps": dst_ellps})
+    phi = f"radians({lat})"
+    lam = f"radians({lon})"
+    N = f"({_f(sa)} / sqrt(1.0 - {_f(ses)}*sin({phi})*sin({phi})))"
+    X = f"({N} * cos({phi}) * cos({lam}))"
+    Y = f"({N} * cos({phi}) * sin({lam}))"
+    Z = f"({N} * {_f(1.0 - ses)} * sin({phi}))"
+    if src_towgs84 is not None and any(src_towgs84):
+        H = K.helmert_params(src_towgs84)
+        R = K._pv_rot_matrix(H)
+        s = H["s"]
+        X2 = f"({_f(H['tx'])} + {_f(s)}*({_f(R[0,0])}*{X} + {_f(R[0,1])}*{Y} + {_f(R[0,2])}*{Z}))"
+        Y2 = f"({_f(H['ty'])} + {_f(s)}*({_f(R[1,0])}*{X} + {_f(R[1,1])}*{Y} + {_f(R[1,2])}*{Z}))"
+        Z2 = f"({_f(H['tz'])} + {_f(s)}*({_f(R[2,0])}*{X} + {_f(R[2,1])}*{Y} + {_f(R[2,2])}*{Z}))"
+        X, Y, Z = X2, Y2, Z2
+    if dst_towgs84 is not None and any(dst_towgs84):
+        H = K.helmert_params(dst_towgs84)
+        R = K._pv_rot_matrix(H)
+        s = H["s"]
+        Xs = f"(({X} - {_f(H['tx'])}) / {_f(s)})"
+        Ys = f"(({Y} - {_f(H['ty'])}) / {_f(s)})"
+        Zs = f"(({Z} - {_f(H['tz'])}) / {_f(s)})"
+        # inverse rotation = R^T
+        X = f"({_f(R[0,0])}*{Xs} + {_f(R[1,0])}*{Ys} + {_f(R[2,0])}*{Zs})"
+        Y = f"({_f(R[0,1])}*{Xs} + {_f(R[1,1])}*{Ys} + {_f(R[2,1])}*{Zs})"
+        Z = f"({_f(R[0,2])}*{Xs} + {_f(R[1,2])}*{Ys} + {_f(R[2,2])}*{Zs})"
+    p = f"sqrt({X}*{X} + {Y}*{Y})"
+    lam2 = f"atan2({Y}, {X})"
+    phi2 = f"atan2({Z}, {p} * {_f(1.0 - des)})"
+    for _ in range(iters):
+        Nd = f"({_f(da)} / sqrt(1.0 - {_f(des)}*sin({phi2})*sin({phi2})))"
+        phi2 = f"atan2({Z} + {_f(des)}*{Nd}*sin({phi2}), {p})"
+    return lam2, phi2  # RADIANS
+
+
+def sql_sterea_fwd(lon: str, lat: str, code: str = "EPSG:3844") -> tuple[str, str]:
+    """4326 -> stereo70: WGS84 -> Pulkovo datum shift + gauss sphere
+    double stereographic."""
+    entry = EPSG[code]
+    params = parse_proj_string(entry.proj)[0]
+    a, es = K.ellipsoid(params)
+    P = K.sterea_setup(params, a, es)
+    lon0 = float(params["lon_0"])
+    x0 = float(params.get("x_0", 0.0))
+    y0 = float(params.get("y_0", 0.0))
+    lam_r, phi_r = sql_datum_shift(lon, lat, "WGS84", entry.datum_ellps,
+                                   dst_towgs84=entry.towgs84)
+    lam = f"({lam_r} - {_f(math.radians(lon0))})"
+    e, C, Kg, ratexp = P["e"], P["C"], P["K"], P["ratexp"]
+    srat = f"pow((1.0 - {_f(e)}*sin({phi_r})) / (1.0 + {_f(e)}*sin({phi_r})), {_f(ratexp)})"
+    chi = (
+        f"(2.0*atan({_f(Kg)} * pow(tan(0.5*({phi_r}) + {math.pi/4!r}), {_f(C)})"
+        f" * {srat}) - {math.pi/2!r})"
+    )
+    lamc = f"({_f(C)} * {lam})"
+    k = (
+        f"({_f(P['k0'] * 2.0 * P['R'])} / (1.0 + {_f(P['sinc0'])}*sin({chi})"
+        f" + {_f(P['cosc0'])}*cos({chi})*cos({lamc})))"
+    )
+    xn = f"({k} * cos({chi}) * sin({lamc}))"
+    yn = f"({k} * ({_f(P['cosc0'])}*sin({chi}) - {_f(P['sinc0'])}*cos({chi})*cos({lamc})))"
+    return (
+        f"({_f(a)} * {xn} + {_f(x0)})",
+        f"({_f(a)} * {yn} + {_f(y0)})",
+    )
+
+
+def sql_eqearth_fwd(lon: str, lat: str, code: str = "EPSG:8857") -> tuple[str, str]:
+    params = parse_proj_string(EPSG[code].proj)[0]
+    a, es = K.ellipsoid(params)
+    P = K.eqearth_setup(params, a, es)
+    lon0 = float(params.get("lon_0", 0.0))
+    phi = f"radians({lat})"
+    lam = f"radians(({lon}) - {_f(lon0)})"
+    q = _qsfn(f"sin({phi})", P["e"], P["one_es"])
+    beta = f"asin(least(1.0, greatest(-1.0, {q} / {_f(P['qp'])})))"
+    M = K._EQE_M
+    theta = f"asin(least(1.0, greatest(-1.0, {_f(M)} * sin({beta}))))"
+    t2 = f"(({theta})*({theta}))"
+    t6 = f"({t2}*{t2}*{t2})"
+    A1, A2, A3, A4 = K._EQE_A1, K._EQE_A2, K._EQE_A3, K._EQE_A4
+    ypoly = f"(({theta}) * ({_f(A1)} + {_f(A2)}*{t2} + {t6}*({_f(A3)} + {_f(A4)}*{t2})))"
+    dy = f"({_f(A1)} + {_f(3*A2)}*{t2} + {t6}*({_f(7*A3)} + {_f(9*A4)}*{t2}))"
+    rqda = P["rqda"]
+    x = f"({_f(a * rqda)} * {lam} * cos({theta}) / ({_f(M)} * {dy}))"
+    y = f"({_f(a * rqda)} * {ypoly})"
+    return x, y
+
+
+def sql_aea_fwd(lon: str, lat: str, code: str = "EPSG:3309") -> tuple[str, str]:
+    """4326 -> NAD27/California Albers: WGS84 -> NAD27 3-param shift
+    then Albers forward."""
+    entry = EPSG[code]
+    params = parse_proj_string(entry.proj)[0]
+    a, es = K.ellipsoid(params)
+    P = K.aea_setup(params, a, es)
+    lon0 = float(params["lon_0"])
+    x0 = float(params.get("x_0", 0.0))
+    y0 = float(params.get("y_0", 0.0))
+    lam_r, phi_r = sql_datum_shift(lon, lat, "WGS84", entry.datum_ellps,
+                                   dst_towgs84=entry.towgs84)
+    lam = f"({lam_r} - {_f(math.radians(lon0))})"
+    q = _qsfn(f"sin({phi_r})", P["e"], P["one_es"])
+    rho = f"({_f(P['dd'])} * sqrt({_f(P['c'])} - {_f(P['n'])} * {q}))"
+    theta = f"({_f(P['n'])} * {lam})"
+    return (
+        f"({_f(a)} * ({rho} * sin({theta})) + {_f(x0)})",
+        f"({_f(a)} * ({_f(P['rho0'])} - {rho} * cos({theta})) + {_f(y0)})",
+    )
+
+
+# ---------------------------------------------------------------------------
+# CTE chain builder — iterative inverses and long forwards emit one CTE
+# per step so each intermediate is evaluated ONCE (a naive textual
+# unroll duplicates the whole prior expression per iteration and the
+# expression tree grows exponentially).
+# ---------------------------------------------------------------------------
+class Chain:
+    def __init__(self, base_sql: str):
+        self.ctes: list[tuple[str, str]] = [("s0", base_sql)]
+        self.i = 0
+
+    def add(self, cols: dict[str, str]) -> None:
+        prev = self.ctes[-1][0]
+        self.i += 1
+        collist = ", ".join(f"{expr} AS {name}" for name, expr in cols.items())
+        self.ctes.append((f"s{self.i}", f"SELECT *, {collist} FROM {prev}"))
+
+    def finish(self, select_list: str, tail: str = "") -> str:
+        w = ",\n".join(f"{n} AS ({q})" for n, q in self.ctes)
+        return f"WITH {w}\nSELECT {select_list} FROM {self.ctes[-1][0]} {tail}"
+
+
+def chain_lcc_inv(ch: Chain, x: str, y: str, code: str,
+                  out: tuple[str, str] = ("inv_lon", "inv_lat"),
+                  iters: int = 8) -> tuple[str, str]:
+    """Append inverse-LCC steps; returns (lon_deg, lat_deg) column names."""
+    P, a, x0, y0, to_m, lon0 = _lcc_P(code)
+    n, c, rho0, e = P["n"], P["c"], P["rho0"], P["e"]
+    tag = f"{out[0]}_{ch.i}"
+    ch.add({
+        f"xn_{tag}": f"((({x}) * {_f(to_m)} - {_f(x0)}) / {_f(a)})",
+        f"yn_{tag}": f"({_f(rho0)} - (({y}) * {_f(to_m)} - {_f(y0)}) / {_f(a)})",
+    })
+    ch.add({
+        f"ts_{tag}": (
+            f"pow(sqrt(xn_{tag}*xn_{tag} + yn_{tag}*yn_{tag}) / {_f(c)}, "
+            f"{_f(1.0 / n)})"
+        ),
+        f"lam_{tag}": f"(atan2(xn_{tag}, yn_{tag}) / {_f(n)})",
+    })
+    phi = f"({math.pi/2!r} - 2.0*atan(ts_{tag}))"
+    for k in range(iters):
+        col = f"phi_{tag}_{k}"
+        con = f"({_f(e)} * sin({phi}))"
+        ch.add({col: (
+            f"({math.pi/2!r} - 2.0*atan(ts_{tag} * "
+            f"pow((1.0 - {con})/(1.0 + {con}), {_f(0.5 * e)})))"
+        )})
+        phi = col
+    ch.add({out[0]: f"(degrees(lam_{tag}) + {_f(lon0)})",
+            out[1]: f"degrees({phi})"})
+    return out
+
+
+def chain_datum_shift(ch: Chain, lon: str, lat: str, src_ellps: str,
+                      dst_ellps: str, dst_towgs84=None, src_towgs84=None,
+                      out: tuple[str, str] = ("ds_lam", "ds_phi"),
+                      iters: int = 8) -> tuple[str, str]:
+    """Append geodetic(src, deg) -> geodetic(dst, RAD) steps through
+    ECEF + optional Helmert; returns (lam_rad, phi_rad) column names."""
+    sa, ses = K.ellipsoid({"ellps": src_ellps})
+    da, des = K.ellipsoid({"ellps": dst_ellps})
+    tag = f"{out[0]}_{ch.i}"
+    ch.add({f"sphi_{tag}": f"radians({lat})", f"slam_{tag}": f"radians({lon})"})
+    ch.add({f"N_{tag}": (
+        f"({_f(sa)} / sqrt(1.0 - {_f(ses)}*sin(sphi_{tag})*sin(sphi_{tag})))"
+    )})
+    ch.add({
+        f"X_{tag}": f"(N_{tag} * cos(sphi_{tag}) * cos(slam_{tag}))",
+        f"Y_{tag}": f"(N_{tag} * cos(sphi_{tag}) * sin(slam_{tag}))",
+        f"Z_{tag}": f"(N_{tag} * {_f(1.0 - ses)} * sin(sphi_{tag}))",
+    })
+    X, Y, Z = f"X_{tag}", f"Y_{tag}", f"Z_{tag}"
+    if src_towgs84 is not None and any(src_towgs84):
+        H = K.helmert_params(src_towgs84)
+        R = K._pv_rot_matrix(H)
+        s = H["s"]
+        ch.add({
+            f"Xf_{tag}": f"({_f(H['tx'])} + {_f(s)}*({_f(R[0,0])}*{X} + {_f(R[0,1])}*{Y} + {_f(R[0,2])}*{Z}))",
+            f"Yf_{tag}": f"({_f(H['ty'])} + {_f(s)}*({_f(R[1,0])}*{X} + {_f(R[1,1])}*{Y} + {_f(R[1,2])}*{Z}))",
+            f"Zf_{tag}": f"({_f(H['tz'])} + {_f(s)}*({_f(R[2,0])}*{X} + {_f(R[2,1])}*{Y} + {_f(R[2,2])}*{Z}))",
+        })
+        X, Y, Z = f"Xf_{tag}", f"Yf_{tag}", f"Zf_{tag}"
+    if dst_towgs84 is not None and any(dst_towgs84):
+        H = K.helmert_params(dst_towgs84)
+        R = K._pv_rot_matrix(H)
+        s = H["s"]
+        ch.add({
+            f"Xs_{tag}": f"(({X} - {_f(H['tx'])}) / {_f(s)})",
+            f"Ys_{tag}": f"(({Y} - {_f(H['ty'])}) / {_f(s)})",
+            f"Zs_{tag}": f"(({Z} - {_f(H['tz'])}) / {_f(s)})",
+        })
+        ch.add({
+            f"Xi_{tag}": f"({_f(R[0,0])}*Xs_{tag} + {_f(R[1,0])}*Ys_{tag} + {_f(R[2,0])}*Zs_{tag})",
+            f"Yi_{tag}": f"({_f(R[0,1])}*Xs_{tag} + {_f(R[1,1])}*Ys_{tag} + {_f(R[2,1])}*Zs_{tag})",
+            f"Zi_{tag}": f"({_f(R[0,2])}*Xs_{tag} + {_f(R[1,2])}*Ys_{tag} + {_f(R[2,2])}*Zs_{tag})",
+        })
+        X, Y, Z = f"Xi_{tag}", f"Yi_{tag}", f"Zi_{tag}"
+    ch.add({f"p_{tag}": f"sqrt({X}*{X} + {Y}*{Y})",
+            f"lam2_{tag}": f"atan2({Y}, {X})"})
+    phi = f"atan2({Z}, p_{tag} * {_f(1.0 - des)})"
+    for k in range(iters):
+        col = f"cphi_{tag}_{k}"
+        Nd = f"({_f(da)} / sqrt(1.0 - {_f(des)}*sin({phi})*sin({phi})))"
+        ch.add({col: f"atan2({Z} + {_f(des)}*{Nd}*sin({phi}), p_{tag})"})
+        phi = col
+    ch.add({out[0]: f"lam2_{tag}", out[1]: phi})
+    return out
+
+
+def chain_lcc_fwd(ch: Chain, lon: str, lat: str, code: str,
+                  out: tuple[str, str] = ("fx", "fy")) -> tuple[str, str]:
+    x, y = sql_lcc_fwd(lon, lat, code)
+    ch.add({out[0]: x, out[1]: y})
+    return out
+
+
+def chain_tmerc_fwd(ch: Chain, lon: str, lat: str, code: str,
+                    out: tuple[str, str] = ("fx", "fy")) -> tuple[str, str]:
+    params = parse_proj_string(EPSG[code].proj)[0]
+    if params["proj"] == "utm":
+        zone = int(params["zone"])
+        params = dict(params)
+        params.update({"lon_0": -183.0 + 6 * zone, "k": 0.9996,
+                       "x_0": 500000.0, "y_0": 0.0})
+    a, es = K.ellipsoid(params)
+    P = K.tmerc_setup(params, a, es)
+    e = P["e"]
+    lon0 = float(params.get("lon_0", 0.0))
+    x0 = float(params.get("x_0", 0.0))
+    y0 = float(params.get("y_0", 0.0))
+    scale = P["k0"] * P["A"]
+    tag = f"{out[0]}_{ch.i}"
+    ch.add({f"tphi_{tag}": f"radians({lat})",
+            f"tlam_{tag}": f"radians(({lon}) - {_f(lon0)})"})
+    ch.add({f"tau_{tag}": f"tan(tphi_{tag})"})
+    inner = f"({_f(e)} * tau_{tag} / sqrt(1.0 + tau_{tag}*tau_{tag}))"
+    ch.add({f"sig_{tag}": _sinh(f"{_f(e)} * {_atanh(inner)}")})
+    ch.add({f"taup_{tag}": (
+        f"(tau_{tag} * sqrt(1.0 + sig_{tag}*sig_{tag})"
+        f" - sig_{tag} * sqrt(1.0 + tau_{tag}*tau_{tag}))"
+    )})
+    ch.add({
+        f"xip_{tag}": f"atan2(taup_{tag}, cos(tlam_{tag}))",
+        f"etap_{tag}": _asinh(
+            f"sin(tlam_{tag}) / sqrt(taup_{tag}*taup_{tag}"
+            f" + cos(tlam_{tag})*cos(tlam_{tag}))"
+        ),
+    })
+    xi_terms = [f"xip_{tag}"]
+    eta_terms = [f"etap_{tag}"]
+    for j in range(1, 7):
+        aj = _f(P["alpha"][j - 1])
+        xi_terms.append(
+            f"{aj}*sin({2*j}.0*xip_{tag})*{_cosh(f'{2*j}.0*etap_{tag}')}")
+        eta_terms.append(
+            f"{aj}*cos({2*j}.0*xip_{tag})*{_sinh(f'{2*j}.0*etap_{tag}')}")
+    ch.add({
+        out[0]: f"({_f(a)} * ({_f(scale)} * ({' + '.join(eta_terms)})) + {_f(x0)})",
+        out[1]: (
+            f"({_f(a)} * ({_f(scale)} * ({' + '.join(xi_terms)})"
+            f" - {_f(P['y_origin'])}) + {_f(y0)})"
+        ),
+    })
+    return out
+
+
+def chain_sterea_fwd(ch: Chain, lon: str, lat: str, code: str = "EPSG:3844",
+                     out: tuple[str, str] = ("fx", "fy")) -> tuple[str, str]:
+    entry = EPSG[code]
+    params = parse_proj_string(entry.proj)[0]
+    a, es = K.ellipsoid(params)
+    P = K.sterea_setup(params, a, es)
+    lon0 = float(params["lon_0"])
+    x0 = float(params.get("x_0", 0.0))
+    y0 = float(params.get("y_0", 0.0))
+    lam_c, phi_c = chain_datum_shift(
+        ch, lon, lat, "WGS84", entry.datum_ellps, dst_towgs84=entry.towgs84,
+        out=(f"slam_{out[0]}", f"sphi_{out[0]}"))
+    tag = f"{out[0]}_{ch.i}"
+    e, C, Kg, ratexp = P["e"], P["C"], P["K"], P["ratexp"]
+    ch.add({f"glam_{tag}": f"({_f(C)} * ({lam_c} - {_f(math.radians(lon0))}))"})
+    srat = (f"pow((1.0 - {_f(e)}*sin({phi_c})) / (1.0 + {_f(e)}*sin({phi_c})), "
+            f"{_f(ratexp)})")
+    ch.add({f"chi_{tag}": (
+        f"(2.0*atan({_f(Kg)} * pow(tan(0.5*{phi_c} + {math.pi/4!r}), {_f(C)})"
+        f" * {srat}) - {math.pi/2!r})"
+    )})
+    ch.add({f"kk_{tag}": (
+        f"({_f(P['k0'] * 2.0 * P['R'])} / (1.0 + {_f(P['sinc0'])}*sin(chi_{tag})"
+        f" + {_f(P['cosc0'])}*cos(chi_{tag})*cos(glam_{tag})))"
+    )})
+    ch.add({
+        out[0]: f"({_f(a)} * (kk_{tag} * cos(chi_{tag}) * sin(glam_{tag})) + {_f(x0)})",
+        out[1]: (
+            f"({_f(a)} * (kk_{tag} * ({_f(P['cosc0'])}*sin(chi_{tag})"
+            f" - {_f(P['sinc0'])}*cos(chi_{tag})*cos(glam_{tag}))) + {_f(y0)})"
+        ),
+    })
+    return out
+
+
+def chain_aea_fwd(ch: Chain, lon: str, lat: str, code: str = "EPSG:3309",
+                  out: tuple[str, str] = ("fx", "fy")) -> tuple[str, str]:
+    entry = EPSG[code]
+    params = parse_proj_string(entry.proj)[0]
+    a, es = K.ellipsoid(params)
+    P = K.aea_setup(params, a, es)
+    lon0 = float(params["lon_0"])
+    x0 = float(params.get("x_0", 0.0))
+    y0 = float(params.get("y_0", 0.0))
+    lam_c, phi_c = chain_datum_shift(
+        ch, lon, lat, "WGS84", entry.datum_ellps, dst_towgs84=entry.towgs84,
+        out=(f"alam_{out[0]}", f"aphi_{out[0]}"))
+    tag = f"{out[0]}_{ch.i}"
+    q = _qsfn(f"sin({phi_c})", P["e"], P["one_es"])
+    ch.add({
+        f"rho_{tag}": f"({_f(P['dd'])} * sqrt({_f(P['c'])} - {_f(P['n'])} * {q}))",
+        f"th_{tag}": f"({_f(P['n'])} * ({lam_c} - {_f(math.radians(lon0))}))",
+    })
+    ch.add({
+        out[0]: f"({_f(a)} * (rho_{tag} * sin(th_{tag})) + {_f(x0)})",
+        out[1]: f"({_f(a)} * ({_f(P['rho0'])} - rho_{tag} * cos(th_{tag})) + {_f(y0)})",
+    })
+    return out
+
+
+def chain_eqearth_fwd(ch: Chain, lon: str, lat: str, code: str = "EPSG:8857",
+                      out: tuple[str, str] = ("fx", "fy")) -> tuple[str, str]:
+    params = parse_proj_string(EPSG[code].proj)[0]
+    a, es = K.ellipsoid(params)
+    P = K.eqearth_setup(params, a, es)
+    lon0 = float(params.get("lon_0", 0.0))
+    tag = f"{out[0]}_{ch.i}"
+    ch.add({f"ephi_{tag}": f"radians({lat})",
+            f"elam_{tag}": f"radians(({lon}) - {_f(lon0)})"})
+    q = _qsfn(f"sin(ephi_{tag})", P["e"], P["one_es"])
+    ch.add({f"beta_{tag}": f"asin(least(1.0, greatest(-1.0, {q} / {_f(P['qp'])})))"})
+    M = _EQE_CONSTS = K._EQE_M
+    ch.add({f"theta_{tag}": (
+        f"asin(least(1.0, greatest(-1.0, {_f(M)} * sin(beta_{tag}))))"
+    )})
+    A1, A2, A3, A4 = K._EQE_A1, K._EQE_A2, K._EQE_A3, K._EQE_A4
+    ch.add({f"t2_{tag}": f"(theta_{tag}*theta_{tag})"})
+    ch.add({f"t6_{tag}": f"(t2_{tag}*t2_{tag}*t2_{tag})"})
+    dy = (f"({_f(A1)} + {_f(3*A2)}*t2_{tag} + t6_{tag}*({_f(7*A3)}"
+          f" + {_f(9*A4)}*t2_{tag}))")
+    ypoly = (f"(theta_{tag} * ({_f(A1)} + {_f(A2)}*t2_{tag}"
+             f" + t6_{tag}*({_f(A3)} + {_f(A4)}*t2_{tag})))")
+    ch.add({
+        out[0]: (f"({_f(a * P['rqda'])} * elam_{tag} * cos(theta_{tag})"
+                 f" / ({_f(M)} * {dy}))"),
+        out[1]: f"({_f(a * P['rqda'])} * {ypoly})",
+    })
+    return out
+
+
+# ---------------------------------------------------------------------------
+# cells / tiles / distance
+# ---------------------------------------------------------------------------
+def sql_cell(lon: str, lat: str, level: int) -> str:
+    """Morton cell id — bit-identical to cells.np_cell/cell_col."""
+    n = 1 << level
+    ix = (f"least({n - 1}, greatest(0, "
+          f"floor((({lon}) + 180.0) / 360.0 * {n}.0)))::BIGINT")
+    iy = (f"least({n - 1}, greatest(0, "
+          f"floor((({lat}) + 90.0) / 180.0 * {n}.0)))::BIGINT")
+    spread = (
+        "list_sum(list_transform(range(0, {lvl}), "
+        "i -> ((({v} >> i) & 1) << (2*i))))"
+    )
+    sx = spread.format(v=ix, lvl=level if level > 0 else 1)
+    sy = spread.format(v=iy, lvl=level if level > 0 else 1)
+    if level == 0:
+        return f"({level})::BIGINT"
+    return (f"((((({sx})::BIGINT) | ((({sy})::BIGINT) << 1)) << 5)"
+            f" | {level})::BIGINT")
+
+
+def sql_tile_x(lon: str, zoom: int) -> str:
+    n = 1 << zoom
+    return (f"least({n - 1}, greatest(0, "
+            f"floor((({lon}) + 180.0) / 360.0 * {float(n)!r})))::INT")
+
+
+def sql_tile_y(lat: str, zoom: int) -> str:
+    from .operators.tiles import MAX_MERC_LAT
+
+    n = 1 << zoom
+    cl = f"greatest({_f(-MAX_MERC_LAT)}, least({_f(MAX_MERC_LAT)}, ({lat})))"
+    merc = f"ln(tan({math.pi/4!r} + radians({cl}) / 2.0))"
+    return (f"least({n - 1}, greatest(0, "
+            f"floor((1.0 - {merc} / {math.pi!r}) / 2.0 * {float(n)!r})))::INT")
+
+
+def sql_haversine(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    R = 6371008.8
+    p1, p2 = f"radians({lat1})", f"radians({lat2})"
+    dphi = f"(({p2} - {p1}) / 2.0)"
+    dlam = f"((radians({lon2}) - radians({lon1})) / 2.0)"
+    h = (f"(sin({dphi})*sin({dphi}) + cos({p1})*cos({p2})"
+         f"*sin({dlam})*sin({dlam}))")
+    return f"(2.0 * {_f(R)} * asin(least(1.0, sqrt({h}))))"
+
+
+# ---------------------------------------------------------------------------
+# text primitives (dialect pair: Spark side in operators/textops.py)
+# ---------------------------------------------------------------------------
+def sql_md5_long(s: str) -> str:
+    return f"(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
+
+
+def sql_norm_text(text: str) -> str:
+    return f"trim(regexp_replace(lower({text}), '\\s+', ' ', 'g'))"
+
+
+def sql_tokens(text: str) -> str:
+    return f"string_split({sql_norm_text(text)}, ' ')"
+
+
+def sql_shingles(text: str, k: int = 3) -> str:
+    toks = sql_tokens(text)
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {k - 1}, 0) + 1), "
+        f"i -> array_to_string(({toks})[i:i+{k - 1}], ' '))"
+    )
