@@ -724,9 +724,9 @@ FROM documents
     # q23: minhash signatures -> bands -> candidate pairs -> jaccard
     mh_parts = []
     for i in range(16):
-        seeded = O.sql_md5_long("'mh%d:' || s" % i)
+        c = TX.minhash_xor_constant(i)
         mh_parts.append(
-            f"list_min(list_transform({sh}, s -> {seeded})) AS mh_{i}"
+            f"list_min(list_transform(base, b -> xor(b, {c}::BIGINT))) AS mh_{i}"
         )
     mh_cols = ", ".join(mh_parts)
     band_keys = ", ".join(
@@ -743,7 +743,11 @@ FROM documents
         f"(len(list_distinct({sh_a})) + len(list_distinct({sh_b})))::DOUBLE - {inter}"
     )
     out["q23_minhash_lsh"] = f"""
-WITH sig AS (SELECT doc_id, text, {mh_cols} FROM documents),
+WITH hashed AS (
+  SELECT doc_id, text,
+         list_transform({sh}, s -> {O.sql_md5_long('s')}) AS base
+  FROM documents),
+sig AS (SELECT doc_id, text, {mh_cols} FROM hashed),
 keys AS (SELECT doc_id, text, {band_keys} FROM sig),
 cand AS (
   SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
@@ -758,18 +762,21 @@ FROM cand JOIN documents a ON a.doc_id = cand.ida
 WHERE {inter} / ({union}) >= 0.4
 """
 
-    # q24: simhash 32-bit, banded hamming <= 3
-    dtoks = f"list_distinct({toks})"
+    # q24: simhash 32-bit, banded hamming <= 3 (tokens hashed once)
     bit_sums = []
     for i in range(32):
         s = (
-            f"list_sum(list_transform({dtoks}, t -> CASE WHEN "
-            f"(({O.sql_md5_long('t')} >> {i % 60}) & 1) = 1 THEN 1 ELSE -1 END))"
+            f"list_sum(list_transform(thash, h -> CASE WHEN "
+            f"((h >> {i % 60}) & 1) = 1 THEN 1 ELSE -1 END))"
         )
         bit_sums.append(f"(CASE WHEN {s} > 0 THEN {1 << i}::BIGINT ELSE 0 END)")
     simhash = "(" + " | ".join(bit_sums) + ")"
     out["q24_simhash_pairs"] = f"""
-WITH sh AS (SELECT doc_id, {simhash} AS simhash FROM documents),
+WITH th AS (
+  SELECT doc_id,
+         list_transform(list_distinct({toks}), t -> {O.sql_md5_long('t')}) AS thash
+  FROM documents),
+sh AS (SELECT doc_id, {simhash} AS simhash FROM th),
 cand AS (
   SELECT x.doc_id AS ida, y.doc_id AS idb, x.simhash AS sa, y.simhash AS sb
   FROM sh x JOIN sh y ON x.doc_id < y.doc_id

@@ -73,6 +73,16 @@ def md5_long_col(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def minhash_xor_constant(i: int) -> int:
+    """Deterministic 60-bit XOR-permutation constant for MinHash
+    signature ``i`` — identical arithmetic in the DuckDB oracle."""
+    import numpy as np
+
+    from ..sources.datagen import splitmix64
+
+    return int(splitmix64(np.uint64(0xA5A5_0000 + i))[()]) & ((1 << 60) - 1)
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -96,18 +106,25 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     """MinHash signature: for each of ``num_hashes`` seeded hash
     functions, the min md5-derived value over the doc's k-shingles.
     Pure projection — JVM array ops, no shuffle, no UDF."""
-    sh = shingles_col(F.col(text_col), k)
+    # one md5 per shingle, then num_hashes XOR permutations of the hash
+    # space (min over a bijection of the keys is a valid MinHash
+    # family).  Two measured pitfalls avoided: inlining the shingle
+    # expression re-tokenizes the doc per signature (~16x), and one md5
+    # PER (shingle, signature) costs 16x the hashing.
+    with_sh = df.withColumn("__shingles", shingles_col(F.col(text_col), k))
+    with_sh = with_sh.withColumn(
+        "__base", F.transform(F.col("__shingles"), md5_long_col)
+    )
 
-    def _seeded(i: int):
-        # closure factory: a default-arg lambda would be inspected as a
-        # 2-arg (element, index) lambda by F.transform
-        return lambda s: md5_long_col(F.concat(F.lit(f"mh{i}:"), s))
+    def _perm(i: int):
+        c = minhash_xor_constant(i)
+        return lambda b: b.bitwiseXOR(F.lit(c))
 
     sigs = [
-        F.array_min(F.transform(sh, _seeded(i))).alias(f"mh_{i}")
+        F.array_min(F.transform(F.col("__base"), _perm(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return df.withColumn("shingles", sh).select("*", *sigs).drop("shingles")
+    return with_sh.select("*", *sigs).drop("__shingles", "__base")
 
 
 def minhash_lsh_pairs(
@@ -140,6 +157,9 @@ def minhash_lsh_pairs(
     exploded = sig.select(
         F.col(id_col), F.col(text_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, text_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # both sides of the self-join consume this frame: checkpoint so the
+    # signature computation runs once, not once per alias
+    exploded = exploded.localCheckpoint(eager=False)
 
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -169,16 +189,30 @@ def minhash_lsh_pairs(
 def simhash_col(text: Column, bits: int = 64, k: int = 1) -> Column:
     """SimHash: per bit position, sign of the sum over tokens of
     (+1/-1) from the token's md5 bit.  Expressed as JVM aggregate over
-    the token array per bit — no UDF.  Returns BIGINT."""
+    the token array per bit — no UDF.  Returns BIGINT.
+
+    NOTE: prefer :func:`simhash_from_tokens_col` over a materialized
+    token column in DataFrame code — this Column-only form re-tokenizes
+    the text once per bit."""
     toks = F.array_distinct(tokens_col(text)) if k == 1 else shingles_col(text, k)
+    return simhash_from_tokens_col(toks, bits)
+
+
+def simhash_from_tokens_col(toks: Column, bits: int = 64) -> Column:
+    """SimHash from an already-materialized (distinct) token array:
+    hash each token ONCE, then derive every bit from that value."""
+    return simhash_from_hashes_col(F.transform(toks, md5_long_col), bits)
+
+
+def simhash_from_hashes_col(hashes: Column, bits: int = 64) -> Column:
+    """SimHash from a pre-hashed token array (array<long>)."""
 
     def _merge_for(i: int):
         # closure factory: F.aggregate's merge lambda must be exactly
         # (acc, element) — a default-arg lambda changes its arity
-        def merge(s, t):
+        def merge(s, h):
             return s + F.when(
-                F.shiftrightunsigned(md5_long_col(t), i % 60)
-                .bitwiseAND(F.lit(1)) == 1,
+                F.shiftrightunsigned(h, i % 60).bitwiseAND(F.lit(1)) == 1,
                 F.lit(1),
             ).otherwise(F.lit(-1))
 
@@ -186,8 +220,7 @@ def simhash_col(text: Column, bits: int = 64, k: int = 1) -> Column:
 
     acc = None
     for i in range(bits):
-        # bit i of md5-derived value, mapped to +-1, summed over tokens
-        bit = F.aggregate(toks, F.lit(0), _merge_for(i))
+        bit = F.aggregate(hashes, F.lit(0), _merge_for(i))
         term = F.when(bit > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         acc = term if acc is None else acc.bitwiseOR(term)
     return acc
@@ -201,7 +234,13 @@ def simhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     a chunk — then verify exact Hamming distance on candidates."""
     nb = max_hamming + 1
     chunk = bits // nb
-    sh = df.select(F.col(id_col), simhash_col(F.col(text_col), bits).alias("simhash"))
+    sh = (
+        df.withColumn("__toks", F.array_distinct(tokens_col(F.col(text_col))))
+        .withColumn("__thash", F.transform(F.col("__toks"), md5_long_col))
+        .select(F.col(id_col),
+                simhash_from_hashes_col(F.col("__thash"), bits).alias("simhash"))
+    )
+    sh = sh.localCheckpoint(eager=False)  # consumed by both join sides
     parts = [
         F.struct(
             F.lit(i).alias("band"),
