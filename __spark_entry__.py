@@ -435,7 +435,7 @@ def q29_images_verify(spark, sf_dir):
     from proj_spark.sources.datagen import synthesize_images
     from proj_spark.sources.images import verify_images
 
-    imgs = synthesize_images(spark, 200, partitions=8)
+    imgs = synthesize_images(spark, 200, partitions=8).localCheckpoint()
     out = verify_images(imgs)
     return out.select("image_id", "size_ok", "phash_ok", "psnr_ok", "caption_ok")
 

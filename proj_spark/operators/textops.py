@@ -44,6 +44,19 @@ _STOPWORDS = (
 ).split()
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Heavy per-row operators on a source with fewer partitions than
+    cores (e.g. one small parquet file) would run single-threaded;
+    spread them.  No-op when the input is already parallel — a 100-TB
+    table has thousands of scan partitions and must NOT pick up an
+    extra exchange here."""
+    p = df.rdd.getNumPartitions()
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if p < target // 2:
+        return df.repartition(target)
+    return df
+
+
 def normalize_text_col(text: Column) -> Column:
     """Lowercase + collapse whitespace (the canonical form every dedup
     operator hashes)."""
@@ -145,6 +158,7 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows_per_band = num_hashes // bands
+    df = _spread_small_input(df)
     sig = minhash_signature(df.select(id_col, text_col), text_col,
                             num_hashes, k)
     band_cols = []
@@ -234,6 +248,7 @@ def simhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     a chunk — then verify exact Hamming distance on candidates."""
     nb = max_hamming + 1
     chunk = bits // nb
+    df = _spread_small_input(df)
     sh = (
         df.withColumn("__toks", F.array_distinct(tokens_col(F.col(text_col))))
         .withColumn("__thash", F.transform(F.col("__toks"), md5_long_col))
