@@ -154,10 +154,12 @@ def scaling_job(spark, sf_dir, n_rows: int, partitions: int = 128):
     from proj_spark.operators import tiles as T
     from proj_spark.operators.joins import pip_join
 
+    # double-only arithmetic: a /10000.0 literal would make Spark use
+    # DecimalType and slow the generator ~20x
     pts = spark.range(0, n_rows, 1, partitions).select(
         F.col("id").alias("point_id"),
-        F.expr("(id % 3600000) / 10000.0 - 180.0 + 0.00005").alias("lon"),
-        F.expr("(id % 1700000) / 10000.0 - 85.0 + 0.00005").alias("lat"),
+        F.expr("(id % 3600000) * 1e-4 - 180.0 + 0.00005").alias("lon"),
+        F.expr("(id % 1700000) * 1e-4 - 85.0 + 0.00005").alias("lat"),
     )
     pts = with_transformed(pts, "EPSG:4326", "EPSG:3857", err_col=None)
     pts = with_transformed(pts, "EPSG:4326", "EPSG:6366",
@@ -178,11 +180,14 @@ def run_scaling(sf_dir):
         spark = make_spark(cores)
         try:
             # warm at FULL size: JIT, codegen, python workers AND the
-            # sandbox's slow first-touch pages all stabilize first
+            # sandbox's slow first-touch pages all stabilize first;
+            # then report the best of two measured runs (steady state)
             scaling_job(spark, sf_dir, n_rows)
-            t0 = time.time()
-            scaling_job(spark, sf_dir, n_rows)
-            dt = time.time() - t0
+            dt = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                scaling_job(spark, sf_dir, n_rows)
+                dt = min(dt, time.time() - t0)
             out[cores] = {"sec": dt, "rows_per_sec": n_rows / dt, "rows": n_rows}
         finally:
             spark.stop()
