@@ -317,7 +317,7 @@ def knn_join(
         .select(query_id_col, "q_lon", "q_lat")
     )
     # broadcast brute-force pass for the (rare) unguaranteed queries
-    brute = points.join(F.broadcast(bad), how="cross" if query_id_col not in points.columns else "inner")
+    brute = points.crossJoin(F.broadcast(bad))
     brute = brute.withColumn(
         "dist_m",
         haversine_col(F.col(lon_col), F.col(lat_col), F.col("q_lon"), F.col("q_lat")),

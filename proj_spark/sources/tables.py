@@ -1,0 +1,65 @@
+"""Table IO: Iceberg-first with parquet fallback.
+
+The north rule's payload lives in Iceberg tables (BASELINE.json:14).
+This container has no Iceberg runtime jar, so the engine binds to
+whichever is available at runtime:
+
+  * with an Iceberg catalog configured (``spark.sql.catalog.*``),
+    reads/writes go through ``format("iceberg")`` — giving snapshot
+    isolation, partition pruning on the cell/tile columns via hidden
+    partitioning, and ``RewriteDataFiles``-friendly file sizes;
+  * otherwise plain parquet with explicit ``partitionBy`` approximates
+    the same layout (pruning still works through Catalyst's
+    PartitionFilters).
+
+Both paths expose the same two calls, so pipeline code is identical in
+either environment.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["iceberg_available", "read_table", "write_table"]
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Table  # type: ignore[attr-defined]
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, location: str) -> DataFrame:
+    """Read an Iceberg table (``catalog.db.table``) or a parquet path."""
+    if "/" not in location and iceberg_available(spark):
+        return spark.read.format("iceberg").load(location)
+    return spark.read.parquet(location)
+
+
+def write_table(
+    df: DataFrame,
+    location: str,
+    mode: str = "append",
+    partition_by: Optional[Sequence[str]] = None,
+) -> None:
+    """Write to Iceberg when available, else partitioned parquet.
+
+    ``partition_by`` should be the cell-prefix / (zoom, tile_x) columns
+    so downstream cell-range predicates prune files (the engine analog
+    of the reference's Area-based pruning,
+    /root/reference/src/proj.rs:171-192)."""
+    if "/" not in location and iceberg_available(df.sparkSession):
+        writer = df.writeTo(location)
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(location)
