@@ -167,6 +167,41 @@ def cell_col(lon: Column, lat: Column, level: int) -> Column:
     return F.shiftleft(morton, 5).bitwiseOR(F.lit(level)).alias("cell")
 
 
+def with_cell(df, lon_col: str, lat_col: str, level: int,
+              out: str = "cell"):
+    """Append a cell-id column via CHAINED projections.
+
+    Equivalent to ``cell_col`` (bit-for-bit; parity tested).  The
+    nested Column form textually duplicates each spread stage's input
+    ~2x per stage; whole-stage codegen's subexpression elimination
+    absorbs that (both measured >10 M rows/s at steady state), but the
+    chained form keeps every intermediate evaluated once even if a
+    plan falls out of codegen — prefer it when composing the cell id
+    with other large expressions in one projection."""
+    assert 0 <= level <= MAX_LEVEL
+    n = 1 << level
+    cx, cy = f"__cix_{out}", f"__ciy_{out}"
+    ix = F.greatest(
+        F.lit(0),
+        F.least(F.lit(n - 1),
+                F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))),
+    ).cast("long")
+    iy = F.greatest(
+        F.lit(0),
+        F.least(F.lit(n - 1),
+                F.floor((F.col(lat_col) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))),
+    ).cast("long")
+    df = df.withColumn(cx, ix).withColumn(cy, iy)
+    for shift, mask in _MASKS:
+        df = df.withColumn(
+            cx, (F.col(cx).bitwiseOR(F.shiftleft(F.col(cx), shift))).bitwiseAND(F.lit(mask))
+        ).withColumn(
+            cy, (F.col(cy).bitwiseOR(F.shiftleft(F.col(cy), shift))).bitwiseAND(F.lit(mask))
+        )
+    morton = F.col(cx).bitwiseOR(F.shiftleft(F.col(cy), 1))
+    return df.withColumn(out, F.shiftleft(morton, 5).bitwiseOR(F.lit(level))).drop(cx, cy)
+
+
 def cell_level_col(cell: Column) -> Column:
     return cell.bitwiseAND(F.lit(0x1F)).cast("int")
 
