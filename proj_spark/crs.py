@@ -443,6 +443,17 @@ for entry in [
        "+ellps=GRS80 +units=m", towgs84=(0, 0, 0), axis_order="ne",
        area=Area(-35.58, 24.6, 44.83, 84.73),
        area_name="Europe - European Union (EU) countries and candidates.", datum_ellps="GRS80"),
+    _e("EPSG:2154", "RGF93 v1 / Lambert-93", "projected",
+       "+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 "
+       "+x_0=700000 +y_0=6600000 +ellps=GRS80 +units=m",
+       towgs84=(0, 0, 0),
+       area=Area(-9.86, 41.15, 10.38, 51.56), area_name="France.",
+       datum_ellps="GRS80"),
+    _e("EPSG:5070", "NAD83 / Conus Albers", "projected",
+       "+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 "
+       "+x_0=0 +y_0=0 +ellps=GRS80 +units=m",
+       area=Area(-124.79, 24.41, -66.91, 49.38),
+       area_name="United States (USA) - CONUS onshore.", datum_ellps="GRS80"),
     _e("EPSG:8857", "WGS 84 / Equal Earth Greenwich", "projected",
        "+proj=eqearth +lon_0=0 +ellps=WGS84 +units=m", towgs84=(0, 0, 0),
        area=Area(-180, -90, 180, 90), area_name="World."),
@@ -464,6 +475,37 @@ _CRS_ALIASES = {
 }
 
 
+def _synthesize_utm(code: str) -> Optional[CrsEntry]:
+    """On-demand registry entries for the standard UTM code blocks:
+    EPSG:326xx / 327xx (WGS84 N/S) and EPSG:269xx (NAD83 northern)."""
+    if not code.startswith("EPSG:") or not code[5:].isdigit():
+        return None
+    num = int(code[5:])
+    if 32601 <= num <= 32660 or 32701 <= num <= 32760:
+        zone = num % 100
+        south = num >= 32700
+        entry = _e(
+            code, f"WGS 84 / UTM zone {zone}{'S' if south else 'N'}",
+            "projected",
+            f"+proj=utm +zone={zone}{' +south' if south else ''} +ellps=WGS84 +units=m",
+            towgs84=(0, 0, 0),
+            area=Area(-186.0 + 6 * zone, -80 if south else 0,
+                      -180.0 + 6 * zone, 0 if south else 84),
+            area_name=f"World - {'S' if south else 'N'} hemisphere - zone {zone}.",
+        )
+        return entry
+    if 26901 <= num <= 26923:
+        zone = num % 100
+        entry = _e(
+            code, f"NAD83 / UTM zone {zone}N", "projected",
+            f"+proj=utm +zone={zone} +ellps=GRS80 +units=m",
+            area=Area(-186.0 + 6 * zone, 0, -180.0 + 6 * zone, 84),
+            area_name=f"North America - zone {zone}N.", datum_ellps="GRS80",
+        )
+        return entry
+    return None
+
+
 def resolve_crs(spec: str) -> CrsEntry:
     spec = spec.strip()
     if spec in _CRS_ALIASES:
@@ -471,6 +513,10 @@ def resolve_crs(spec: str) -> CrsEntry:
     key = spec.upper().replace("EPSG:", "EPSG:")
     if key in EPSG:
         return EPSG[key]
+    utm = _synthesize_utm(key)
+    if utm is not None:
+        EPSG[key] = utm
+        return utm
     raise ProjCreateError(f"unknown CRS: {spec!r} (not in engine registry)")
 
 

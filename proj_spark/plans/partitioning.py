@@ -1,0 +1,87 @@
+"""Explicit partitioning / skew control (north rule, BASELINE.json:14:
+"partitioning / shuffle / skew handled explicitly ... salted-key skew
+handling and explicit repartitionByRange on cell prefix").
+
+These are the knobs a 10^12-row job turns:
+
+  * range partitioning on the cell prefix co-locates spatial
+    neighborhoods (Z-order locality) so per-cell aggregations and
+    cell-equi joins shuffle once and downstream stages reuse the
+    layout;
+  * salting splits hot cells (coastal/urban clusters) across
+    ``n_salts`` reducers; the companion explode on the small side keeps
+    joins exact;
+  * AQE skew-join handles residual skew at runtime (enabled in every
+    session this engine creates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.cells import cell_parent_col
+
+__all__ = [
+    "repartition_by_cell_range",
+    "salt_column",
+    "salt_hot_keys",
+    "explode_salts",
+    "skewed_cell_counts",
+]
+
+
+def repartition_by_cell_range(df: DataFrame, num_partitions: int,
+                              cell_col_name: str = "cell",
+                              level: int | None = None,
+                              prefix_level: int | None = None) -> DataFrame:
+    """Range-repartition on the cell id (optionally on a coarser parent
+    prefix): Morton order means ranges are spatially compact, so the
+    shuffle both balances volume AND preserves locality for every
+    downstream per-cell stage."""
+    key = F.col(cell_col_name)
+    if prefix_level is not None and level is not None:
+        key = cell_parent_col(key, level, prefix_level)
+    return df.repartitionByRange(num_partitions, key.asc())
+
+
+def salt_column(key: Column, n_salts: int) -> Column:
+    """Deterministic salt in [0, n_salts): stable across retries (hash
+    of the key, not a random), so shuffle outputs are reproducible —
+    determinism requirement of SURVEY.md §7 risk 5."""
+    return F.pmod(F.xxhash64(key), F.lit(n_salts)).cast("int")
+
+
+def salt_hot_keys(df: DataFrame, key_col: str, n_salts: int,
+                  out: str = "salted_key") -> DataFrame:
+    """Big-side salting: append ``salted_key = (key, salt)`` so one hot
+    key spreads over ``n_salts`` reducers."""
+    return df.withColumn(
+        out,
+        F.struct(F.col(key_col).alias("k"),
+                 salt_column(F.col(key_col), n_salts).alias("s")),
+    )
+
+
+def explode_salts(df: DataFrame, key_col: str, n_salts: int,
+                  out: str = "salted_key") -> DataFrame:
+    """Small-side companion: replicate each row once per salt value so
+    a salted equi-join stays exact."""
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    return df.withColumn("__salt", salts).withColumn(
+        out, F.struct(F.col(key_col).alias("k"), F.col("__salt").alias("s"))
+    ).drop("__salt")
+
+
+def skewed_cell_counts(df: DataFrame, cell_col_name: str = "cell",
+                       top: int = 20) -> DataFrame:
+    """Skew diagnostic: the hottest cells and their share — feeds the
+    choice of n_salts (metrics-table companion, north rule)."""
+    total = df.count()
+    return (
+        df.groupBy(cell_col_name)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("share", F.col("n") / F.lit(float(total)))
+        .orderBy(F.col("n").desc())
+        .limit(top)
+    )

@@ -336,3 +336,24 @@ def test_builder_network_out_of_scope():
     t = b.proj_known_crs("EPSG:2230", "EPSG:26946")
     x, y = t.convert(4760096.421921, 3744293.729449)
     assert abs(x - 1450880.2910605022) < M
+
+
+def test_extended_registry_utm_l93_conus():
+    # programmatic UTM blocks + Lambert-93 + CONUS Albers
+    t = Transform.new_known_crs("EPSG:4326", "EPSG:2154")
+    x, y = t.convert(2.3522, 48.8566)  # Paris, published L93 value
+    assert abs(x - 652469.0) < 1.0 and abs(y - 6862035.3) < 1.0
+    for code, lon, lat in [
+        ("EPSG:32633", 15.0, 52.0),
+        ("EPSG:32719", -70.0, -33.0),
+        ("EPSG:26910", -122.3, 47.6),
+        ("EPSG:5070", -96.0, 38.0),
+    ]:
+        fwd = Transform.new_known_crs("EPSG:4326", code)
+        x, y = fwd.convert(lon, lat)
+        inv = Transform.new_known_crs(code, "EPSG:4326")
+        lo, la = inv.convert(x, y)
+        assert max(abs(lo - lon), abs(la - lat)) * 111_000 < 1e-6
+    # zone-center easting is exactly 500000
+    x, _ = Transform.new_known_crs("EPSG:4326", "EPSG:32633").convert(15.0, 52.0)
+    assert abs(x - 500000.0) < 1e-6

@@ -1,0 +1,69 @@
+"""Explicit partitioning / salting operators (north-rule knobs)."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from proj_spark.operators.cells import np_cell
+from proj_spark.plans.partitioning import (
+    explode_salts,
+    repartition_by_cell_range,
+    salt_hot_keys,
+    skewed_cell_counts,
+)
+
+
+def _pts(spark, n=4000, hot_frac=0.5, seed=5):
+    rng = np.random.default_rng(seed)
+    n_hot = int(n * hot_frac)
+    lon = np.concatenate([np.full(n_hot, 10.001), rng.uniform(-170, 170, n - n_hot)])
+    lat = np.concatenate([np.full(n_hot, 50.001), rng.uniform(-80, 80, n - n_hot)])
+    cell = np_cell(lon, lat, 8)
+    return spark.createDataFrame(
+        pd.DataFrame({"pid": np.arange(n), "lon": lon, "lat": lat, "cell": cell})
+    )
+
+
+def test_repartition_by_cell_range_locality(spark):
+    df = repartition_by_cell_range(_pts(spark), 8, "cell", level=8, prefix_level=4)
+    parts = (
+        df.withColumn("p", F.spark_partition_id())
+        .groupBy("p").agg(F.min("cell").alias("lo"), F.max("cell").alias("hi"),
+                          F.count(F.lit(1)).alias("n"))
+        .orderBy("lo").toPandas()
+    )
+    # ranges are (mostly) non-overlapping: each partition's min is >= the
+    # previous partition's max at the prefix level
+    prev_hi = None
+    for _, row in parts.iterrows():
+        if prev_hi is not None:
+            assert row["lo"] >> 13 >= prev_hi >> 13  # compare at coarse prefix
+        prev_hi = row["hi"]
+    assert parts["n"].sum() == 4000
+
+
+def test_salted_join_exactness(spark):
+    big = _pts(spark, n=3000, hot_frac=0.6)
+    # small side: one payload row per distinct cell
+    small = big.select("cell").distinct().withColumn(
+        "payload", F.col("cell") % 97
+    )
+    n_salts = 8
+    b = salt_hot_keys(big, "cell", n_salts)
+    s = explode_salts(small, "cell", n_salts)
+    salted = b.join(s.drop("cell"), "salted_key").select("pid", "payload")
+    plain = big.join(small, "cell").select("pid", "payload")
+    a = salted.orderBy("pid").toPandas()
+    e = plain.orderBy("pid").toPandas()
+    assert len(a) == len(e) == 3000
+    assert (a["payload"].values == e["payload"].values).all()
+    # the hot cell's rows actually spread over multiple salts
+    spread = (
+        b.groupBy("salted_key").count().where(F.col("count") > 1).count()
+    )
+    assert spread >= 2
+
+
+def test_skew_diagnostic(spark):
+    top = skewed_cell_counts(_pts(spark), top=3).toPandas()
+    assert top.iloc[0]["share"] > 0.4  # the planted hot cell dominates
