@@ -422,12 +422,21 @@ def q27_geom_transform(spark, sf_dir):
 
 
 def q28_ann_lsh(spark, sf_dir):
-    # approximate path: rows-only check (recall < 1 by design)
+    # approximate path, FULLY oracle-gated: the deterministic
+    # hyperplanes are embedded as literals in the DuckDB twin, so the
+    # bucket structure (and thus the approximate result set) is
+    # replicated exactly — no rows-only escape hatch
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ANN.ann_lsh_topk(emb, qs, k=5, dim=64, n_planes=16, bands=4)
+    out = ANN.ann_lsh_topk(emb, qs, k=5, dim=64, n_planes=16, bands=4)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        _round(F.col("cos_sim"), 5).alias("sim"),
+    )
 
 
 def q29_images_verify(spark, sf_dir):
@@ -449,6 +458,48 @@ def q30_images_tiles(spark, sf_dir):
     return (
         tiled.groupBy("zoom", "tile_x", "tile_y")
         .agg(F.count(F.lit(1)).cast("long").alias("n_images"))
+    )
+
+
+def q31_minhash_groups(spark, sf_dir):
+    # scale-safe dedup GROUPS: one row per doc with canonical_id
+    # (linear output — the pairs form is O(cluster^2))
+    out = TX.minhash_lsh_groups(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4,
+        jaccard_threshold=0.4,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
+def q32_embed_neardup_lsh(spark, sf_dir):
+    # the 100-TB embedding near-dup path (LSH-bucketed, never
+    # all-pairs), oracle-gated via hyperplane literals like q28
+    out = ANN.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3,
+        dim=64, n_planes=16, bands=4,
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        _round(F.col("cos_sim"), 5).alias("sim"),
+    )
+
+
+def q33_ann_recall(spark, sf_dir):
+    # measured recall@k of the LSH path vs the exact baseline —
+    # rows-only by nature would be weak, so it is gated through the
+    # same hyperplane-literal oracle (recall is deterministic here)
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ANN.ann_lsh_recall(emb, qs, k=5, dim=64, n_planes=16, bands=4)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        _round(F.col("recall"), 6).alias("recall"),
     )
 
 
@@ -506,6 +557,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_ann_lsh": q28_ann_lsh,
         "q29_images_verify": q29_images_verify,
         "q30_images_tiles": q30_images_tiles,
+        "q31_minhash_groups": q31_minhash_groups,
+        "q32_embed_neardup_lsh": q32_embed_neardup_lsh,
+        "q33_ann_recall": q33_ann_recall,
     }
 
 
@@ -844,6 +898,146 @@ SELECT printf('img%012d', i) AS image_id,
 FROM unnest(range(0, 200)) AS t(i)
 """
 
-    # q28/q30 are rows-only (LSH recall < 1; image tile counts depend on
-    # the deterministic generator, not on any driver table)
+    # ---- q28/q32/q33: LSH paths, gated by embedding the deterministic
+    # hyperplanes as SQL literals (the bucket structure is replicated
+    # exactly, so even the *approximate* result set is value-checked)
+    planes = [ANN._hyperplane(p, 64) for p in range(16)]
+
+    def _plane_dot(vec: str, plane) -> str:
+        lits = ", ".join(repr(float(x)) for x in plane)
+        return (
+            f"list_sum(list_transform(range(1, {len(plane) + 1}), "
+            f"i -> ({vec})[i]::DOUBLE * [{lits}][i]))"
+        )
+
+    sig_expr = "(" + " | ".join(
+        f"(CASE WHEN {_plane_dot('embedding', planes[p])} > 0.0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(16)
+    ) + ")"
+    key_exprs = ", ".join(
+        f"((sig >> {b * 4}) & 15) AS key_{b}" for b in range(4)
+    )
+    any_band = lambda x, y: "(" + " OR ".join(  # noqa: E731
+        f"{x}.key_{b} = {y}.key_{b}" for b in range(4)
+    ) + ")"
+    lsh_base = f"""
+sig AS (SELECT vec_id, embedding, {sig_expr} AS sig FROM embeddings),
+keys AS (SELECT vec_id, embedding, {key_exprs} FROM sig)
+"""
+    cos_aq = f"{dot} / ({na} * {nq})"
+    out["q28_ann_lsh"] = f"""
+WITH {lsh_base},
+qk AS (SELECT * FROM keys WHERE vec_id < 10),
+cand AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS vec_id, {cos_aq} AS sim
+  FROM keys a JOIN qk q ON {any_band('a', 'q')}
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM cand)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
+       rank::BIGINT AS rank, round(sim, 5) AS sim
+FROM ranked WHERE rank <= 5
+"""
+
+    out["q32_embed_neardup_lsh"] = f"""
+WITH {lsh_base},
+cand AS (
+  SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
+  FROM keys x JOIN keys y ON x.vec_id < y.vec_id AND {any_band('x', 'y')}
+)
+SELECT ida::BIGINT AS id_a, idb::BIGINT AS id_b,
+       round({dot_ab} / ({na} * {nb}), 5) AS sim
+FROM cand JOIN embeddings a ON a.vec_id = cand.ida
+          JOIN embeddings b ON b.vec_id = cand.idb
+WHERE {dot_ab} / ({na} * {nb}) >= 0.3
+"""
+
+    out["q33_ann_recall"] = f"""
+WITH {lsh_base},
+qk AS (SELECT * FROM keys WHERE vec_id < 10),
+cand AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS vec_id, {cos_aq} AS sim
+  FROM keys a JOIN qk q ON {any_band('a', 'q')}
+),
+lsh_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, vec_id ASC) AS rank
+    FROM cand) WHERE rank <= 5
+),
+exact_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, a.vec_id AS vec_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dot} / ({na} * {nq}) DESC,
+                                       a.vec_id ASC) AS rank
+    FROM embeddings a
+    CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+  ) WHERE rank <= 5
+),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hit
+  FROM exact_topk e JOIN lsh_topk l
+    ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+  GROUP BY e.query_id
+)
+SELECT q.vec_id::BIGINT AS query_id,
+       round(coalesce(h.n_hit, 0) / 5.0, 6) AS recall
+FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+LEFT JOIN hits h ON h.query_id = q.vec_id
+"""
+
+    # ---- q30: the generator's lon/lat are pure splitmix64 of the row
+    # number — replicated bit-exactly in SQL (oracle.chain_splitmix64)
+    ch = O.Chain("SELECT i FROM unnest(range(0, 500)) AS t(i)")
+    h30 = O.chain_splitmix64(ch, "i", "h")
+    ch.add({
+        "g_lon": f"((({h30} >> 17) % 3600000)::DOUBLE / 10000.0 - 180.0)",
+        "g_lat": f"((({h30} >> 40) % 1700000)::DOUBLE / 10000.0 - 85.0)",
+    })
+    out["q30_images_tiles"] = ch.finish(
+        f"4 AS zoom, {O.sql_tile_x('g_lon', 4)} AS tile_x, "
+        f"{O.sql_tile_y('g_lat', 4)} AS tile_y, count(*)::BIGINT AS n_images",
+        "GROUP BY 1, 2, 3",
+    )
+
+    # ---- q31: dedup groups — same CTE technique as q23, then
+    # bucket-min -> per-doc min -> single verification per doc
+    out["q31_minhash_groups"] = f"""
+WITH hashed AS (
+  SELECT doc_id, text,
+         list_transform({sh}, s -> {O.sql_md5_long('s')}) AS base
+  FROM documents),
+sig AS (SELECT doc_id, text, {mh_cols} FROM hashed),
+keys AS (SELECT doc_id, {band_keys} FROM sig),
+ex AS (
+  SELECT doc_id, 0 AS band, key_0 AS key FROM keys
+  UNION ALL SELECT doc_id, 1, key_1 FROM keys
+  UNION ALL SELECT doc_id, 2, key_2 FROM keys
+  UNION ALL SELECT doc_id, 3, key_3 FROM keys
+),
+bmin AS (SELECT band, key, min(doc_id) AS bmin FROM ex GROUP BY band, key),
+cand AS (
+  SELECT e.doc_id, min(b.bmin) AS cand_canon
+  FROM ex e JOIN bmin b ON e.band = b.band AND e.key = b.key
+  GROUP BY e.doc_id
+),
+ver AS (
+  SELECT c.doc_id,
+         CASE WHEN ({inter} / ({union})) >= 0.4
+              THEN c.cand_canon ELSE c.doc_id END AS canonical_id
+  FROM cand c JOIN documents a ON a.doc_id = c.doc_id
+              JOIN documents b ON b.doc_id = c.cand_canon
+  WHERE c.cand_canon < c.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, canonical_id::BIGINT AS canonical_id FROM ver
+UNION ALL
+SELECT doc_id::BIGINT, doc_id::BIGINT FROM cand WHERE cand_canon = doc_id
+"""
+
     return out

@@ -75,9 +75,9 @@ def bench_queries(spark, sf_dir):
     def run(name, rows, fn):
         # this sandbox's first-touch page allocation is pathologically
         # slow (measured 200x variance on identical numpy ops until
-        # pages are warm); report steady-state = best of two runs
+        # pages are warm); report steady-state = best of three runs
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn()
             best = min(best, time.time() - t0)
@@ -97,8 +97,8 @@ def bench_queries(spark, sf_dir):
         pip_join(orders.withColumnRenamed("o_orderkey", "point_id"),
                  E._rect_polys(spark, sf_dir), level=5)))
     run("knn_join", n_cust, lambda: _sink(
-        knn_join(cust, E._knn_queries(spark, sf_dir), k=5, level=5, ring=1,
-                 point_id_col="c_custkey")))
+        knn_join(cust, E._knn_queries(spark, sf_dir), k=5,
+                 point_id_col="c_custkey", n_points=n_cust)))
     run("minhash_lsh_dedup", n_docs, lambda: _sink(
         minhash_lsh_pairs(docs, num_hashes=16, bands=4, jaccard_threshold=0.4)))
     run("ann_bruteforce", n_emb, lambda: _sink(

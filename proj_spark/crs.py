@@ -272,26 +272,38 @@ class UnitConvertStep(_StepBase):
 
 
 class AxisSwapStep(_StepBase):
-    """+proj=axisswap +order=2,1[,3,4] (reference usage:
-    /root/reference/src/transform.rs:24)."""
+    """+proj=axisswap +order=2,1[,-1,...] (reference usage:
+    /root/reference/src/transform.rs:24).
+
+    A pure swap (2,1) is self-inverse, but negated orders are NOT: the
+    inverse must invert the (permutation, sign) mapping — applying the
+    forward map twice for order=2,-1 gives (-x,-y), not identity
+    (round-1 advice finding)."""
 
     def __init__(self, params: dict):
         self.inv_flag = bool(params.get("inv", False))
-        order = [s for s in str(params.get("order", "2,1")).split(",")][:2]
-        self.order = order
+        toks = [s.strip() for s in str(params.get("order", "2,1")).split(",")][:2]
+        try:
+            vals = [int(t) for t in toks]
+        except ValueError:
+            raise ProjCreateError(f"axisswap: bad order {toks!r}")
+        if sorted(abs(v) for v in vals) != [1, 2]:
+            raise ProjCreateError(
+                f"axisswap: order must be a signed permutation of 1,2, got {toks!r}"
+            )
+        # out[i] = sign_i * in[src_i]
+        self.map = [(abs(v) - 1, 1.0 if v > 0 else -1.0) for v in vals]
         self.params = dict(params)
 
     def apply(self, x, y, forward=True):
-        vals = {
-            "1": np.asarray(x, dtype=np.float64),
-            "2": np.asarray(y, dtype=np.float64),
-        }
-        vals["-1"] = -vals["1"]
-        vals["-2"] = -vals["2"]
-        ox = vals[self.order[0]]
-        oy = vals[self.order[1]]
-        # axisswap of order 2,1 is its own inverse; sign flips invert too
-        return ox, oy
+        fwd = forward != self.inv_flag
+        arr = [np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)]
+        if fwd:
+            return self.map[0][1] * arr[self.map[0][0]], self.map[1][1] * arr[self.map[1][0]]
+        out: list = [None, None]
+        for i, (src, sgn) in enumerate(self.map):
+            out[src] = sgn * arr[i]
+        return out[0], out[1]
 
 
 class DatumShiftStep(_StepBase):
@@ -556,6 +568,7 @@ class Transform:
         self._area: Optional[Area] = area
         self._name = name
         self._epoch = epoch
+        self._op_accuracy: Optional[float] = None
 
     # -- constructors -------------------------------------------------
     @classmethod
@@ -612,12 +625,26 @@ class Transform:
         options: allow_ballpark (default True), only_best (default False),
         force_over (default False), accuracy — mirroring the option strings
         of create_crs_to_crs_from_pj (src/proj.rs:749-754).
+
+        ``accuracy`` (meters) is ENFORCED (round-1 accepted it silently):
+        the composed operation's accuracy is the worst of its datum-shift
+        legs (0 m same-datum / zero-shift, 2 m 7-parameter Helmert, 5 m
+        3-parameter Helmert — the EPSG-published grades for these
+        transformation classes); a ballpark leg has unknown accuracy.
+        If the operation cannot meet the requested accuracy,
+        ``ProjCreateError`` is raised, like PROJ's candidate filtering.
         """
         src = resolve_crs(from_crs)
         dst = resolve_crs(to_crs)
         allow_ballpark = bool(options.get("allow_ballpark", True))
         only_best = bool(options.get("only_best", False))
         force_over = bool(options.get("force_over", False))
+        accuracy_req = options.get("accuracy")
+
+        def _shift_grade(tw) -> float:
+            if tw is None or not any(tw):
+                return 0.0
+            return 2.0 if len(tw) >= 7 else 5.0
 
         steps: list[_StepBase] = []
         # normalized input is degrees lon,lat for geographic src,
@@ -634,18 +661,29 @@ class Transform:
         # "ballpark geographic offset")
         src_a, src_es = K.ellipsoid({"ellps": src.datum_ellps})
         dst_a, dst_es = K.ellipsoid({"ellps": dst.datum_ellps})
+        op_accuracy = 0.0
         if src.towgs84 is not None and dst.towgs84 is not None:
             if tuple(src.towgs84) != tuple(dst.towgs84) or (src_a, src_es) != (dst_a, dst_es):
                 steps.append(DatumShiftStep(src_a, src_es,
                                             src.towgs84 if any(src.towgs84) else None,
                                             dst_a, dst_es,
                                             dst.towgs84 if any(dst.towgs84) else None))
+                op_accuracy = max(_shift_grade(src.towgs84), _shift_grade(dst.towgs84))
         else:
             if not allow_ballpark or only_best:
                 raise ProjCreateError(
                     f"no non-ballpark transformation between {from_crs} and {to_crs}"
                 )
-            # ballpark: reinterpret lon/lat — identity step
+            # ballpark: reinterpret lon/lat — identity step, unknown accuracy
+            op_accuracy = -1.0
+        if accuracy_req is not None:
+            req = float(accuracy_req)
+            if op_accuracy < 0.0 or op_accuracy > req:
+                raise ProjCreateError(
+                    f"no transformation between {from_crs} and {to_crs} meets "
+                    f"accuracy {req} m (best available: "
+                    f"{'unknown (ballpark)' if op_accuracy < 0 else f'{op_accuracy} m'})"
+                )
         if dst.kind == "geographic":
             steps.append(DegRadStep())
             # DegRadStep is direction-aware; wrap to run inverse on fwd
@@ -666,6 +704,7 @@ class Transform:
             area=area or dst.area,
             name=f"{src.name} -> {dst.name}",
         )
+        t._op_accuracy = op_accuracy
         return t
 
     @classmethod
@@ -754,6 +793,12 @@ class Transform:
 
     @property
     def accuracy(self) -> float:
+        """Operation accuracy in meters; -1 when unknown (reference
+        Proj::accuracy semantics).  CRS->CRS transforms report the
+        composed datum-shift grade; plain CRS objects report the
+        registry's accuracy field."""
+        if self._op_accuracy is not None:
+            return self._op_accuracy
         return self._src.accuracy if self._src else -1.0
 
     def proj_info(self) -> dict:

@@ -25,6 +25,7 @@ __all__ = [
     "cosine_sim_col",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_lsh_recall",
     "embedding_neardup_pairs",
 ]
 
@@ -149,6 +150,34 @@ def ann_lsh_topk(
         F.col("cos_sim").desc(), F.col(id_col).asc()
     )
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ann_lsh_recall(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Measured recall@k of the LSH path against the exact brute-force
+    baseline, per query — the in-engine gate for the approximate path
+    (recall is a property of the workload; measure it, don't guess).
+    Output: (query_id, recall) with recall in [0, 1]."""
+    exact = ann_bruteforce_topk(vectors, queries, k, id_col, query_id_col, vec_col)
+    approx = ann_lsh_topk(vectors, queries, k, id_col, query_id_col, vec_col,
+                          **lsh_kwargs)
+    hit = exact.select(query_id_col, id_col).join(
+        approx.select(query_id_col, id_col), [query_id_col, id_col], "left_semi"
+    )
+    per_q = hit.groupBy(query_id_col).agg(
+        (F.count(F.lit(1)) / F.lit(float(k))).alias("recall")
+    )
+    # queries whose LSH result is empty never appear in `hit`
+    return queries.select(query_id_col).join(per_q, query_id_col, "left").select(
+        query_id_col, F.coalesce(F.col("recall"), F.lit(0.0)).alias("recall")
+    )
 
 
 def embedding_neardup_pairs(

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
-from .cells import cell_col, cell_ring_col, np_cell, np_cell_ring
+from .cells import MAX_LEVEL, cell_col
 
 __all__ = [
     "EARTH_RADIUS_M",
@@ -43,9 +43,6 @@ __all__ = [
 ]
 
 EARTH_RADIUS_M = 6371008.8  # mean Earth radius (IUGG)
-
-# conservative per-degree meters (lower bounds) for the kNN guarantee
-_MIN_M_PER_DEG_LAT = 110567.0
 
 
 def haversine_col(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
@@ -108,31 +105,38 @@ def _make_pip_test_udf():
     return _pip_test_udf
 
 
-def _poly_covering_cells(polys_pdf: pd.DataFrame, level: int,
-                         rings_col: str) -> pd.DataFrame:
-    """Driver-side: bbox-covering cells per polygon (polygons are the
-    small/broadcast side; this never touches the big table)."""
-    rows = []
+def _poly_covering_cells_df(polys: DataFrame, level: int,
+                            rings_col: str, poly_id_col: str) -> DataFrame:
+    """Executor-side bbox-covering cells per polygon: min/max over the
+    exterior ring (JVM array ops) -> explode the (ix, iy) index ranges ->
+    Morton-encode.  Pure Column math, so a million-polygon layer expands
+    in parallel on executors — the driver never materializes it (it only
+    flows through the driver once more if the result is broadcast)."""
+    from .cells import _col_spread
+
     n = 1 << level
-    for _, row in polys_pdf.iterrows():
-        rings = row[rings_col]
-        ext = np.array([np.asarray(p, dtype=np.float64) for p in rings[0]])
-        lon0, lat0 = ext[:, 0].min(), ext[:, 1].min()
-        lon1, lat1 = ext[:, 0].max(), ext[:, 1].max()
-        ix0 = int(np.clip(math.floor((lon0 + 180.0) / 360.0 * n), 0, n - 1))
-        ix1 = int(np.clip(math.floor((lon1 + 180.0) / 360.0 * n), 0, n - 1))
-        iy0 = int(np.clip(math.floor((lat0 + 90.0) / 180.0 * n), 0, n - 1))
-        iy1 = int(np.clip(math.floor((lat1 + 90.0) / 180.0 * n), 0, n - 1))
-        cells = set()
-        for ix in range(ix0, ix1 + 1):
-            for iy in range(iy0, iy1 + 1):
-                lon_c = (ix + 0.5) / n * 360.0 - 180.0
-                lat_c = (iy + 0.5) / n * 180.0 - 90.0
-                cells.add(int(np_cell(lon_c, lat_c, level)))
-        d = row.to_dict()
-        for c in cells:
-            rows.append({**d, "cell": c})
-    return pd.DataFrame(rows)
+    ext = F.col(rings_col)[0]
+    lons = F.transform(ext, lambda p: p[0])
+    lats = F.transform(ext, lambda p: p[1])
+
+    def _idx(v: Column, off: float, span: float) -> Column:
+        i = F.floor((v + F.lit(off)) / F.lit(span) * F.lit(float(n)))
+        return F.greatest(F.lit(0), F.least(F.lit(n - 1), i)).cast("long")
+
+    cov = (
+        polys.select(poly_id_col, rings_col)
+        .withColumn("__ix0", _idx(F.array_min(lons), 180.0, 360.0))
+        .withColumn("__ix1", _idx(F.array_max(lons), 180.0, 360.0))
+        .withColumn("__iy0", _idx(F.array_min(lats), 90.0, 180.0))
+        .withColumn("__iy1", _idx(F.array_max(lats), 90.0, 180.0))
+        .withColumn("__ix", F.explode(F.sequence(F.col("__ix0"), F.col("__ix1"))))
+        .withColumn("__iy", F.explode(F.sequence(F.col("__iy0"), F.col("__iy1"))))
+    )
+    morton = _col_spread(F.col("__ix")).bitwiseOR(
+        F.shiftleft(_col_spread(F.col("__iy")), 1)
+    )
+    cell = F.shiftleft(morton, 5).bitwiseOR(F.lit(level))
+    return cov.select(poly_id_col, rings_col, cell.alias("cell"))
 
 
 def pip_join(
@@ -148,21 +152,15 @@ def pip_join(
     """Point-in-polygon join.
 
     Plan shape: big side gets a JVM-computed cell column; small side is
-    expanded to (polygon x covering-cell) rows on the driver and
-    BROADCAST; equi-join on cell prunes candidates; an Arrow-batched
-    even-odd test keeps exact hits.  The big table is never shuffled.
+    expanded to (polygon x covering-cell) rows ON EXECUTORS (JVM
+    explode, no driver materialization) and BROADCAST; equi-join on cell
+    prunes candidates; an Arrow-batched even-odd test keeps exact hits.
+    The big table is never shuffled.
 
     ``how``: "inner" (default) or "left" (unmatched points kept with
     null poly_id).
     """
-    spark = points.sparkSession
-    polys_pdf = polys.toPandas()
-    cov = _poly_covering_cells(polys_pdf, level, rings_col)
-    if cov.empty:
-        if how == "left":
-            return points.withColumn(poly_id_col, F.lit(None).cast("string"))
-        return points.limit(0).withColumn(poly_id_col, F.lit(None).cast("string"))
-    cov_sdf = spark.createDataFrame(cov[[poly_id_col, rings_col, "cell"]])
+    cov_sdf = _poly_covering_cells_df(polys, level, rings_col, poly_id_col)
 
     pts = points.withColumn("cell", cell_col(F.col(lon_col), F.col(lat_col), level))
     cand = pts.join(F.broadcast(cov_sdf), "cell", "inner")
@@ -206,126 +204,278 @@ def cell_equi_join(
 # ---------------------------------------------------------------------------
 # kNN via cell-ring expansion
 # ---------------------------------------------------------------------------
+_BIG_M = 4.0e7  # > any great-circle distance on Earth (half circumference ~2e7)
+
+
+def _block_guard_col(q_lon: Column, q_lat: Column, level: int, ring: int) -> Column:
+    """Conservative LOWER bound (meters) of the great-circle distance
+    from a query point to ANY point outside its ring-``ring`` candidate
+    block at ``level`` — derived on the SAME sphere as
+    :func:`haversine_col` (R = EARTH_RADIUS_M), so the bound can never
+    exceed a true haversine distance:
+
+      * latitude sides: d >= R * dphi  (h >= sin^2(dphi/2) exactly);
+      * longitude sides: any outside point p with lat inside the block
+        satisfies cos(lat_q)*cos(lat_p) >= cos^2(max|lat| in block), so
+        d >= 2R*asin(cos(max|lat|) * sin(dlon/2)) — the chord form, not
+        a flat meters-per-degree approximation (a 111320 m/deg constant
+        OVERSTATES the spherical 111194.9 m/deg and silently broke the
+        exactness contract; fixed per round-1 advice).
+
+    Sides that don't exist (block touching a pole, block wrapping the
+    full globe in longitude) contribute +inf.  Wrapped-longitude blocks
+    (query near the antimeridian) stay correct because west/east are
+    kept in the query's unwrapped frame and candidate cells wrap with
+    the same modulo as np_cell_ring.
+    """
+    n = 1 << level
+    cw, ch = 360.0 / n, 180.0 / n
+    ix = F.greatest(F.lit(0), F.least(F.lit(n - 1),
+                    F.floor((q_lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))))
+    iy = F.greatest(F.lit(0), F.least(F.lit(n - 1),
+                    F.floor((q_lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))))
+    west = (ix - F.lit(ring)) * F.lit(cw) - F.lit(180.0)
+    east = (ix + F.lit(ring + 1)) * F.lit(cw) - F.lit(180.0)
+    south = (iy - F.lit(ring)) * F.lit(ch) - F.lit(90.0)
+    north = (iy + F.lit(ring + 1)) * F.lit(ch) - F.lit(90.0)
+
+    big = F.lit(_BIG_M)
+    g_s = F.when(south > F.lit(-90.0),
+                 F.radians(q_lat - south) * F.lit(EARTH_RADIUS_M)).otherwise(big)
+    g_n = F.when(north < F.lit(90.0),
+                 F.radians(north - q_lat) * F.lit(EARTH_RADIUS_M)).otherwise(big)
+    if (2 * ring + 1) * cw >= 360.0:
+        g_lon = big
+    else:
+        max_abs_lat = F.greatest(
+            F.abs(F.greatest(south, F.lit(-90.0))),
+            F.abs(F.least(north, F.lit(90.0))),
+        )
+        dlon = F.least(q_lon - west, east - q_lon, F.lit(180.0))
+        g_lon = (
+            F.lit(2.0 * EARTH_RADIUS_M)
+            * F.asin(F.cos(F.radians(max_abs_lat)) * F.sin(F.radians(dlon) / F.lit(2.0)))
+        )
+    return F.least(g_s, g_n, g_lon)
+
+
+def _prereduce_topk(cand: DataFrame, k: int, query_id_col: str,
+                    point_id_col: str) -> DataFrame:
+    """Two-phase top-k, phase 1: per-PARTITION top-k per query with NO
+    shuffle — a partition-local sort (sortWithinPartitions, narrow) then
+    an Arrow-batched running head(k) per query.  Cuts the rows entering
+    the final per-query window from O(candidates) to
+    O(k x partitions x queries-per-partition), which is what survives a
+    100x density scale-up; the final window then shuffles only the
+    reduced set."""
+    # point_id tiebreak matches the final window's ordering, so phase 1
+    # always keeps a prefix of the order phase 2 ranks by
+    sorted_ = cand.sortWithinPartitions(query_id_col, "dist_m", point_id_col)
+    schema = cand.schema
+
+    def _head(batches):
+        seen: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            grp = pdf.groupby(query_id_col, sort=False).cumcount()
+            base = pdf[query_id_col].map(lambda q: seen.get(q, 0))
+            keep = (grp + base.to_numpy()) < k
+            for q, cnt in pdf[query_id_col].value_counts().items():
+                seen[q] = seen.get(q, 0) + int(cnt)
+            out = pdf[keep.to_numpy()]
+            if len(out):
+                yield out
+
+    return sorted_.mapInPandas(_head, schema)
+
+
+def _ring_topk(
+    pts: DataFrame,
+    queries: DataFrame,
+    r: int,
+    k: int,
+    level: int,
+    lon_col: str,
+    lat_col: str,
+    point_id_col: str,
+    query_id_col: str,
+    two_phase: bool,
+) -> DataFrame:
+    """One candidate-generation round: queries explode their ring-``r``
+    cells RELATIONALLY — explode(dx) x explode(dy) then ONE Morton
+    spread per exploded row — so the whole q-side stays pure JVM (an
+    array-expression ring duplicates the compact->re-spread tree
+    (2r+1)^2 times and blows up Catalyst analysis; a numpy UDF avoids
+    that but puts a Python worker launch inside every broadcast build —
+    both measured slower).  Then BROADCAST, equi-join on the big
+    table's cell column, per-query top-k."""
+    from .cells import _col_ij, _col_spread
+
+    n = 1 << level
+    qix, qiy = _col_ij(F.col(lon_col), F.col(lat_col), level)
+    q = (
+        queries.select(
+            F.col(query_id_col),
+            F.col(lon_col).alias("q_lon"),
+            F.col(lat_col).alias("q_lat"),
+            qix.alias("__qix"),
+            qiy.alias("__qiy"),
+        )
+        .withColumn("__dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+        .withColumn("__dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+        .withColumn("__jx", F.pmod(F.col("__qix") + F.col("__dx"), F.lit(n)))
+        .withColumn("__jy", F.col("__qiy") + F.col("__dy"))
+        .where((F.col("__jy") >= 0) & (F.col("__jy") < n))
+    )
+    morton = _col_spread(F.col("__jx")).bitwiseOR(
+        F.shiftleft(_col_spread(F.col("__jy")), 1)
+    )
+    q = q.select(
+        query_id_col, "q_lon", "q_lat",
+        F.shiftleft(morton, 5).bitwiseOR(F.lit(level)).alias("cand_cell"),
+    )
+    if 2 * r + 1 >= n:
+        # the ring wraps the whole globe in longitude: pmod collides and
+        # would duplicate candidates (and thus top-k rows) — dedup the
+        # (small) q side before the join
+        q = q.dropDuplicates([query_id_col, "cand_cell"])
+    cand = pts.join(F.broadcast(q), pts["cell"] == q["cand_cell"], "inner")
+    cand = cand.select(
+        query_id_col, "q_lon", "q_lat", point_id_col,
+        haversine_col(F.col(lon_col), F.col(lat_col),
+                      F.col("q_lon"), F.col("q_lat")).alias("dist_m"),
+    )
+    if two_phase:
+        cand = _prereduce_topk(cand, k, query_id_col, point_id_col)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("dist_m").asc(),
+                                                 F.col(point_id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "q_lon", "q_lat", point_id_col, "dist_m", "rank")
+    )
+
+
 def knn_join(
     points: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    level: int = 6,
+    level: Optional[int] = None,
     ring: int = 1,
     lon_col: str = "lon",
     lat_col: str = "lat",
     point_id_col: str = "point_id",
     query_id_col: str = "query_id",
     exact_fallback: bool = True,
+    n_points: Optional[int] = None,
+    two_phase: Optional[bool] = None,
+    expansion_rounds: int = 1,
+    expansion_factor: int = 3,
 ) -> DataFrame:
-    """k nearest points for every query point (great-circle meters).
+    """k nearest points for every query point (great-circle meters) —
+    EXACT at any density.
 
-    Phase 1: queries (small side) explode their ring-r candidate cells
-    (JVM bit math) and BROADCAST; equi-join on the big table's cell
-    column; per-query window top-k — shuffle only on query_id, with
-    candidate counts bounded by ring size x local density.
+    Plan (scale story first — this is the one operator whose candidate
+    set grows linearly with point density if the cell level is fixed):
 
-    Phase 2 (exactness): a query's result is provably exact iff it has
-    k hits and its kth distance <= a conservative lower bound of the
-    distance from the query to its ring-block boundary.  Queries
-    failing the bound rerun brute-force against the full point table
-    (broadcast of the failing queries only).  The operator is exact at
-    any density while the fast path does ~(2r+1)^2 cells of work.
+      1. **Adaptive level** (``level=None``): pick the cell level from
+         the point count so the ring-``ring`` block holds ~max(4k, 64)
+         candidates under a uniform spread — a 100x denser table gets a
+         ~log4(100) finer grid instead of 100x the candidates per
+         query.  Pass ``n_points`` to skip the count job (or ``level``
+         to pin it).
+      2. **Fast path**: queries (the small/broadcast side by contract)
+         explode ring-``ring`` candidate cells; equi-join on the big
+         table's JVM cell column; per-query top-k.  With
+         ``two_phase`` (default: on when the point table is large) a
+         shuffle-free per-partition head(k) runs first so the final
+         window shuffles O(k x partitions), not O(candidates).
+      3. **Exactness flag, no extra shuffle**: over the rank<=k rows,
+         count/max window functions reuse the query_id partitioning;
+         a query is proven exact iff it has k hits and its kth distance
+         <= the spherical chord lower bound to its block boundary
+         (:func:`_block_guard_col`).
+      4. **Iterative ring expansion**: unproven queries (sparse
+         neighborhoods) retry with ring ``expansion_factor*r + 1`` —
+         never a full scan — for ``expansion_rounds`` rounds; only the
+         still-unproven remainder falls back to an exact brute-force
+         pass (broadcast of those queries only).
 
-    Output: query columns + point_id + dist_m + rank (1..k).
+    Output: query_id, q_lon, q_lat, point_id, dist_m, rank (1..k).
     """
-    # ring expansion runs on the SMALL (query) side only; a numpy UDF is
-    # used instead of Column bit math because the compact->re-spread
-    # Column expression tree grows ~32x per nesting level and Catalyst
-    # analysis of the (2r+1)^2 ring expressions dominates runtime
-    @pandas_udf("array<long>")
-    def _ring_udf(cell: pd.Series) -> pd.Series:
-        arr = np_cell_ring(cell.to_numpy(np.int64), ring)
-        return pd.Series([row[row >= 0].tolist() for row in arr])
-
-    q = queries.withColumn("cell0", cell_col(F.col(lon_col), F.col(lat_col), level))
-    q = q.withColumn("cand_cell", F.explode(_ring_udf(F.col("cell0"))))
-    q = q.select(
-        F.col(query_id_col),
-        F.col(lon_col).alias("q_lon"),
-        F.col(lat_col).alias("q_lat"),
-        "cand_cell",
-    )
+    if level is None:
+        if n_points is None:
+            n_points = points.count()
+        target = max(4 * k, 64)
+        block_cells = (2 * ring + 1) ** 2
+        raw = math.log(max(n_points * block_cells / target, 1.0), 4.0)
+        level = int(min(max(round(raw), 1), MAX_LEVEL))
+    if two_phase is None:
+        two_phase = bool(n_points and n_points > 5_000_000)
 
     pts = points.withColumn("cell", cell_col(F.col(lon_col), F.col(lat_col), level))
-    cand = pts.join(F.broadcast(q), pts["cell"] == q["cand_cell"], "inner")
-    cand = cand.withColumn(
-        "dist_m",
-        haversine_col(F.col(lon_col), F.col(lat_col), F.col("q_lon"), F.col("q_lat")),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("dist_m").asc(),
-                                                 F.col(point_id_col).asc())
-    topk = (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, "q_lon", "q_lat", point_id_col, "dist_m", "rank")
-    )
+    topk = _ring_topk(pts, queries, ring, k, level, lon_col, lat_col,
+                      point_id_col, query_id_col, two_phase)
     if not exact_fallback:
         return topk
-    # the fast-path result feeds three consumers (stats, anti-join,
-    # union); checkpoint it so the candidate join runs once
-    topk = topk.localCheckpoint(eager=False)
 
-    # -- exactness guarantee ------------------------------------------
-    # lower bound of distance from query to ring-block boundary
-    n = 1 << level
-    cell_h_deg = 180.0 / n
-    # block extends `ring` whole cells beyond the query's own cell in
-    # each direction; distance to boundary >= ring * cell_size - 0 but
-    # the query can sit at its cell edge, so use (ring) cells minus the
-    # in-cell offset; conservative: (ring) * cell_size * margin where
-    # margin accounts for worst in-cell position => use (ring)*size -
-    # size = (ring-1)*size when ring>=1 ... compute exactly instead:
-    qa = queries.select(
+    out_cols = [query_id_col, "q_lon", "q_lat", point_id_col, "dist_m", "rank"]
+    wq = Window.partitionBy(query_id_col)  # reuses topk's partitioning: no exchange
+
+    def _flag(tk: DataFrame, r: int) -> DataFrame:
+        ok = (F.count(F.lit(1)).over(wq) >= k) & (
+            F.max("dist_m").over(wq)
+            <= _block_guard_col(F.col("q_lon"), F.col("q_lat"), level, r)
+        )
+        # one consumer takes the proven rows, another the proven ids;
+        # defer-checkpoint so the candidate join runs once, not twice
+        return tk.withColumn("__ok", ok).localCheckpoint(eager=False)
+
+    flagged = _flag(topk, ring)
+    proven = [flagged.where(F.col("__ok")).select(*out_cols)]
+    # unproven = not proven (covers zero-candidate queries, which have
+    # no topk rows at all); queries are the small side -> cheap anti-join
+    remaining = queries.join(
+        flagged.where(F.col("__ok")).select(query_id_col).distinct(),
+        query_id_col, "left_anti",
+    )
+
+    r = ring
+    for _ in range(max(expansion_rounds, 0)):
+        r = expansion_factor * r + 1
+        tk = _ring_topk(pts, remaining, r, k, level, lon_col, lat_col,
+                        point_id_col, query_id_col, two_phase)
+        flg = _flag(tk, r)
+        proven.append(flg.where(F.col("__ok")).select(*out_cols))
+        remaining = remaining.join(
+            flg.where(F.col("__ok")).select(query_id_col).distinct(),
+            query_id_col, "left_anti",
+        )
+
+    # exact brute-force pass for whatever survives expansion (rare:
+    # pole-adjacent queries, k > population) — broadcast those queries
+    bad = remaining.select(
         F.col(query_id_col),
         F.col(lon_col).alias("q_lon"),
         F.col(lat_col).alias("q_lat"),
     )
-    ix = F.floor((F.col("q_lon") + 180.0) / 360.0 * n)
-    iy = F.floor((F.col("q_lat") + 90.0) / 180.0 * n)
-    west = (ix - ring) * F.lit(360.0 / n) - 180.0
-    east = (ix + ring + 1) * F.lit(360.0 / n) - 180.0
-    south = (iy - ring) * F.lit(180.0 / n) - 90.0
-    north = (iy + ring + 1) * F.lit(180.0 / n) - 90.0
-    # meters lower bounds: meridian scale for lat; parallel scale at the
-    # widest |lat| in the block for lon
-    max_abs_lat = F.greatest(F.abs(south), F.abs(north))
-    m_per_deg_lon = F.lit(111320.0) * F.cos(F.radians(F.least(max_abs_lat, F.lit(89.9999))))
-    guard = F.least(
-        (F.col("q_lat") - south) * _MIN_M_PER_DEG_LAT,
-        (north - F.col("q_lat")) * _MIN_M_PER_DEG_LAT,
-        (F.col("q_lon") - west) * m_per_deg_lon,
-        (east - F.col("q_lon")) * m_per_deg_lon,
+    brute = points.crossJoin(F.broadcast(bad)).select(
+        query_id_col, "q_lon", "q_lat", point_id_col,
+        haversine_col(F.col(lon_col), F.col(lat_col),
+                      F.col("q_lon"), F.col("q_lat")).alias("dist_m"),
     )
-    qa = qa.withColumn("guard_m", guard)
-
-    stats = topk.groupBy(query_id_col).agg(
-        F.count(F.lit(1)).alias("n_hits"), F.max("dist_m").alias("kth_dist")
-    )
-    bad = (
-        qa.join(stats, query_id_col, "left")
-        .where(
-            F.col("n_hits").isNull()
-            | (F.col("n_hits") < k)
-            | (F.col("kth_dist") > F.col("guard_m"))
-        )
-        .select(query_id_col, "q_lon", "q_lat")
-    )
-    # broadcast brute-force pass for the (rare) unguaranteed queries
-    brute = points.crossJoin(F.broadcast(bad))
-    brute = brute.withColumn(
-        "dist_m",
-        haversine_col(F.col(lon_col), F.col(lat_col), F.col("q_lon"), F.col("q_lat")),
-    )
+    if two_phase:
+        brute = _prereduce_topk(brute, k, query_id_col, point_id_col)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("dist_m").asc(),
+                                                 F.col(point_id_col).asc())
     brute_topk = (
         brute.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(query_id_col, "q_lon", "q_lat", point_id_col, "dist_m", "rank")
+        .select(*out_cols)
     )
-    good_topk = topk.join(F.broadcast(bad.select(query_id_col)), query_id_col, "left_anti")
-    return good_topk.unionByName(brute_topk)
+    proven.append(brute_topk)
+    out = proven[0]
+    for p in proven[1:]:
+        out = out.unionByName(p)
+    return out

@@ -30,6 +30,7 @@ __all__ = [
     "exact_dedup",
     "minhash_signature",
     "minhash_lsh_pairs",
+    "minhash_lsh_groups",
     "simhash_col",
     "simhash_dedup_pairs",
     "token_stats",
@@ -48,11 +49,19 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
     """Heavy per-row operators on a source with fewer partitions than
     cores (e.g. one small parquet file) would run single-threaded;
     spread them.  No-op when the input is already parallel — a 100-TB
-    table has thousands of scan partitions and must NOT pick up an
-    extra exchange here."""
-    p = df.rdd.getNumPartitions()
+    table has thousands of scan files and must NOT pick up an extra
+    exchange here.  Deliberately avoids ``df.rdd`` (forces an RDD
+    conversion and breaks under Spark Connect): ``inputFiles()`` is a
+    metadata-only call.  A file-less frame (cached, generated,
+    createDataFrame'd) reports 0 files and is left ALONE — its owner
+    already chose a partitioning, and a redundant exchange on a cached
+    input measured 2-6x the whole operator's cost."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if p < target // 2:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 1 <= n_files < target // 2:
         return df.repartition(target)
     return df
 
@@ -200,7 +209,89 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_col(text: Column, bits: int = 64, k: int = 1) -> Column:
+def minhash_lsh_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Scale-safe near-duplicate GROUPS: one output row per document
+    with a ``canonical_id`` — the linear-output companion to
+    :func:`minhash_lsh_pairs`, whose pair output is O(cluster^2) and
+    unusable on heavy-duplication corpora (a boilerplate doc repeated
+    10^6 times would emit 5*10^11 pairs; here it emits 10^6 rows).
+
+    Deterministic semantics (mirrored 1:1 by the DuckDB oracle):
+
+      1. per (band, key) LSH bucket, the bucket-min doc id;
+      2. each doc's candidate canonical = min bucket-min over its bands
+         (always <= its own id, since every doc is in its own buckets);
+      3. ONE exact-Jaccard verification per doc against its candidate
+         (not per pair): verified -> canonical_id = candidate, else
+         canonical_id = own id.
+
+    This is bucket-canonicalization, not full transitive closure — two
+    docs can verify against the same canonical without verifying against
+    each other, which is the standard industrial trade (linear work,
+    stable canonical) — and for exact-duplicate clusters, the dominant
+    case at corpus scale, it equals the true component.
+
+    Scale shape: two key-shuffles (bucket-min aggregate, per-doc min)
+    plus two id-equi-joins to fetch texts; the canonical-text join is
+    skewed by construction (hot canonicals) — AQE skew-join splits it.
+    Output: (doc_id, canonical_id).
+    """
+    df = _spread_small_input(df)
+    base = df.select(id_col, text_col)
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(base, text_col, num_hashes, k)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat_ws("_", *[p.cast("string") for p in parts])).alias("key"))
+        )
+    ex = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ex = ex.localCheckpoint(eager=False)  # feeds the agg AND the re-join
+
+    bucket_min = ex.groupBy("band", "key").agg(F.min(id_col).alias("bmin"))
+    cand = (
+        ex.join(bucket_min, ["band", "key"])
+        .groupBy(id_col)
+        .agg(F.min("bmin").alias("cand_canon"))
+    )
+    trivial = cand.where(F.col("cand_canon") == F.col(id_col)).select(
+        F.col(id_col), F.col(id_col).alias("canonical_id")
+    )
+    need = (
+        cand.where(F.col("cand_canon") < F.col(id_col))
+        .join(base, id_col)
+        .join(
+            base.select(F.col(id_col).alias("cand_canon"),
+                        F.col(text_col).alias("__ctext")),
+            "cand_canon",
+        )
+    )
+    sa = F.array_distinct(shingles_col(F.col(text_col), k))
+    sb = F.array_distinct(shingles_col(F.col("__ctext"), k))
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    verified = need.select(
+        F.col(id_col),
+        F.when(inter / union >= jaccard_threshold, F.col("cand_canon"))
+        .otherwise(F.col(id_col))
+        .alias("canonical_id"),
+    )
+    return trivial.unionByName(verified)
+
+
+def simhash_col(text: Column, bits: int = 48, k: int = 1) -> Column:
     """SimHash: per bit position, sign of the sum over tokens of
     (+1/-1) from the token's md5 bit.  Expressed as JVM aggregate over
     the token array per bit — no UDF.  Returns BIGINT.
@@ -212,21 +303,27 @@ def simhash_col(text: Column, bits: int = 64, k: int = 1) -> Column:
     return simhash_from_tokens_col(toks, bits)
 
 
-def simhash_from_tokens_col(toks: Column, bits: int = 64) -> Column:
+def simhash_from_tokens_col(toks: Column, bits: int = 48) -> Column:
     """SimHash from an already-materialized (distinct) token array:
     hash each token ONCE, then derive every bit from that value."""
     return simhash_from_hashes_col(F.transform(toks, md5_long_col), bits)
 
 
-def simhash_from_hashes_col(hashes: Column, bits: int = 64) -> Column:
-    """SimHash from a pre-hashed token array (array<long>)."""
+def simhash_from_hashes_col(hashes: Column, bits: int = 48) -> Column:
+    """SimHash from a pre-hashed token array (array<long>).
+
+    ``bits`` is capped at 60: the md5-derived hash carries 60 usable
+    bits (15 hex digits), so bits > 60 would silently reuse low bits and
+    correlate bit pairs (round-1 wart, now rejected)."""
+    if not 1 <= bits <= 60:
+        raise ValueError(f"simhash bits must be in [1, 60], got {bits}")
 
     def _merge_for(i: int):
         # closure factory: F.aggregate's merge lambda must be exactly
         # (acc, element) — a default-arg lambda changes its arity
         def merge(s, h):
             return s + F.when(
-                F.shiftrightunsigned(h, i % 60).bitwiseAND(F.lit(1)) == 1,
+                F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1,
                 F.lit(1),
             ).otherwise(F.lit(-1))
 

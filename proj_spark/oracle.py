@@ -673,3 +673,39 @@ def sql_shingles(text: str, k: int = 3) -> str:
         f"list_transform(range(1, greatest(len({toks}) - {k - 1}, 0) + 1), "
         f"i -> array_to_string(({toks})[i:i+{k - 1}], ' '))"
     )
+
+
+# ---------------------------------------------------------------------------
+# splitmix64 (dialect pair: numpy side in sources/datagen.py:splitmix64)
+# ---------------------------------------------------------------------------
+_U64_MOD = "18446744073709551616::HUGEINT"  # 2^64
+
+
+def _sm_mulmod(z: str, c: int) -> str:
+    """(z * c) mod 2^64 without overflow: split z into 32-bit halves and
+    compute in HUGEINT (DuckDB raises on 64-bit multiply overflow rather
+    than wrapping, so the wrap is done explicitly)."""
+    return (
+        f"((((({z}) % 4294967296)::HUGEINT * {c}::HUGEINT"
+        f" + (((({z}) // 4294967296)::HUGEINT * {c}::HUGEINT) % 4294967296)"
+        f" * 4294967296) % {_U64_MOD})::UBIGINT)"
+    )
+
+
+def chain_splitmix64(ch: Chain, expr: str, tag: str) -> str:
+    """Append splitmix64(expr) CTE steps (bit-exact vs the numpy
+    generator); returns the UBIGINT output column name."""
+    z0 = f"sm0_{tag}"
+    ch.add({z0: f"((((({expr})::HUGEINT + 11400714819323198485::HUGEINT)"
+                f" % {_U64_MOD})::UBIGINT))"})
+    z1 = f"sm1_{tag}"
+    ch.add({z1: f"xor({z0}, {z0} >> 30)"})
+    z2 = f"sm2_{tag}"
+    ch.add({z2: _sm_mulmod(z1, 13787848793156543929)})
+    z3 = f"sm3_{tag}"
+    ch.add({z3: f"xor({z2}, {z2} >> 27)"})
+    z4 = f"sm4_{tag}"
+    ch.add({z4: _sm_mulmod(z3, 10723151780598845931)})
+    z5 = f"sm5_{tag}"
+    ch.add({z5: f"xor({z4}, {z4} >> 31)"})
+    return z5

@@ -45,21 +45,30 @@ def repartition_by_cell_range(df: DataFrame, num_partitions: int,
     return df.repartitionByRange(num_partitions, key.asc())
 
 
-def salt_column(key: Column, n_salts: int) -> Column:
-    """Deterministic salt in [0, n_salts): stable across retries (hash
-    of the key, not a random), so shuffle outputs are reproducible —
-    determinism requirement of SURVEY.md §7 risk 5."""
-    return F.pmod(F.xxhash64(key), F.lit(n_salts)).cast("int")
+def salt_column(key: Column, n_salts: int, row_col: Column | None = None) -> Column:
+    """Deterministic salt in [0, n_salts) that is ROW-distinct, not just
+    key-distinct: a salt derived from the key alone maps every row of a
+    hot key to the SAME salt, defeating the whole point (round-1 advice
+    finding).  The salt therefore hashes (key, row discriminator); pass
+    ``row_col`` (any column that varies within a key — a row id, a
+    payload column) for reproducible shuffles, else a nondeterministic
+    per-row id is used (still exact: the small side replicates to ALL
+    salts, so any salt value joins correctly)."""
+    disc = row_col if row_col is not None else F.monotonically_increasing_id()
+    return F.pmod(F.xxhash64(key, disc), F.lit(n_salts)).cast("int")
 
 
 def salt_hot_keys(df: DataFrame, key_col: str, n_salts: int,
-                  out: str = "salted_key") -> DataFrame:
+                  out: str = "salted_key",
+                  row_col: str | None = None) -> DataFrame:
     """Big-side salting: append ``salted_key = (key, salt)`` so one hot
-    key spreads over ``n_salts`` reducers."""
+    key spreads over ``n_salts`` reducers.  ``row_col`` names a column
+    that varies within a key (row id) for a reproducible salt."""
+    rc = F.col(row_col) if row_col is not None else None
     return df.withColumn(
         out,
         F.struct(F.col(key_col).alias("k"),
-                 salt_column(F.col(key_col), n_salts).alias("s")),
+                 salt_column(F.col(key_col), n_salts, rc).alias("s")),
     )
 
 

@@ -49,7 +49,7 @@ def test_salted_join_exactness(spark):
         "payload", F.col("cell") % 97
     )
     n_salts = 8
-    b = salt_hot_keys(big, "cell", n_salts)
+    b = salt_hot_keys(big, "cell", n_salts, row_col="pid")
     s = explode_salts(small, "cell", n_salts)
     salted = b.join(s.drop("cell"), "salted_key").select("pid", "payload")
     plain = big.join(small, "cell").select("pid", "payload")
@@ -57,11 +57,26 @@ def test_salted_join_exactness(spark):
     e = plain.orderBy("pid").toPandas()
     assert len(a) == len(e) == 3000
     assert (a["payload"].values == e["payload"].values).all()
-    # the hot cell's rows actually spread over multiple salts
-    spread = (
-        b.groupBy("salted_key").count().where(F.col("count") > 1).count()
+    # the PLANTED HOT CELL's rows spread over (nearly) all salts — the
+    # round-1 salt was a pure function of the key and left every hot row
+    # on one reducer
+    hot_cell = int(np_cell(10.001, 50.001, 8))
+    hot_salts = (
+        b.where(F.col("cell") == hot_cell)
+        .select(F.col("salted_key.s")).distinct().count()
     )
-    assert spread >= 2
+    assert hot_salts >= n_salts - 2
+
+
+def test_salt_nondeterministic_fallback_still_exact(spark):
+    # without row_col the salt uses a per-row nondeterministic id; the
+    # join must still be exact because the small side carries ALL salts
+    big = _pts(spark, n=1000, hot_frac=0.6)
+    small = big.select("cell").distinct().withColumn("payload", F.col("cell") % 97)
+    b = salt_hot_keys(big, "cell", 4)
+    s = explode_salts(small, "cell", 4)
+    n = b.join(s.drop("cell"), "salted_key").count()
+    assert n == 1000
 
 
 def test_skew_diagnostic(spark):

@@ -248,6 +248,177 @@ def test_knn_exact_fallback_sparse(spark):
     assert list(got.sort_values("rank")["point_id"]) == [0, 1, 2]
 
 
+def _np_haversine(lon1, lat1, lon2, lat2):
+    R = 6371008.8
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dphi = (p2 - p1) / 2
+    dlam = (np.radians(lon2) - np.radians(lon1)) / 2
+    h = np.sin(dphi) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlam) ** 2
+    return 2 * R * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+
+
+def test_knn_guard_is_conservative_adversarial(spark):
+    """The exactness guard must LOWER-bound the true distance to every
+    point outside the ring block — probed at cell edges, high latitude,
+    and across the antimeridian (the round-1 guard used a flat 111320
+    m/deg and could overstate by ~0.1%)."""
+    from proj_spark.operators.joins import _block_guard_col
+
+    cases = [  # (lon, lat, level, ring)
+        (179.999999, 0.000001, 16, 1),
+        (-179.999999, 50.0000001, 16, 1),
+        (11.25, 50.625, 5, 1),          # exactly on a level-5 cell corner
+        (0.0, 89.0, 8, 1),              # near-pole, tiny cos(lat)
+        (-122.4, 37.7, 12, 1),
+        (10.0000001, 49.9999999, 16, 2),
+        (45.0, -89.5, 10, 1),
+    ]
+    for lon, lat, level, ring in cases:
+        df = spark.createDataFrame([(lon, lat)], "lon double, lat double")
+        guard = df.select(
+            _block_guard_col(F.col("lon"), F.col("lat"), level, ring).alias("g")
+        ).collect()[0]["g"]
+        # reconstruct the block and sample just-outside points densely
+        n = 1 << level
+        ix = min(max(math.floor((lon + 180.0) / 360.0 * n), 0), n - 1)
+        iy = min(max(math.floor((lat + 90.0) / 180.0 * n), 0), n - 1)
+        west = (ix - ring) * 360.0 / n - 180.0
+        east = (ix + ring + 1) * 360.0 / n - 180.0
+        south = (iy - ring) * 180.0 / n - 90.0
+        north = (iy + ring + 1) * 180.0 / n - 90.0
+        eps = 1e-9
+        samples = []
+        ts = np.linspace(0.0, 1.0, 4001)
+        if south > -90.0:
+            samples.append((west + ts * (east - west), np.full_like(ts, south - eps)))
+        if north < 90.0:
+            samples.append((west + ts * (east - west), np.full_like(ts, north + eps)))
+        lat_lo, lat_hi = max(south, -90.0), min(north, 90.0)
+        samples.append((np.full_like(ts, west - eps), lat_lo + ts * (lat_hi - lat_lo)))
+        samples.append((np.full_like(ts, east + eps), lat_lo + ts * (lat_hi - lat_lo)))
+        slon = np.concatenate([s[0] for s in samples])
+        slat = np.clip(np.concatenate([s[1] for s in samples]), -90.0, 90.0)
+        # wrap sampled lon into [-180, 180] (haversine is wrap-periodic)
+        slon = (slon + 180.0) % 360.0 - 180.0
+        true_min = _np_haversine(lon, lat, slon, slat).min()
+        assert guard <= true_min + 1e-6, (
+            f"guard {guard} exceeds true boundary distance {true_min} "
+            f"at lon={lon} lat={lat} level={level} ring={ring}"
+        )
+
+
+def test_knn_antimeridian_wrap(spark):
+    # nearest neighbors straddle the antimeridian: the candidate ring
+    # must wrap in longitude and the result must stay exact
+    rng = np.random.default_rng(13)
+    lon = np.concatenate([rng.uniform(179.3, 180.0, 60),
+                          rng.uniform(-180.0, -179.3, 60),
+                          rng.uniform(-30, 30, 400)])
+    lat = np.concatenate([rng.uniform(-5, 5, 120), rng.uniform(-60, 60, 400)])
+    pts = spark.createDataFrame(
+        pd.DataFrame({"point_id": np.arange(len(lon)), "lon": lon, "lat": lat})
+    )
+    qs = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0, 1], "lon": [-179.95, 179.97],
+                      "lat": [0.3, -0.2]})
+    )
+    got = (
+        knn_join(pts, qs, k=7, level=7, ring=1)
+        .select("query_id", "point_id", "rank")
+        .toPandas().sort_values(["query_id", "rank"])
+    )
+    for qi, (qlo, qla) in enumerate([(-179.95, 0.3), (179.97, -0.2)]):
+        d = _np_haversine(qlo, qla, lon, lat)
+        want = list(np.lexsort((np.arange(len(lon)), d))[:7])
+        assert list(got[got["query_id"] == qi]["point_id"]) == want
+
+
+def test_knn_adaptive_level_and_two_phase_parity(spark):
+    rng = np.random.default_rng(14)
+    npts, nq, k = 2500, 30, 4
+    lon = rng.uniform(-40, 40, npts)
+    lat = rng.uniform(-40, 40, npts)
+    qlon = rng.uniform(-35, 35, nq)
+    qlat = rng.uniform(-35, 35, nq)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"point_id": np.arange(npts), "lon": lon, "lat": lat})
+    ).repartition(8)
+    qs = spark.createDataFrame(
+        pd.DataFrame({"query_id": np.arange(nq), "lon": qlon, "lat": qlat})
+    )
+    base = (
+        knn_join(pts, qs, k=k)  # adaptive level
+        .select("query_id", "point_id", "rank").toPandas()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert len(base) == nq * k
+    # exactness vs numpy brute force
+    d = _np_haversine(qlon[:, None], qlat[:, None], lon[None, :], lat[None, :])
+    for qi in range(nq):
+        want = list(np.lexsort((np.arange(npts), d[qi]))[:k])
+        assert list(base[base["query_id"] == qi]["point_id"]) == want
+    # the two-phase (pre-reduced) top-k returns the identical result
+    tp = (
+        knn_join(pts, qs, k=k, two_phase=True)
+        .select("query_id", "point_id", "rank").toPandas()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert (tp["point_id"].values == base["point_id"].values).all()
+
+
+def test_knn_near_pole_exact(spark):
+    # cos(max|lat|) ~ 0 kills the longitude guard near the pole; the
+    # operator must still return exact results via fallback
+    rng = np.random.default_rng(15)
+    lon = rng.uniform(-180, 180, 300)
+    lat = rng.uniform(85.0, 90.0, 300)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"point_id": np.arange(300), "lon": lon, "lat": lat})
+    )
+    qs = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0], "lon": [12.0], "lat": [89.9]})
+    )
+    got = knn_join(pts, qs, k=5, level=6, ring=1).toPandas()
+    d = _np_haversine(12.0, 89.9, lon, lat)
+    want = list(np.lexsort((np.arange(300), d))[:5])
+    assert list(got.sort_values("rank")["point_id"]) == want
+
+
+def test_pip_join_many_polygons_executor_side(spark):
+    """10^5 polygons must expand to covering cells on executors (the
+    round-1 driver-side toPandas+iterrows path stalls here)."""
+    n_poly = 100_000
+    polys = spark.range(n_poly).select(
+        F.concat(F.lit("r"), F.col("id")).alias("poly_id"),
+        F.expr(
+            "array(array("
+            "array((id % 3600) * 0.1 - 180.0, ((id * 7) % 1700) * 0.1 - 85.0),"
+            "array((id % 3600) * 0.1 - 180.0 + 0.08, ((id * 7) % 1700) * 0.1 - 85.0),"
+            "array((id % 3600) * 0.1 - 180.0 + 0.08, ((id * 7) % 1700) * 0.1 - 85.0 + 0.08),"
+            "array((id % 3600) * 0.1 - 180.0, ((id * 7) % 1700) * 0.1 - 85.0 + 0.08),"
+            "array((id % 3600) * 0.1 - 180.0, ((id * 7) % 1700) * 0.1 - 85.0)"
+            "))"
+        ).alias("rings"),
+    )
+    rng = np.random.default_rng(16)
+    lon = rng.uniform(-180, 179.9, 400)
+    lat = rng.uniform(-85, 84.9, 400)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"point_id": np.arange(400), "lon": lon, "lat": lat})
+    )
+    got = pip_join(pts, polys, level=8).select("point_id", "poly_id").toPandas()
+    # numpy oracle: strict-interior test of each point against its rects
+    ids = np.arange(n_poly)
+    lon0 = (ids % 3600) * 0.1 - 180.0
+    lat0 = ((ids * 7) % 1700) * 0.1 - 85.0
+    inside = (
+        (lon[:, None] > lon0[None, :]) & (lon[:, None] < lon0[None, :] + 0.08)
+        & (lat[:, None] > lat0[None, :]) & (lat[:, None] < lat0[None, :] + 0.08)
+    )
+    want = {(int(p), f"r{int(r)}") for p, r in zip(*np.nonzero(inside))}
+    assert {(int(r["point_id"]), r["poly_id"]) for _, r in got.iterrows()} == want
+
+
 def test_haversine_known_value(spark):
     # Paris -> London ~ 343.5 km
     df = spark.createDataFrame([(2.3522, 48.8566, -0.1276, 51.5072)],

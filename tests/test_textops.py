@@ -1,0 +1,111 @@
+"""Dedup / text-analysis operators: planted-duplicate oracles.
+
+The driver's DuckDB gate (q18-q24, q31) value-checks these cross-engine;
+these tests pin the *semantics* on hand-built corpora with known
+duplicate structure.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from proj_spark.operators.textops import (
+    exact_dedup,
+    minhash_lsh_groups,
+    minhash_lsh_pairs,
+    simhash_from_hashes_col,
+    token_stats,
+)
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away "
+    "into the green forest near the old river bank"
+)
+
+
+def _docs(spark):
+    rows = []
+    # cluster A: 4 exact duplicates (ids 0-3)
+    for i in range(4):
+        rows.append({"doc_id": i, "text": _BASE})
+    # cluster B: near-duplicates of a variant (ids 10-12)
+    variant = _BASE.replace("green", "dark")
+    for j, tweak in enumerate(["", " extra", " more words here"]):
+        rows.append({"doc_id": 10 + j, "text": variant + tweak})
+    # unique docs (ids 20-24)
+    for u in range(5):
+        rows.append({
+            "doc_id": 20 + u,
+            "text": f"completely different document number {u} about "
+                    f"topic_{u} with unrelated content entirely "
+                    f"word{u}a word{u}b word{u}c word{u}d word{u}e",
+        })
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_exact_dedup_groups(spark):
+    out = exact_dedup(_docs(spark)).toPandas()
+    clusters = {int(r["canonical_id"]): int(r["n_dups"]) for _, r in out.iterrows()}
+    assert clusters[0] == 4          # ids 0-3 collapse to canonical 0
+    assert sum(clusters.values()) == 12
+
+
+def test_minhash_lsh_pairs_finds_planted_dups(spark):
+    out = minhash_lsh_pairs(_docs(spark), num_hashes=16, bands=4,
+                            jaccard_threshold=0.4).toPandas()
+    pairs = {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
+    # all 6 exact-dup pairs present with jaccard 1.0
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert (a, b) in pairs
+    ones = out[(out["id_a"] < 4) & (out["id_b"] < 4)]["jaccard"]
+    assert (ones == 1.0).all()
+    # no cross-cluster pair between exact cluster and uniques
+    assert not any(a < 4 and b >= 20 for a, b in pairs)
+
+
+def test_minhash_lsh_groups_linear_output(spark):
+    docs = _docs(spark)
+    out = minhash_lsh_groups(docs, num_hashes=16, bands=4,
+                             jaccard_threshold=0.4).toPandas()
+    # exactly one row per document — the whole point vs the pairs form
+    assert len(out) == docs.count()
+    canon = dict(zip(out["doc_id"].astype(int), out["canonical_id"].astype(int)))
+    # exact duplicates all map to the min id of the cluster
+    for i in range(4):
+        assert canon[i] == 0
+    # uniques map to themselves
+    for u in range(20, 25):
+        assert canon[u] == u
+    # canonical is never larger than the doc id
+    assert all(c <= d for d, c in canon.items())
+
+
+def test_minhash_lsh_groups_heavy_cluster(spark):
+    # a 300-copy boilerplate cluster: pairs would be ~45k rows, groups
+    # must stay at exactly 300 + the uniques
+    rows = [{"doc_id": i, "text": _BASE} for i in range(300)]
+    rows += [{"doc_id": 1000 + u,
+              "text": f"unique doc {u} alpha{u} beta{u} gamma{u} delta{u} "
+                      f"epsilon{u} zeta{u} eta{u}"}
+             for u in range(10)]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    out = minhash_lsh_groups(docs, num_hashes=16, bands=4,
+                             jaccard_threshold=0.5).toPandas()
+    assert len(out) == 310
+    big = out[out["doc_id"] < 1000]
+    assert (big["canonical_id"] == 0).all()
+
+
+def test_simhash_bits_cap():
+    with pytest.raises(ValueError):
+        simhash_from_hashes_col(F.array(F.lit(1)), bits=64)
+
+
+def test_token_stats_known(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame([{"doc_id": 0, "text": "  Hello   WORLD  foo "}])
+    )
+    r = token_stats(df).collect()[0]
+    assert r["n_tokens"] == 3
+    assert r["n_chars_norm"] == len("hello world foo")
