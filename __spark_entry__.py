@@ -503,6 +503,22 @@ def q33_ann_recall(spark, sf_dir):
     )
 
 
+def q34_ann_ivf(spark, sf_dir):
+    # IVF-style ANN: deterministic coarse quantizer (smallest-id
+    # vectors), nprobe-list probing, exact re-rank — fully SQL-mirrored
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ANN.ann_ivf_topk(emb, qs, k=5, n_centroids=8, nprobe=2)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        _round(F.col("cos_sim"), 5).alias("sim"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transform + cell index + tile assign + PIP join +
     per-tile rollup over sf0.001 — the end-to-end shape of the north
@@ -560,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_minhash_groups": q31_minhash_groups,
         "q32_embed_neardup_lsh": q32_embed_neardup_lsh,
         "q33_ann_recall": q33_ann_recall,
+        "q34_ann_ivf": q34_ann_ivf,
     }
 
 
@@ -990,6 +1007,50 @@ SELECT q.vec_id::BIGINT AS query_id,
        round(coalesce(h.n_hit, 0) / 5.0, 6) AS recall
 FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
 LEFT JOIN hits h ON h.query_id = q.vec_id
+"""
+
+    # ---- q34: IVF — deterministic quantizer replicated in SQL
+    def _cos_sql(va: str, vb: str) -> str:
+        d = (f"list_sum(list_transform(range(1, len({va}) + 1), "
+             f"i -> {va}[i]::DOUBLE * {vb}[i]::DOUBLE))")
+        n1 = (f"sqrt(list_sum(list_transform(range(1, len({va}) + 1), "
+              f"i -> {va}[i]::DOUBLE * {va}[i]::DOUBLE)))")
+        n2 = (f"sqrt(list_sum(list_transform(range(1, len({vb}) + 1), "
+              f"i -> {vb}[i]::DOUBLE * {vb}[i]::DOUBLE)))")
+        return f"({d} / ({n1} * {n2}))"
+
+    out["q34_ann_ivf"] = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cent_vec
+  FROM embeddings ORDER BY vec_id LIMIT 8),
+assign AS (
+  SELECT vec_id, embedding, list_id FROM (
+    SELECT v.vec_id, v.embedding, c.cent_id AS list_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_cos_sql('v.embedding', 'c.cent_vec')} DESC,
+                      c.cent_id DESC) AS r
+    FROM embeddings v CROSS JOIN cents c) WHERE r = 1),
+qprobe AS (
+  SELECT query_id, q_vec, list_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS q_vec,
+           c.cent_id AS list_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {_cos_sql('q.embedding', 'c.cent_vec')} DESC,
+                      c.cent_id DESC) AS r
+    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+    CROSS JOIN cents c) WHERE r <= 2),
+cand AS (
+  SELECT p.query_id, a.vec_id,
+         {_cos_sql('a.embedding', 'p.q_vec')} AS sim
+  FROM assign a JOIN qprobe p ON a.list_id = p.list_id),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM cand)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
+       rank::BIGINT AS rank, round(sim, 5) AS sim
+FROM ranked WHERE rank <= 5
 """
 
     # ---- q30: the generator's lon/lat are pure splitmix64 of the row

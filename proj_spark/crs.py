@@ -39,6 +39,7 @@ from __future__ import annotations
 import json
 import math
 from dataclasses import dataclass, field
+from dataclasses import replace as dc_replace
 from typing import Optional, Sequence, Union
 
 import numpy as np
@@ -56,6 +57,8 @@ __all__ = [
     "EPSG",
     "lib_info",
     "parse_proj_string",
+    "registry_codes",
+    "resolve_crs",
 ]
 
 ENGINE_VERSION = "0.1.0"
@@ -380,12 +383,20 @@ class CrsEntry:
     # geodetic (datum) ellipsoid — may differ from the projection's sphere
     # (EPSG:3857 projects on a sphere but its datum is WGS84)
     datum_ellps: str = "WGS84"
+    # export metadata (WKT/PROJJSON): EPSG datum name/code and, for
+    # projected CRS, the base geographic CRS
+    datum_name: str = ""
+    datum_code: int = 0
+    base_geog: str = ""       # e.g. "EPSG:4269"
+    base_geog_name: str = ""  # e.g. "NAD83"
 
 
 def _e(code, name, kind, proj, towgs84=None, axis_order="en", unit="m",
-       area=None, area_name="", accuracy=-1.0, datum_ellps="WGS84"):
+       area=None, area_name="", accuracy=-1.0, datum_ellps="WGS84",
+       datum_name="", datum_code=0, base_geog="", base_geog_name=""):
     return CrsEntry(code, name, kind, proj, towgs84, axis_order, unit, area,
-                    area_name, accuracy, datum_ellps)
+                    area_name, accuracy, datum_ellps,
+                    datum_name, datum_code, base_geog, base_geog_name)
 
 
 _CA6_LCC = (
@@ -478,6 +489,141 @@ for entry in [
 ]:
     EPSG[entry.code] = entry
 
+# --- NAD83 California State Plane LCC family (published EPSG params):
+# meter zones 26941-26946 and ftUS zones 2225-2230 share the projection
+# core and differ only in false-origin value/unit — the exact structure
+# the reference's flagship 2230->26946 pipeline exercises
+# (/root/reference/src/proj.rs:1868-1875)
+_CA_SPCS = [
+    # zone, lat_0, lon_0, lat_1, lat_2, (west, south, east, north)
+    (1, "39.3333333333333", "-122", "41.6666666666667", "40",
+     (-124.45, 39.59, -119.99, 42.01)),
+    (2, "37.6666666666667", "-122", "39.8333333333333", "38.3333333333333",
+     (-124.06, 38.02, -119.54, 40.16)),
+    (3, "36.5", "-120.5", "38.4333333333333", "37.0666666666667",
+     (-123.02, 36.73, -117.83, 38.71)),
+    (4, "35.3333333333333", "-119", "37.25", "36",
+     (-122.01, 35.78, -115.62, 37.58)),
+    (5, "33.5", "-118", "35.4666666666667", "34.0333333333333",
+     (-121.42, 32.76, -114.12, 35.81)),
+    (6, "32.1666666666667", "-116.25", "33.8833333333333", "32.7833333333333",
+     (-118.15, 32.53, -114.42, 34.08)),
+]
+for _z, _lat0, _lon0, _lat1, _lat2, _bb in _CA_SPCS:
+    _core = (f"+proj=lcc +lat_0={_lat0} +lon_0={_lon0} "
+             f"+lat_1={_lat1} +lat_2={_lat2} ")
+    _area = Area(*_bb)
+    _an = f"United States (USA) - California - SPCS - {_z}."
+    for _code, _x0, _y0, _unit, _suffix in (
+        (f"EPSG:269{40 + _z}", "2000000", "500000", "m", ""),
+        (f"EPSG:{2224 + _z}", "2000000.0001016", "500000.0001016",
+         "us-ft", " (ftUS)"),
+    ):
+        if _code in EPSG:
+            continue  # zone 6 pair is hand-declared above
+        EPSG[_code] = _e(
+            _code, f"NAD83 / California zone {_z}{_suffix}", "projected",
+            _core + f"+x_0={_x0} +y_0={_y0} +ellps=GRS80 +units={_unit}",
+            unit=_unit, area=_area, area_name=_an, datum_ellps="GRS80",
+            datum_name="North American Datum 1983", datum_code=6269,
+            base_geog="EPSG:4269", base_geog_name="NAD83",
+        )
+
+# --- additional geographic + world/continental projected codes
+for entry in [
+    _e("EPSG:4277", "OSGB36", "geographic", "+proj=longlat +ellps=airy",
+       towgs84=(446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489),
+       axis_order="ne", unit="deg", datum_ellps="airy",
+       area=Area(-9.01, 49.75, 2.01, 61.01),
+       area_name="United Kingdom (UK) - offshore to boundary of UKCS.",
+       datum_name="Ordnance Survey of Great Britain 1936", datum_code=6277),
+    _e("EPSG:4179", "Pulkovo 1942(58)", "geographic",
+       "+proj=longlat +ellps=krass",
+       towgs84=(33.4, -146.6, -76.3, -0.359, -0.053, 0.844, -0.84),
+       axis_order="ne", unit="deg", datum_ellps="krass",
+       area=Area(9.92, 39.62, 31.41, 54.89),
+       area_name="Europe - onshore - eastern - S-42(58).",
+       datum_name="Pulkovo 1942(58)", datum_code=6179),
+    _e("EPSG:4171", "RGF93 v1", "geographic", "+proj=longlat +ellps=GRS80",
+       towgs84=(0, 0, 0), axis_order="ne", unit="deg", datum_ellps="GRS80",
+       area=Area(-9.86, 41.15, 10.38, 51.56), area_name="France.",
+       datum_name="Reseau Geodesique Francais 1993 v1", datum_code=6171),
+    _e("EPSG:4617", "NAD83(CSRS)", "geographic", "+proj=longlat +ellps=GRS80",
+       towgs84=(0, 0, 0), axis_order="ne", unit="deg", datum_ellps="GRS80",
+       area=Area(-141.01, 40.04, -47.74, 86.46), area_name="Canada.",
+       datum_name="North American Datum of 1983 (CSRS)", datum_code=6140),
+    _e("EPSG:4152", "NAD83(HARN)", "geographic", "+proj=longlat +ellps=GRS80",
+       towgs84=(0, 0, 0), axis_order="ne", unit="deg", datum_ellps="GRS80",
+       area=Area(-124.79, 24.41, -66.91, 49.38),
+       area_name="United States (USA) - HARN.",
+       datum_name="NAD83 (High Accuracy Reference Network)", datum_code=6152),
+    _e("EPSG:3395", "WGS 84 / World Mercator", "projected",
+       "+proj=merc +lat_ts=0 +ellps=WGS84 +units=m", towgs84=(0, 0, 0),
+       area=Area(-180, -80, 180, 84),
+       area_name="World between 80 S and 84 N.",
+       datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
+       base_geog="EPSG:4326", base_geog_name="WGS 84"),
+    _e("EPSG:3034", "ETRS89-extended / LCC Europe", "projected",
+       "+proj=lcc +lat_0=52 +lon_0=10 +lat_1=35 +lat_2=65 "
+       "+x_0=4000000 +y_0=2800000 +ellps=GRS80 +units=m",
+       towgs84=(0, 0, 0), datum_ellps="GRS80",
+       area=Area(-35.58, 24.6, 44.83, 84.73),
+       area_name="Europe - LCC & LAEA.",
+       datum_name="European Terrestrial Reference System 1989 ensemble",
+       datum_code=6258, base_geog="EPSG:4258", base_geog_name="ETRS89"),
+    _e("EPSG:5069", "NAD27 / Conus Albers", "projected",
+       "+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 "
+       "+x_0=0 +y_0=0 +ellps=clrk66 +units=m",
+       towgs84=(-8.0, 159.0, 175.0), datum_ellps="clrk66",
+       area=Area(-124.79, 24.41, -66.91, 49.38),
+       area_name="United States (USA) - CONUS onshore.",
+       datum_name="North American Datum 1927", datum_code=6267,
+       base_geog="EPSG:4267", base_geog_name="NAD27"),
+    _e("EPSG:3310", "NAD83 / California Albers", "projected",
+       "+proj=aea +lat_0=0 +lon_0=-120 +lat_1=34 +lat_2=40.5 "
+       "+x_0=0 +y_0=-4000000 +ellps=GRS80 +units=m",
+       towgs84=(0, 0, 0), datum_ellps="GRS80",
+       area=Area(-124.45, 32.53, -114.12, 42.01),
+       area_name="United States (USA) - California.",
+       datum_name="North American Datum 1983", datum_code=6269,
+       base_geog="EPSG:4269", base_geog_name="NAD83"),
+]:
+    EPSG[entry.code] = entry
+
+# export metadata (EPSG datum name/code + base geographic CRS) — applied
+# post-hoc so the entry list above stays readable
+_WGS84E = ("World Geodetic System 1984 ensemble", 6326, "EPSG:4326", "WGS 84")
+_NAD83D = ("North American Datum 1983", 6269, "EPSG:4269", "NAD83")
+_DATUM_META = {
+    "EPSG:4326": _WGS84E[:2] + ("", ""),
+    "OGC:CRS84": _WGS84E[:2] + ("", ""),
+    "EPSG:4269": _NAD83D[:2] + ("", ""),
+    "EPSG:4267": ("North American Datum 1927", 6267, "", ""),
+    "EPSG:4258": ("European Terrestrial Reference System 1989 ensemble",
+                  6258, "", ""),
+    "EPSG:3857": _WGS84E,
+    "EPSG:2230": _NAD83D,
+    "EPSG:26946": _NAD83D,
+    "EPSG:3309": ("North American Datum 1927", 6267, "EPSG:4267", "NAD27"),
+    "EPSG:6366": ("Mexico ITRF2008", 1120, "", "Mexico ITRF2008"),
+    "EPSG:32611": _WGS84E,
+    "EPSG:27700": ("Ordnance Survey of Great Britain 1936", 6277,
+                   "EPSG:4277", "OSGB36"),
+    "EPSG:3844": ("Pulkovo 1942(58)", 6179, "EPSG:4179", "Pulkovo 1942(58)"),
+    "EPSG:3035": ("European Terrestrial Reference System 1989 ensemble",
+                  6258, "EPSG:4258", "ETRS89"),
+    "EPSG:2154": ("Reseau Geodesique Francais 1993 v1", 6171,
+                  "EPSG:4171", "RGF93 v1"),
+    "EPSG:5070": _NAD83D,
+    "EPSG:8857": _WGS84E,
+    "EPSG:8858": _WGS84E,
+    "EPSG:8859": _WGS84E,
+}
+for _code, (_dn, _dc, _bg, _bgn) in _DATUM_META.items():
+    if _code in EPSG:
+        EPSG[_code] = dc_replace(EPSG[_code], datum_name=_dn, datum_code=_dc,
+                                 base_geog=_bg, base_geog_name=_bgn)
+
 # name aliases the reference accepts (src/proj.rs:679-685 mentions CRS names)
 _CRS_ALIASES = {
     "WGS84": "EPSG:4326",
@@ -504,6 +650,8 @@ def _synthesize_utm(code: str) -> Optional[CrsEntry]:
             area=Area(-186.0 + 6 * zone, -80 if south else 0,
                       -180.0 + 6 * zone, 0 if south else 84),
             area_name=f"World - {'S' if south else 'N'} hemisphere - zone {zone}.",
+            datum_name=_WGS84E[0], datum_code=_WGS84E[1],
+            base_geog="EPSG:4326", base_geog_name="WGS 84",
         )
         return entry
     if 26901 <= num <= 26923:
@@ -513,9 +661,50 @@ def _synthesize_utm(code: str) -> Optional[CrsEntry]:
             f"+proj=utm +zone={zone} +ellps=GRS80 +units=m",
             area=Area(-186.0 + 6 * zone, 0, -180.0 + 6 * zone, 84),
             area_name=f"North America - zone {zone}N.", datum_ellps="GRS80",
+            datum_name=_NAD83D[0], datum_code=_NAD83D[1],
+            base_geog="EPSG:4269", base_geog_name="NAD83",
+        )
+        return entry
+    if 25828 <= num <= 25838:
+        zone = num % 100
+        entry = _e(
+            code, f"ETRS89 / UTM zone {zone}N", "projected",
+            f"+proj=utm +zone={zone} +ellps=GRS80 +units=m",
+            towgs84=(0, 0, 0),
+            area=Area(-186.0 + 6 * zone, 0, -180.0 + 6 * zone, 84),
+            area_name=f"Europe - {6 * zone - 186}°E to {6 * zone - 180}°E.",
+            datum_ellps="GRS80",
+            datum_name="European Terrestrial Reference System 1989 ensemble",
+            datum_code=6258, base_geog="EPSG:4258", base_geog_name="ETRS89",
+        )
+        return entry
+    if 26703 <= num <= 26722:
+        zone = num % 100
+        entry = _e(
+            code, f"NAD27 / UTM zone {zone}N", "projected",
+            f"+proj=utm +zone={zone} +ellps=clrk66 +units=m",
+            towgs84=(-8.0, 159.0, 175.0),
+            area=Area(-186.0 + 6 * zone, 0, -180.0 + 6 * zone, 84),
+            area_name=f"North America - zone {zone}N.", datum_ellps="clrk66",
+            datum_name="North American Datum 1927", datum_code=6267,
+            base_geog="EPSG:4267", base_geog_name="NAD27",
         )
         return entry
     return None
+
+
+def registry_codes() -> list[str]:
+    """Every CRS code the engine resolves: explicit registry entries
+    plus the synthesized UTM blocks (WGS84 N/S, NAD83, ETRS89, NAD27).
+    The engine analog of iterating libproj's EPSG database
+    (/root/reference/src/proj.rs:679-685)."""
+    codes = set(EPSG)
+    codes.update(f"EPSG:{n}" for n in range(32601, 32661))   # WGS84 UTM N
+    codes.update(f"EPSG:{n}" for n in range(32701, 32761))   # WGS84 UTM S
+    codes.update(f"EPSG:{n}" for n in range(26901, 26924))   # NAD83 UTM
+    codes.update(f"EPSG:{n}" for n in range(25828, 25839))   # ETRS89 UTM
+    codes.update(f"EPSG:{n}" for n in range(26703, 26723))   # NAD27 UTM
+    return sorted(codes)
 
 
 def resolve_crs(spec: str) -> CrsEntry:
@@ -877,73 +1066,36 @@ class Transform:
     def to_projjson(self, multiline: Optional[bool] = None,
                     indent_width: Optional[int] = None,
                     schema: Optional[str] = None) -> str:
-        """PROJJSON export (Proj::to_projjson,
-        /root/reference/src/proj.rs:1280-1308).  Default schema v0.7 and
-        multiline output, matching the reference's assertions
-        (src/proj.rs:1988-2009)."""
+        """Full PROJJSON export — datum/ensemble + ellipsoid + CS +
+        conversion (EPSG method/parameter codes) + usage + id
+        (Proj::to_projjson, /root/reference/src/proj.rs:1280-1308;
+        options :1988-2009).  Structure built in proj_spark.wkt."""
+        from .wkt import to_projjson_dict
+
         schema = schema or "https://proj.org/schemas/v0.7/projjson.schema.json"
         entry = self._src
-        obj = {
-            "$schema": schema,
-            "type": ("GeographicCRS" if entry and entry.kind == "geographic"
-                     else "ProjectedCRS" if entry else "Transformation"),
-            "name": self._name or self._definition,
-        }
-        if entry:
-            auth, _, code = entry.code.partition(":")
-            obj["id"] = {"authority": auth, "code": int(code) if code.isdigit() else code}
-            obj["proj_string"] = entry.proj
-            if entry.area:
-                obj["bbox"] = {
-                    "south_latitude": entry.area.south,
-                    "west_longitude": entry.area.west,
-                    "north_latitude": entry.area.north,
-                    "east_longitude": entry.area.east,
-                }
+        if entry is None:
+            obj = {"$schema": schema, "type": "Transformation",
+                   "name": self._name or self._definition}
+        else:
+            obj = to_projjson_dict(entry, schema)
         if multiline is False:
             return json.dumps(obj, separators=(",", ":"))
         return json.dumps(obj, indent=indent_width or 2)
 
     def as_wkt(self, version: str = "WKT2_2019", multiline: bool = True) -> str:
-        """WKT export (Proj::as_wkt, /root/reference/src/proj.rs:1310-1377).
-        Golden-string parity for EPSG:4326 single-line WKT2:2019
-        (src/proj.rs:2012-2028); other CRS get a generated WKT2 skeleton."""
+        """WKT export honoring all six reference dialects and the
+        multiline option (Proj::as_wkt,
+        /root/reference/src/proj.rs:1310-1377; WktVersion :1446-1453).
+        EPSG:4326 WKT2:2019 single-line is byte-identical to libproj
+        (golden KAT, src/proj.rs:2012-2028); other CRS are structural
+        WKT generated from the registry (see proj_spark.wkt)."""
+        from .wkt import to_wkt
+
         entry = self._src
         if entry is None:
             raise ProjError("WKT export requires a CRS object")
-        if entry.code == "EPSG:4326":
-            wkt = (
-                'GEOGCRS["WGS 84",ENSEMBLE["World Geodetic System 1984 ensemble",'
-                'MEMBER["World Geodetic System 1984 (Transit)"],'
-                'MEMBER["World Geodetic System 1984 (G730)"],'
-                'MEMBER["World Geodetic System 1984 (G873)"],'
-                'MEMBER["World Geodetic System 1984 (G1150)"],'
-                'MEMBER["World Geodetic System 1984 (G1674)"],'
-                'MEMBER["World Geodetic System 1984 (G1762)"],'
-                'MEMBER["World Geodetic System 1984 (G2139)"],'
-                'MEMBER["World Geodetic System 1984 (G2296)"],'
-                'ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]],'
-                'ENSEMBLEACCURACY[2.0]],'
-                'PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]],'
-                'CS[ellipsoidal,2],'
-                'AXIS["geodetic latitude (Lat)",north,ORDER[1],'
-                'ANGLEUNIT["degree",0.0174532925199433]],'
-                'AXIS["geodetic longitude (Lon)",east,ORDER[2],'
-                'ANGLEUNIT["degree",0.0174532925199433]],'
-                'USAGE[SCOPE["Horizontal component of 3D system."],'
-                'AREA["World."],BBOX[-90,-180,90,180]],ID["EPSG",4326]]'
-            )
-            return wkt
-        a, es = K.ellipsoid(parse_proj_string(entry.proj)[0])
-        rf = 0.0 if es == 0 else 1.0 / (1.0 - math.sqrt(1.0 - es))
-        kind = "GEOGCRS" if entry.kind == "geographic" else "PROJCRS"
-        auth, _, code = entry.code.partition(":")
-        body = (
-            f'{kind}["{entry.name}",'
-            f'ELLIPSOID["{entry.name}",{a},{rf:.9f},LENGTHUNIT["metre",1]],'
-            f'ID["{auth}",{code}]]'
-        )
-        return body
+        return to_wkt(entry, version, multiline)
 
     def __repr__(self) -> str:
         return f"Transform({self._definition!r})"

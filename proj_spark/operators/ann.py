@@ -26,6 +26,7 @@ __all__ = [
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_lsh_recall",
+    "ann_ivf_topk",
     "embedding_neardup_pairs",
 ]
 
@@ -178,6 +179,81 @@ def ann_lsh_recall(
     return queries.select(query_id_col).join(per_q, query_id_col, "left").select(
         query_id_col, F.coalesce(F.col("recall"), F.lit(0.0)).alias("recall")
     )
+
+
+def ann_ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer partitions the
+    vectors into inverted lists; queries probe only their ``nprobe``
+    nearest lists; exact cosine re-ranks the candidates.
+
+    The quantizer is DELIBERATELY deterministic — the ``n_centroids``
+    vectors with the smallest ids — so the whole operator (lists,
+    probes, result set) is replicable in plain SQL for the value oracle,
+    like the LSH hyperplane literals.  A production swap-in (k-means
+    centroids) changes only the centroid table.
+
+    Scale shape: centroids are collected once (a tiny bounded set, like
+    the LSH planes) and embedded as literal arrays, so LIST ASSIGNMENT
+    IS A PURE PROJECTION — a single ``greatest()`` over per-centroid
+    struct(sim, id) expressions, no shuffle, no N x C join.  Probing is
+    a window over the (small) query side; the candidate join shuffles
+    nothing but list-id partitions of the reduced candidate set.
+    """
+    cents = (
+        vectors.orderBy(F.col(id_col).asc()).limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        .collect()
+    )
+
+    def _cent_sim(vec: Column, row) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in row["cent_vec"]])
+        return cosine_sim_col(vec, arr)
+
+    # argmax by (sim, cent_id): greatest() on structs compares
+    # lexicographically, so ties break toward the larger cent_id —
+    # mirrored exactly in the SQL oracle (ORDER BY sim DESC, id DESC)
+    structs = [
+        F.struct(_cent_sim(F.col(vec_col), r).alias("s"),
+                 F.lit(int(r["cent_id"])).cast("long").alias("c"))
+        for r in cents
+    ]
+    best = structs[0] if len(structs) == 1 else F.greatest(*structs)
+    assigned = vectors.select(id_col, vec_col,
+                              best["c"].alias("list_id"))
+
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec"))
+    probes = [
+        F.struct(_cent_sim(F.col("q_vec"), r).alias("s"),
+                 F.lit(int(r["cent_id"])).cast("long").alias("c"))
+        for r in cents
+    ]
+    qp = q.withColumn("_p", F.explode(F.array(*probes)))
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("_p.s").desc(), F.col("_p.c").desc()
+    )
+    qprobe = (
+        qp.withColumn("_pr", F.row_number().over(wq))
+        .where(F.col("_pr") <= nprobe)
+        .select(query_id_col, "q_vec", F.col("_p.c").alias("list_id"))
+    )
+    cand = assigned.join(F.broadcast(qprobe), "list_id").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_sim_col(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def embedding_neardup_pairs(

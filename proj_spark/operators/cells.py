@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "MAX_LEVEL",
     "cell_col",
+    "with_cell",
     "cell_parent_col",
     "cell_ring_col",
     "np_cell",

@@ -55,6 +55,8 @@ __all__ = [
     "geom_multipolygon",
     "geom_rect",
     "geom_triangle",
+    "geom_multilinestring",
+    "geom_collection_rows",
     "transform_geometry",
     "geom_bounds_udf",
 ]
@@ -93,6 +95,31 @@ def geom_multipolygon(polygons) -> dict:
         offsets.append(len(parts))
         parts.extend([[[float(x), float(y)] for x, y in ring] for ring in rings])
     return {"kind": "MultiPolygon", "parts": parts, "offsets": offsets}
+
+
+def geom_multilinestring(lines) -> dict:
+    """One part per line (dispatch analog of the reference's
+    MultiLineString arm, /root/reference/src/geo_types.rs:58-84)."""
+    return {
+        "kind": "MultiLineString",
+        "parts": [[[float(x), float(y)] for x, y in line] for line in lines],
+        "offsets": None,
+    }
+
+
+def geom_collection_rows(geoms: Iterable[dict]) -> list[dict]:
+    """GeometryCollection constructor: the struct model stores one
+    geometry per value, so a collection materializes as one ROW per
+    member with a shared collection index carried in ``offsets[0]`` —
+    the relational analog of the reference's per-member dispatch
+    (src/geo_types.rs:58-84).  Returns the member dicts (attach them
+    with an id column via ``explode``)."""
+    out = []
+    for i, g in enumerate(geoms):
+        member = dict(g)
+        member["offsets"] = [i] + list(member.get("offsets") or [])
+        out.append(member)
+    return out
 
 
 def geom_rect(min_xy, max_xy) -> dict:

@@ -23,7 +23,6 @@ after executor loss at 100-TB scale.
 from __future__ import annotations
 
 import json
-import os
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Optional
@@ -34,6 +33,43 @@ from pyspark.sql import functions as F
 __all__ = ["CheckpointedPipeline", "StageResult"]
 
 ENGINE_VERSION = "0.1.0"
+
+
+# -- Hadoop-FS side files (NOT driver-local open(): on a real cluster the
+# pipeline root is an object store / HDFS path, and the markers must live
+# next to the data through the same FileSystem the executors write to) --
+def _fs_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _fs_path(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def _fs_write_text(spark: SparkSession, path: str, content: str) -> None:
+    fs, hpath = _fs_path(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    fs, hpath = _fs_path(spark, path)
+    stream = fs.open(hpath)
+    try:
+        return str(
+            spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        )
+    finally:
+        stream.close()
 
 
 @dataclass
@@ -65,7 +101,7 @@ class CheckpointedPipeline:
         return f"{self.root}/{self.name}/{stage}"
 
     def _done(self, stage: str) -> bool:
-        return os.path.exists(f"{self._dir(stage)}/_SUCCESS.json")
+        return _fs_exists(self.spark, f"{self._dir(stage)}/_SUCCESS.json")
 
     # -- execution ------------------------------------------------------
     def run(self, resume: bool = True) -> list[StageResult]:
@@ -76,8 +112,7 @@ class CheckpointedPipeline:
             data_path = f"{d}/data"
             if resume and self._done(stage_name):
                 prev = self.spark.read.parquet(data_path)
-                with open(f"{d}/_SUCCESS.json") as f:
-                    meta = json.load(f)
+                meta = json.loads(_fs_read_text(self.spark, f"{d}/_SUCCESS.json"))
                 self.results.append(
                     StageResult(stage_name, data_path, meta["rows"], 0.0, True)
                 )
@@ -105,11 +140,11 @@ class CheckpointedPipeline:
                 "input_stage": self.results[-1].name if self.results else None,
                 "completed_unix": time.time(),
             }
-            with open(f"{d}/_LINEAGE.json", "w") as f:
-                json.dump(lineage, f, indent=2)
+            _fs_write_text(self.spark, f"{d}/_LINEAGE.json",
+                           json.dumps(lineage, indent=2))
             # _SUCCESS marker LAST: its presence == stage is resumable
-            with open(f"{d}/_SUCCESS.json", "w") as f:
-                json.dump({"rows": rows}, f)
+            _fs_write_text(self.spark, f"{d}/_SUCCESS.json",
+                           json.dumps({"rows": rows}))
             self.results.append(StageResult(stage_name, data_path, rows, dt, False))
             prev = out
         return self.results
@@ -118,16 +153,15 @@ class CheckpointedPipeline:
         out = []
         for stage_name, _ in self.stages:
             p = f"{self._dir(stage_name)}/_LINEAGE.json"
-            if os.path.exists(p):
-                with open(p) as f:
-                    out.append(json.load(f))
+            if _fs_exists(self.spark, p):
+                out.append(json.loads(_fs_read_text(self.spark, p)))
         return out
 
     def metrics(self) -> Optional[DataFrame]:
         paths = [
             f"{self._dir(s)}/_METRICS"
             for s, _ in self.stages
-            if os.path.exists(f"{self._dir(s)}/_METRICS")
+            if _fs_exists(self.spark, f"{self._dir(s)}/_METRICS")
         ]
         if not paths:
             return None

@@ -33,9 +33,23 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def _is_table_identifier(location: str) -> bool:
+    """A dotted ``catalog.db.table`` identifier, not a filesystem path.
+    A bare relative path like ``out.parquet`` must NOT be routed to the
+    Iceberg branch (round-1 advice finding), so paths (any ``/``, any
+    URI scheme, a ``.parquet`` suffix) are excluded and at least one dot
+    separator is required."""
+    if "/" in location or "://" in location:
+        return False
+    if location.endswith(".parquet"):
+        return False
+    parts = location.split(".")
+    return len(parts) >= 2 and all(p.isidentifier() for p in parts)
+
+
 def read_table(spark: SparkSession, location: str) -> DataFrame:
     """Read an Iceberg table (``catalog.db.table``) or a parquet path."""
-    if "/" not in location and iceberg_available(spark):
+    if _is_table_identifier(location) and iceberg_available(spark):
         return spark.read.format("iceberg").load(location)
     return spark.read.parquet(location)
 
@@ -51,10 +65,17 @@ def write_table(
     ``partition_by`` should be the cell-prefix / (zoom, tile_x) columns
     so downstream cell-range predicates prune files (the engine analog
     of the reference's Area-based pruning,
-    /root/reference/src/proj.rs:171-192)."""
-    if "/" not in location and iceberg_available(df.sparkSession):
+    /root/reference/src/proj.rs:171-192).  On the Iceberg branch the
+    layout is applied via ``partitionedBy`` at table creation;
+    ``append`` cannot change an existing table's partition spec (Iceberg
+    semantics), so partition_by is only honored for overwrite/create."""
+    if _is_table_identifier(location) and iceberg_available(df.sparkSession):
         writer = df.writeTo(location)
         if mode == "overwrite":
+            if partition_by:
+                from pyspark.sql.functions import col
+
+                writer = writer.partitionedBy(*[col(c) for c in partition_by])
             writer.createOrReplace()
         else:
             writer.append()

@@ -61,3 +61,46 @@ def test_geom_bounds(spark):
     df = _df(spark, [geom_linestring([(0.0, 5.0), (10.0, -3.0), (4.0, 8.0)])])
     b = df.select(geom_bounds_udf()(F.col("geom")).alias("b")).select("b.*").collect()[0]
     assert (b["minx"], b["miny"], b["maxx"], b["maxy"]) == (0.0, -3.0, 10.0, 8.0)
+
+
+def test_multilinestring_roundtrip(spark):
+    from proj_spark.operators.geometry import geom_multilinestring
+
+    lines = [[_P1, _P2], [(4760300.0, 3744100.0), (4760400.0, 3744200.0),
+                          (4760500.0, 3744300.0)]]
+    df = _df(spark, [geom_multilinestring(lines)])
+    out = transform_geometry(df, "EPSG:2230", "EPSG:26946")
+    back = transform_geometry(out, "EPSG:26946", "EPSG:2230").toPandas()
+    g = back["geom"][0]
+    assert g["kind"] == "MultiLineString"
+    assert len(g["parts"]) == 2 and len(g["parts"][1]) == 3
+    for part, src in zip(g["parts"], lines):
+        for got, want in zip(part, src):
+            assert abs(got[0] - want[0]) < 1e-5
+            assert abs(got[1] - want[1]) < 1e-5
+    # the forward transform hits the K16 expected corner
+    fwd = transform_geometry(_df(spark, [geom_multilinestring(lines)]),
+                             "EPSG:2230", "EPSG:26946").toPandas()["geom"][0]
+    assert abs(fwd["parts"][0][0][0] - _E1[0]) < 0.2
+
+
+def test_geometry_collection_rows_roundtrip(spark):
+    from proj_spark.operators.geometry import (
+        geom_collection_rows,
+        geom_point,
+        geom_triangle,
+    )
+
+    members = geom_collection_rows([
+        geom_point(*_P1),
+        geom_triangle(_P1, _P2, (4760150.0, 3744350.0)),
+    ])
+    # one row per member, collection index in offsets[0]
+    assert [m["offsets"][0] for m in members] == [0, 1]
+    df = _df(spark, members)
+    out = transform_geometry(df, "EPSG:2230", "EPSG:26946").toPandas()
+    kinds = set(out["geom"].map(lambda g: g["kind"]))
+    assert kinds == {"Point", "Triangle"}
+    for g in out["geom"]:
+        assert abs(g["parts"][0][0][0] - _E1[0]) < 0.2
+        assert abs(g["parts"][0][0][1] - _E1[1]) < 0.2

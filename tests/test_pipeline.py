@@ -61,3 +61,34 @@ def test_no_resume_forces_rerun(spark, tmp_path):
     _build(spark, root, counter).run()
     _build(spark, root, counter).run(resume=False)
     assert counter == {"a": 2, "b": 2}
+
+
+def test_resume_with_uri_scheme_root(spark, tmp_path):
+    # markers go through the Hadoop FileSystem API, so a scheme-qualified
+    # root (the shape of an hdfs:// or s3a:// deploy) must work end-to-end
+    from pyspark.sql import functions as F
+
+    from proj_spark.plans.pipeline import CheckpointedPipeline
+
+    root = f"file://{tmp_path}/ckpt_uri"
+
+    def make(spark_, prev):
+        return spark_.range(100).withColumn("v", F.col("id") * 2)
+
+    def double(spark_, prev):
+        return prev.withColumn("v", F.col("v") * 2)
+
+    p1 = CheckpointedPipeline(spark, root, "uri_pipe")
+    p1.stage("make", make).stage("double", double)
+    r1 = p1.run()
+    assert [s.skipped for s in r1] == [False, False]
+    assert r1[-1].rows == 100
+
+    # a second run resumes every stage through the same FS markers
+    p2 = CheckpointedPipeline(spark, root, "uri_pipe")
+    p2.stage("make", make).stage("double", double)
+    r2 = p2.run()
+    assert [s.skipped for s in r2] == [True, True]
+    lineage = p2.lineage()
+    assert len(lineage) == 2 and lineage[1]["stage"] == "double"
+    assert p2.metrics().count() > 0

@@ -427,3 +427,15 @@ def test_haversine_known_value(spark):
         haversine_col(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("d")
     ).collect()[0]["d"]
     assert abs(d - 343_500) < 1_500
+
+
+def test_with_cell_matches_cell_col(spark):
+    # the chained-projection encoding is bit-for-bit the nested form
+    rng = np.random.default_rng(17)
+    pdf = pd.DataFrame({"lon": rng.uniform(-180, 180, 400),
+                        "lat": rng.uniform(-90, 90, 400)})
+    df = spark.createDataFrame(pdf)
+    for level in (0, 3, 12, 26):
+        a = C.with_cell(df, "lon", "lat", level, out="c").select("c").toPandas()
+        b = df.select(C.cell_col(F.col("lon"), F.col("lat"), level).alias("c")).toPandas()
+        assert (a["c"].values == b["c"].values).all(), level

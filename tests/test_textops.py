@@ -109,3 +109,30 @@ def test_token_stats_known(spark):
     r = token_stats(df).collect()[0]
     assert r["n_tokens"] == 3
     assert r["n_chars_norm"] == len("hello world foo")
+
+
+def test_ann_ivf_degenerate_equals_bruteforce(spark):
+    # with one centroid and one probe, every vector is a candidate:
+    # IVF must equal the exact brute-force result
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from proj_spark.operators.ann import ann_bruteforce_topk, ann_ivf_topk
+
+    rng = np.random.default_rng(19)
+    rows = [{"vec_id": i, "embedding": rng.normal(size=8).astype(float).tolist()}
+            for i in range(120)]
+    vecs = spark.createDataFrame(pd.DataFrame(rows),
+                                 schema="vec_id long, embedding array<float>")
+    qs = vecs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    ivf = ann_ivf_topk(vecs, qs, k=4, n_centroids=1, nprobe=1).select(
+        "query_id", "vec_id", "rank").toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    ref = ann_bruteforce_topk(vecs, qs, k=4).select(
+        "query_id", "vec_id", "rank").toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert (ivf.values == ref.values).all()
+    # multi-list variant returns k ranked rows per query with real ids
+    multi = ann_ivf_topk(vecs, qs, k=4, n_centroids=6, nprobe=2).toPandas()
+    assert set(multi.groupby("query_id").size()) == {4}
