@@ -31,6 +31,7 @@ __all__ = [
     "minhash_signature",
     "minhash_lsh_pairs",
     "minhash_lsh_groups",
+    "dedup_connected_components",
     "simhash_col",
     "simhash_dedup_pairs",
     "token_stats",
@@ -289,6 +290,66 @@ def minhash_lsh_groups(
         .alias("canonical_id"),
     )
     return trivial.unionByName(verified)
+
+
+def dedup_connected_components(
+    pairs: DataFrame,
+    id_col_a: str = "id_a",
+    id_col_b: str = "id_b",
+    max_iters: int = 12,
+) -> DataFrame:
+    """FULL transitive closure over a verified near-dup pair set:
+    min-label propagation until fixpoint.  Complements
+    :func:`minhash_lsh_groups` (one-hop bucket canonicalization) when
+    chained duplicates (A~B~C without A~C) must share one component.
+
+    Distributed shape: each round is one join + one min-aggregate on the
+    edge list; rounds needed = component diameter, which for dedup
+    graphs (near-cliques around a template) is 2-3.  Each round
+    localCheckpoints the label frame — iterative algorithms otherwise
+    grow an unbounded lineage — and the driver runs one count() per
+    round purely as the convergence test (the data never collects).
+
+    No SQL oracle by design (iterative/recursive); pytest-verified
+    against a union-find reference.  Output: (node, component_id).
+    """
+    e = pairs.select(F.col(id_col_a).alias("u"), F.col(id_col_b).alias("v"))
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("u").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(F.col("node").alias("v"),
+                              F.col("label").alias("vlab")),
+                "v",
+            )
+            .groupBy("u").agg(F.min("vlab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["u"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nlab"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component_id"))
 
 
 def simhash_col(text: Column, bits: int = 48, k: int = 1) -> Column:

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..operators.cells import cell_col
 from ..operators.tiles import tile_x_col, tile_y_col
 
-__all__ = ["stream_tile_counts", "run_available_now"]
+__all__ = ["stream_tile_counts", "stream_dedup_first_seen", "run_available_now"]
 
 
 def stream_tile_counts(
@@ -45,6 +45,78 @@ def stream_tile_counts(
             F.count(F.lit(1)).alias("n_points"),
             F.approx_count_distinct("cell").alias("n_cells"),
         )
+    )
+
+
+def stream_dedup_first_seen(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    state_ttl_ms: int = 600_000,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator: exact dedup over a document
+    stream via ``applyInPandasWithState``.
+
+    Per normalized-text hash, the state carries (canonical_id = min doc
+    id seen, n = running duplicate count) ACROSS micro-batches; every
+    batch that touches a key emits its current totals (update mode).
+    The batch twin is ``textops.exact_dedup`` — same hash, same
+    canonical-min semantics — so a drained stream can be value-compared
+    against the batch result (tested).
+
+    State is bounded two ways, as a 100-TB stream requires: the
+    watermark bounds late data, and an event-time timeout evicts a key
+    once the watermark passes ``state_ttl_ms`` beyond the key's LAST
+    seen event (anchoring the timeout to the watermark itself would
+    evict everything on the first watermark jump — the initial
+    watermark is epoch 0).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.textops import normalize_text_col
+
+    hashed = (
+        stream_df.withWatermark(ts_col, watermark)
+        .withColumn("__h", F.md5(normalize_text_col(F.col(text_col))))
+        .select("__h", id_col, ts_col)
+    )
+    out_ddl = "text_hash string, canonical_id long, n_dups long"
+    state_ddl = "canonical_id long, n long"
+
+    def _update(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            min_id, n = state.get
+        else:
+            min_id, n = None, 0
+        last_ts_ms = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf[id_col].min())
+                min_id = m if min_id is None else min(min_id, m)
+                n += len(pdf)
+                ts_ms = int(pdf[ts_col].max().value // 1_000_000)
+                last_ts_ms = ts_ms if last_ts_ms is None else max(last_ts_ms, ts_ms)
+        if min_id is None:
+            return
+        state.update((int(min_id), int(n)))
+        # timeout must be strictly beyond the current watermark
+        state.setTimeoutTimestamp(
+            max(last_ts_ms + state_ttl_ms,
+                state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(
+            [{"text_hash": key[0], "canonical_id": int(min_id), "n_dups": int(n)}]
+        )
+
+    return hashed.groupBy("__h").applyInPandasWithState(
+        _update, out_ddl, state_ddl, "update", GroupStateTimeout.EventTimeTimeout
     )
 
 

@@ -1,3 +1,5 @@
+import tempfile
+
 import pytest
 
 
@@ -5,6 +7,7 @@ import pytest
 def spark():
     from pyspark.sql import SparkSession
 
+    warehouse = tempfile.mkdtemp(prefix="proj_spark_wh_")
     s = (
         SparkSession.builder.master("local[4]")
         .appName("proj_spark-tests")
@@ -12,6 +15,7 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "4g")
+        .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

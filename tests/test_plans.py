@@ -74,3 +74,40 @@ def test_parquet_scan_pushdown_and_pruning(spark, tmp_path):
     # column pruning: payload/lat not read
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][-1]
     assert "payload" not in read_schema and "lat" not in read_schema
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketed-by-cell tables join without a shuffle: the exchange is
+    paid once at write time (the 'bucketing for co-located joins' knob)."""
+    from proj_spark.operators.cells import cell_col
+    from proj_spark.sources.tables import write_bucketed_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = _pts(spark, 4000, seed=22).withColumn(
+            "cell", cell_col(F.col("lon"), F.col("lat"), 6))
+        b = _pts(spark, 4000, seed=23).withColumn(
+            "cell", cell_col(F.col("lon"), F.col("lat"), 6))
+        write_bucketed_table(a, "bt_a", ["cell"], num_buckets=8,
+                             sort_cols=["cell"])
+        write_bucketed_table(b, "bt_b", ["cell"], num_buckets=8,
+                             sort_cols=["cell"])
+        ta = spark.table("bt_a")
+        tb = spark.table("bt_b").select(
+            "cell", F.col("point_id").alias("other_id"))
+        joined = ta.join(tb, "cell")
+        plan = _plan(joined)
+        # no shuffle on either side of the join
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() > 0
+        # control: the same join over plain parquet DOES shuffle
+        pa = str(tmp_path / "plain_a"); pb = str(tmp_path / "plain_b")
+        a.write.parquet(pa); b.write.parquet(pb)
+        plain = spark.read.parquet(pa).join(
+            spark.read.parquet(pb).select(
+                "cell", F.col("point_id").alias("other_id")), "cell")
+        assert "Exchange hashpartitioning" in _plan(plain)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")

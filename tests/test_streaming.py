@@ -37,3 +37,47 @@ def test_stream_tile_counts(spark, tmp_path):
         .groupby(["m", "tile_x", "tile_y"]).size()
     )
     assert len(out) == len(batch)
+
+
+def test_stream_dedup_first_seen_stateful(spark, tmp_path):
+    """applyInPandasWithState dedup: state carries across micro-batches
+    (one file per trigger) and the drained result matches the batch
+    exact_dedup twin."""
+    from proj_spark.operators.textops import exact_dedup
+    from proj_spark.streaming.stream_ops import (
+        run_available_now,
+        stream_dedup_first_seen,
+    )
+
+    src = str(tmp_path / "dsrc")
+    ckpt = str(tmp_path / "dckpt")
+    texts = ["alpha doc", "beta doc", "alpha doc", "gamma doc",
+             "alpha  DOC", "beta doc"]  # normalization collapses case/ws
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    rows = [{"doc_id": i, "text": t,
+             "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i)}
+            for i, t in enumerate(texts)]
+    spark.createDataFrame(pd.DataFrame(rows[:3])).write.parquet(f"{src}/f1.parquet")
+    spark.createDataFrame(pd.DataFrame(rows[3:])).write.parquet(f"{src}/f2.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    out = stream_dedup_first_seen(stream)
+    run_available_now(out, ckpt, table_name="d_out", output_mode="update")
+    got = spark.sql("SELECT * FROM d_out").toPandas()
+    # update mode emits once per touched batch; n_dups is monotone so
+    # the max per key is the final state (memory-sink rows are unordered)
+    final = got.groupby("text_hash").agg(
+        canonical_id=("canonical_id", "min"), n_dups=("n_dups", "max"))
+
+    batch = (
+        exact_dedup(spark.createDataFrame(pd.DataFrame(rows)))
+        .toPandas().set_index("text_hash")
+    )
+    assert len(final) == len(batch) == 3
+    for h, row in batch.iterrows():
+        assert final.loc[h, "canonical_id"] == row["canonical_id"]
+        assert final.loc[h, "n_dups"] == row["n_dups"]

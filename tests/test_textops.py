@@ -136,3 +136,37 @@ def test_ann_ivf_degenerate_equals_bruteforce(spark):
     # multi-list variant returns k ranked rows per query with real ids
     multi = ann_ivf_topk(vecs, qs, k=4, n_centroids=6, nprobe=2).toPandas()
     assert set(multi.groupby("query_id").size()) == {4}
+
+
+def test_dedup_connected_components_vs_union_find(spark):
+    from proj_spark.operators.textops import dedup_connected_components
+
+    # chain a-b-c-d (diameter 3), a triangle, an isolated pair
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pairs = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    got = {int(r["node"]): int(r["component_id"])
+           for r in dedup_connected_components(pairs).collect()}
+
+    # union-find reference
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(x, y):
+        parent[find(x)] = find(y)
+    for a, b in edges:
+        union(a, b)
+    want_groups = {}
+    for n in parent:
+        want_groups.setdefault(find(n), set()).add(n)
+    got_groups = {}
+    for n, c in got.items():
+        got_groups.setdefault(c, set()).add(n)
+    assert set(map(frozenset, got_groups.values())) == set(
+        map(frozenset, want_groups.values()))
+    # component id is the min member (deterministic canonical)
+    for c, members in got_groups.items():
+        assert c == min(members)
