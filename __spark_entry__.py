@@ -519,6 +519,65 @@ def q34_ann_ivf(spark, sf_dir):
     )
 
 
+def q35_video_frames(spark, sf_dir):
+    # multimodal video: frame-sample the rawgrid container, then verify
+    # each sampled frame against an INDEPENDENT regeneration from
+    # (video_id, frame_idx) metadata alone — container path vs
+    # regenerate path must agree pixel-for-pixel (q29-style invariant)
+    import numpy as np
+
+    from proj_spark.sources.datagen import raster_for, splitmix64
+    from proj_spark.sources.images import decode_png, phash64
+    from proj_spark.sources.media import sample_frames, synthesize_videos
+
+    vids = synthesize_videos(spark, 60, n_frames=8, partitions=8)
+    frames = sample_frames(vids, every=2).localCheckpoint()
+
+    def _verify(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                i = int(r["video_id"][3:])
+                h = splitmix64(np.uint64(i))
+                w_px = 16 + int(h & np.uint64(0xF))
+                h_px = 16 + int((h >> np.uint64(8)) & np.uint64(0xF))
+                want = raster_for(int(h) + int(r["frame_idx"]), w_px, h_px)
+                got = decode_png(bytes(r["frame_png"]))
+                rows.append((
+                    r["video_id"], int(r["frame_idx"]),
+                    bool(got.shape == want.shape and (got == want).all()),
+                    bool(int(r["phash"]) == phash64(want)),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "video_id", "frame_idx", "pixels_ok", "phash_ok"])
+
+    return frames.mapInPandas(
+        _verify,
+        "video_id string, frame_idx int, pixels_ok boolean, phash_ok boolean",
+    )
+
+
+def q36_audio_features(spark, sf_dir):
+    # multimodal audio: features over raw PCM, gated by closed-form
+    # expectations (pure-sine clips: rms = A/sqrt(2), zcr = 2f/sr)
+    from proj_spark.sources.media import audio_features, synthesize_audio
+
+    aud = synthesize_audio(spark, 200, sample_rate=8000, duration_s=0.5,
+                           partitions=8).localCheckpoint()
+    feats = audio_features(aud)
+    joined = feats.join(
+        aud.select("audio_id", "freq_hz", "amplitude"), "audio_id"
+    )
+    return joined.select(
+        "audio_id",
+        (F.abs(F.col("rms") - F.col("amplitude") / math.sqrt(2.0)) < 0.02)
+        .alias("rms_ok"),
+        (F.abs(F.col("zcr") - F.lit(2.0) * F.col("freq_hz") / 8000.0) < 0.02)
+        .alias("zcr_ok"),
+        (F.col("duration_s") == 0.5).alias("dur_ok"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: transform + cell index + tile assign + PIP join +
     per-tile rollup over sf0.001 — the end-to-end shape of the north
@@ -577,6 +636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_embed_neardup_lsh": q32_embed_neardup_lsh,
         "q33_ann_recall": q33_ann_recall,
         "q34_ann_ivf": q34_ann_ivf,
+        "q35_video_frames": q35_video_frames,
+        "q36_audio_features": q36_audio_features,
     }
 
 
@@ -1051,6 +1112,20 @@ ranked AS (
 SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
        rank::BIGINT AS rank, round(sim, 5) AS sim
 FROM ranked WHERE rank <= 5
+"""
+
+    # ---- q35/q36: multimodal invariants (q29-style TRUE-literal
+    # oracles — the booleans assert container-vs-regenerate pixel parity
+    # and closed-form audio features, so TRUE is the provable answer)
+    out["q35_video_frames"] = """
+SELECT printf('vid%012d', i) AS video_id, (f * 2)::INT AS frame_idx,
+       true AS pixels_ok, true AS phash_ok
+FROM unnest(range(0, 60)) AS t(i), unnest(range(0, 4)) AS u(f)
+"""
+    out["q36_audio_features"] = """
+SELECT printf('aud%012d', i) AS audio_id,
+       true AS rms_ok, true AS zcr_ok, true AS dur_ok
+FROM unnest(range(0, 200)) AS t(i)
 """
 
     # ---- q30: the generator's lon/lat are pure splitmix64 of the row

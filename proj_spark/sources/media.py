@@ -1,0 +1,263 @@
+"""Multimodal payload operators: image resize, video frame sampling,
+audio feature extraction.
+
+Task-brief coverage (multimodal columns): media is carried as opaque
+``binary`` columns with typed metadata; every operator is an
+Arrow-batched ``mapInPandas`` stage (schema, partitioning, UDF
+signature and batch shape are real and tested).  Where no codec
+library is needed the kernel is REAL numpy:
+
+  * image resize     — bilinear in numpy over the real PNG codec
+                       (sources/images.py);
+  * video frames     — a real trivial container (``rawgrid``: magic +
+                       dims header + raw RGB frames) packs/unpacks and
+                       frame-samples without any video lib;
+  * audio features   — RMS / zero-crossing / peak over raw int16 PCM.
+
+Codec-requiring formats (mp4/webm video, mp3/flac audio) raise
+``NotImplementedError`` with the contract documented — this container
+ships no media libraries (same policy as images.py jpeg).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from .datagen import splitmix64
+from .images import decode_png, encode_png, phash64
+
+__all__ = [
+    "VIDEO_DDL",
+    "AUDIO_DDL",
+    "pack_rawgrid_video",
+    "unpack_rawgrid_video",
+    "synthesize_videos",
+    "sample_frames",
+    "synthesize_audio",
+    "audio_features",
+    "resize_images",
+    "np_resize_bilinear",
+]
+
+VIDEO_DDL = (
+    "video_id string, bytes binary, fmt string, n_frames int, w int, h int, "
+    "fps double"
+)
+AUDIO_DDL = (
+    "audio_id string, pcm binary, fmt string, sample_rate int, "
+    "n_samples int, freq_hz double, amplitude double"
+)
+
+_RGV_MAGIC = b"RGV1"
+
+
+# ---------------------------------------------------------------------------
+# rawgrid video container (real, codec-free)
+# ---------------------------------------------------------------------------
+def pack_rawgrid_video(frames: list) -> bytes:
+    """``RGV1`` container: magic, n_frames/w/h uint32, then raw RGB
+    frame payloads back to back."""
+    if not frames:
+        raise ValueError("empty video")
+    h, w, _ = frames[0].shape
+    out = [_RGV_MAGIC, struct.pack("<III", len(frames), w, h)]
+    for f in frames:
+        if f.shape != (h, w, 3):
+            raise ValueError("inconsistent frame shapes")
+        out.append(np.ascontiguousarray(f, dtype=np.uint8).tobytes())
+    return b"".join(out)
+
+
+def unpack_rawgrid_video(data: bytes) -> list:
+    if bytes(data[:4]) != _RGV_MAGIC:
+        raise ValueError("not a rawgrid video")
+    n, w, h = struct.unpack("<III", bytes(data[4:16]))
+    sz = w * h * 3
+    return [
+        np.frombuffer(bytes(data[16 + i * sz:16 + (i + 1) * sz]),
+                      dtype=np.uint8).reshape(h, w, 3)
+        for i in range(n)
+    ]
+
+
+def synthesize_videos(spark: SparkSession, n: int, n_frames: int = 8,
+                      partitions: int | None = None) -> DataFrame:
+    """Deterministic videos: frame f of video i is
+    ``raster_for(splitmix64(i) + f, w, h)`` — pure function of the row
+    number, same bytes at any partition count."""
+    from .datagen import raster_for
+
+    rng_df = spark.range(0, n, 1,
+                         partitions or spark.sparkContext.defaultParallelism)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy(dtype=np.uint64):
+                h = splitmix64(np.uint64(i))
+                w_px = 16 + int(h & np.uint64(0xF))
+                h_px = 16 + int((h >> np.uint64(8)) & np.uint64(0xF))
+                frames = [raster_for(int(h) + f, w_px, h_px)
+                          for f in range(n_frames)]
+                rows.append((
+                    f"vid{int(i):012d}",
+                    bytearray(pack_rawgrid_video(frames)),
+                    "rawgrid", n_frames, w_px, h_px, 12.0,
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "video_id", "bytes", "fmt", "n_frames", "w", "h", "fps"])
+
+    return rng_df.mapInPandas(_gen, schema=VIDEO_DDL)
+
+
+def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
+    """Frame sampling: one output row per kept frame (frame_idx % every
+    == 0), frame re-encoded as PNG + pHashed.  ``rawgrid`` decodes for
+    real; codec formats raise (no video libs in this container)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["fmt"] != "rawgrid":
+                    raise NotImplementedError(
+                        f"video codec {r['fmt']!r} requires a decoder lib; "
+                        "this container ships none (contract: images.py jpeg)"
+                    )
+                frames = unpack_rawgrid_video(r["bytes"])
+                for idx in range(0, len(frames), every):
+                    arr = frames[idx]
+                    rows.append((
+                        r["video_id"], idx,
+                        int(arr.shape[1]), int(arr.shape[0]),
+                        bytearray(encode_png(arr)), phash64(arr),
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                "video_id", "frame_idx", "w", "h", "frame_png", "phash"])
+
+    return df.mapInPandas(
+        _sample,
+        schema="video_id string, frame_idx int, w int, h int, "
+               "frame_png binary, phash long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio (raw int16 PCM — real, codec-free)
+# ---------------------------------------------------------------------------
+def synthesize_audio(spark: SparkSession, n: int, sample_rate: int = 8000,
+                     duration_s: float = 0.5,
+                     partitions: int | None = None) -> DataFrame:
+    """Deterministic pure-sine PCM clips: frequency and amplitude are
+    splitmix64 functions of the row number, so every derived feature
+    has a closed-form expected value (the q36 invariant oracle)."""
+    rng_df = spark.range(0, n, 1,
+                         partitions or spark.sparkContext.defaultParallelism)
+    n_samples = int(sample_rate * duration_s)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy(dtype=np.uint64):
+                h = splitmix64(np.uint64(i))
+                freq = 100.0 + float(h % np.uint64(1800))  # 100..1900 Hz
+                amp = 0.2 + float((h >> np.uint64(16)) % np.uint64(700)) / 1000.0
+                t = np.arange(n_samples, dtype=np.float64) / sample_rate
+                wave = amp * np.sin(2.0 * np.pi * freq * t)
+                pcm = np.clip(wave * 32767.0, -32768, 32767).astype("<i2")
+                rows.append((
+                    f"aud{int(i):012d}", bytearray(pcm.tobytes()), "pcm_s16le",
+                    sample_rate, n_samples, freq, amp,
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "audio_id", "pcm", "fmt", "sample_rate", "n_samples",
+                "freq_hz", "amplitude"])
+
+    return rng_df.mapInPandas(_gen, schema=AUDIO_DDL)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Feature extraction over raw PCM: RMS, zero-crossing rate, peak,
+    duration.  ``pcm_s16le`` is computed for real in numpy; codec
+    formats (mp3/flac/ogg) raise — no audio libs in this container."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["fmt"] != "pcm_s16le":
+                    raise NotImplementedError(
+                        f"audio codec {r['fmt']!r} requires a decoder lib; "
+                        "this container ships none"
+                    )
+                x = np.frombuffer(bytes(r["pcm"]), dtype="<i2").astype(np.float64)
+                x /= 32767.0
+                rms = float(np.sqrt(np.mean(x * x)))
+                zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                rows.append((
+                    r["audio_id"], rms, zcr, float(np.abs(x).max()),
+                    len(x) / float(r["sample_rate"]),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "audio_id", "rms", "zcr", "peak", "duration_s"])
+
+    return df.mapInPandas(
+        _feat,
+        schema="audio_id string, rms double, zcr double, peak double, "
+               "duration_s double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# image resize (real bilinear numpy over the real PNG codec)
+# ---------------------------------------------------------------------------
+def np_resize_bilinear(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Bilinear resample (align-corners=False convention)."""
+    h, w, c = arr.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    a = arr[y0][:, x0].astype(np.float64)
+    b = arr[y0][:, x1].astype(np.float64)
+    cc = arr[y1][:, x0].astype(np.float64)
+    d = arr[y1][:, x1].astype(np.float64)
+    out = (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+           + cc * wy * (1 - wx) + d * wy * wx)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Decode -> bilinear resize -> re-encode PNG -> re-pHash, one Arrow
+    batch at a time over the images table (input_hint schema).  Decoding
+    follows images.decode_image's format contract (png + the
+    deterministic lossy stand-in are real; exotic codecs raise there)."""
+    from .images import decode_image
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = decode_image(bytes(r["bytes"]), r["fmt"])
+                small = np_resize_bilinear(arr, out_w, out_h)
+                rows.append((
+                    r["image_id"], bytearray(encode_png(small)),
+                    out_w, out_h, "png", r["caption"], phash64(small),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "bytes", "w", "h", "fmt", "caption", "phash"])
+
+    return df.mapInPandas(
+        _resize,
+        schema="image_id string, bytes binary, w int, h int, fmt string, "
+               "caption string, phash long",
+    )
