@@ -519,6 +519,30 @@ def q34_ann_ivf(spark, sf_dir):
     )
 
 
+def q37_eqc_fwd(spark, sf_dir):
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "world")
+    out = with_transformed(df, "EPSG:4326", "EPSG:4087", err_col=None)
+    return out.select(
+        "o_orderkey", _round(F.col("x"), 1).alias("xm"), _round(F.col("y"), 1).alias("ym")
+    )
+
+
+def q38_cea_fwd(spark, sf_dir):
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "world")
+    out = with_transformed(df, "EPSG:4326", "EPSG:6933", err_col=None)
+    return out.select(
+        "o_orderkey", _round(F.col("x"), 1).alias("xm"), _round(F.col("y"), 1).alias("ym")
+    )
+
+
+def q39_moll_fwd(spark, sf_dir):
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "world")
+    out = with_transformed(df, "EPSG:4326", "ESRI:54009", err_col=None)
+    return out.select(
+        "o_orderkey", _round(F.col("x"), 1).alias("xm"), _round(F.col("y"), 1).alias("ym")
+    )
+
+
 def q35_video_frames(spark, sf_dir):
     # multimodal video: frame-sample the rawgrid container, then verify
     # each sampled frame against an INDEPENDENT regeneration from
@@ -638,6 +662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_ann_ivf": q34_ann_ivf,
         "q35_video_frames": q35_video_frames,
         "q36_audio_features": q36_audio_features,
+        "q37_eqc_fwd": q37_eqc_fwd,
+        "q38_cea_fwd": q38_cea_fwd,
+        "q39_moll_fwd": q39_moll_fwd,
     }
 
 
@@ -1113,6 +1140,23 @@ SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
        rank::BIGINT AS rank, round(sim, 5) AS sim
 FROM ranked WHERE rank <= 5
 """
+
+    # ---- q37/q38/q39: eqc / cea / moll forward transforms
+    x, y = O.sql_eqc_fwd(lon_w, lat_w, "EPSG:4087")
+    out["q37_eqc_fwd"] = (
+        f"SELECT o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym FROM orders"
+    )
+    x, y = O.sql_cea_fwd(lon_w, lat_w, "EPSG:6933")
+    out["q38_cea_fwd"] = (
+        f"SELECT o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym FROM orders"
+    )
+    ch = O.Chain(
+        f"SELECT o_orderkey, {lon_w} AS lon, {lat_w} AS lat FROM orders"
+    )
+    fx, fy = O.chain_moll_fwd(ch, "lon", "lat")
+    out["q39_moll_fwd"] = ch.finish(
+        f"o_orderkey, round({fx}, 1) AS xm, round({fy}, 1) AS ym"
+    )
 
     # ---- q35/q36: multimodal invariants (q29-style TRUE-literal
     # oracles — the booleans assert container-vs-regenerate pixel parity

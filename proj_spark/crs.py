@@ -579,6 +579,25 @@ for entry in [
        area_name="United States (USA) - CONUS onshore.",
        datum_name="North American Datum 1927", datum_code=6267,
        base_geog="EPSG:4267", base_geog_name="NAD27"),
+    _e("EPSG:4087", "WGS 84 / World Equidistant Cylindrical", "projected",
+       "+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +ellps=WGS84 +units=m",
+       towgs84=(0, 0, 0),
+       area=Area(-180, -90, 180, 90), area_name="World.",
+       datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
+       base_geog="EPSG:4326", base_geog_name="WGS 84"),
+    _e("EPSG:6933", "WGS 84 / NSIDC EASE-Grid 2.0 Global", "projected",
+       "+proj=cea +lat_ts=30 +lon_0=0 +ellps=WGS84 +units=m",
+       towgs84=(0, 0, 0),
+       area=Area(-180, -86, 180, 86),
+       area_name="World between 86 S and 86 N.",
+       datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
+       base_geog="EPSG:4326", base_geog_name="WGS 84"),
+    _e("ESRI:54009", "World Mollweide", "projected",
+       "+proj=moll +lon_0=0 +ellps=WGS84 +units=m",
+       towgs84=(0, 0, 0),
+       area=Area(-180, -90, 180, 90), area_name="World.",
+       datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
+       base_geog="EPSG:4326", base_geog_name="WGS 84"),
     _e("EPSG:3310", "NAD83 / California Albers", "projected",
        "+proj=aea +lat_0=0 +lon_0=-120 +lat_1=34 +lat_2=40.5 "
        "+x_0=0 +y_0=-4000000 +ellps=GRS80 +units=m",

@@ -1134,6 +1134,109 @@ def helmert_inv(X, Y, Z, H):
 
 
 # ---------------------------------------------------------------------------
+# eqc — Equidistant Cylindrical / Plate Carrée (PROJ eqc semantics:
+# spherical formulas on the semi-major axis regardless of ellipsoid;
+# EPSG:4087 uses it as "World Equidistant Cylindrical")
+# ---------------------------------------------------------------------------
+def eqc_setup(params, a, es):
+    phits = np.radians(float(params.get("lat_ts", 0.0)))
+    phi0 = np.radians(float(params.get("lat_0", 0.0)))
+    return {"rc": float(fcos(phits)), "phi0": float(phi0)}
+
+
+def eqc_fwd(lam, phi, P):
+    return P["rc"] * lam, phi - P["phi0"]
+
+
+def eqc_inv(x, y, P):
+    return x / P["rc"], y + P["phi0"]
+
+
+# ---------------------------------------------------------------------------
+# cea — (Lambert) Cylindrical Equal Area, ellipsoidal via authalic
+# latitude (Snyder ch. 10; EPSG method 9835; EPSG:6933 EASE-Grid 2.0
+# uses +lat_ts=30 on WGS84)
+# ---------------------------------------------------------------------------
+def cea_setup(params, a, es):
+    e = np.sqrt(es)
+    one_es = 1.0 - es
+    phits = np.radians(float(params.get("lat_ts", 0.0)))
+    if es > 0.0:
+        st = fsin(phits)
+        k0 = float(fcos(phits) / np.sqrt(1.0 - es * st * st))
+        qp = float(_qsfn(np.array(1.0), e, one_es))
+    else:
+        k0 = float(fcos(phits))
+        qp = 2.0
+    return {"e": e, "es": es, "one_es": one_es, "k0": k0, "qp": qp}
+
+
+def cea_fwd(lam, phi, P):
+    x = P["k0"] * lam
+    if P["es"] > 0.0:
+        y = 0.5 * _qsfn(fsin(phi), P["e"], P["one_es"]) / P["k0"]
+    else:
+        y = fsin(phi) / P["k0"]
+    return x, y
+
+
+def cea_inv(x, y, P):
+    lam = x / P["k0"]
+    if P["es"] > 0.0:
+        q = 2.0 * np.asarray(y, dtype=np.float64) * P["k0"]
+        phi = _authlat_inv(q, P["e"], P["one_es"], P["qp"])
+    else:
+        phi = farcsin(np.clip(np.asarray(y, dtype=np.float64) * P["k0"], -1.0, 1.0))
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# moll — Mollweide, spherical (Snyder ch. 31): solve
+# 2*theta + sin(2*theta) = pi*sin(phi) by Newton, then
+# x = (2*sqrt(2)/pi)*lam*cos(theta), y = sqrt(2)*sin(theta)
+# ---------------------------------------------------------------------------
+_MOLL_CX = 2.0 * np.sqrt(2.0) / np.pi
+_MOLL_CY = np.sqrt(2.0)
+
+
+def moll_setup(params, a, es):
+    # spherical formulas on the semi-major axis (PROJ moll behavior)
+    return {}
+
+
+def _moll_theta(phi, iterations=12, tol=1e-14):
+    k = np.pi * fsin(phi)
+    theta = np.asarray(phi, dtype=np.float64).copy()
+    for _ in range(iterations):
+        denom = 2.0 + 2.0 * fcos(2.0 * theta)
+        # at the poles denom -> 0 and theta -> phi = +-pi/2 exactly
+        step = np.where(
+            np.abs(denom) > 1e-14,
+            (2.0 * theta + fsin(2.0 * theta) - k) / np.maximum(denom, 1e-14),
+            0.0,
+        )
+        theta = theta - step
+        if np.all(np.abs(step) < tol):
+            break
+    return theta
+
+
+def moll_fwd(lam, phi, P):
+    theta = _moll_theta(phi)
+    return _MOLL_CX * lam * fcos(theta), _MOLL_CY * fsin(theta)
+
+
+def moll_inv(x, y, P):
+    theta = farcsin(np.clip(np.asarray(y, dtype=np.float64) / _MOLL_CY, -1.0, 1.0))
+    phi = farcsin(np.clip((2.0 * theta + fsin(2.0 * theta)) / np.pi, -1.0, 1.0))
+    ct = fcos(theta)
+    lam = np.where(np.abs(ct) > 1e-14,
+                   np.asarray(x, dtype=np.float64) / (_MOLL_CX * np.maximum(ct, 1e-14)),
+                   0.0)
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 PROJECTIONS = {
@@ -1150,4 +1253,7 @@ PROJECTIONS = {
     "eqearth": (eqearth_setup, eqearth_fwd, eqearth_inv),
     "aea": (aea_setup, aea_fwd, aea_inv),
     "geos": (geos_setup, geos_fwd, geos_inv),
+    "eqc": (eqc_setup, eqc_fwd, eqc_inv),
+    "cea": (cea_setup, cea_fwd, cea_inv),
+    "moll": (moll_setup, moll_fwd, moll_inv),
 }

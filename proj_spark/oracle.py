@@ -709,3 +709,62 @@ def chain_splitmix64(ch: Chain, expr: str, tag: str) -> str:
     z5 = f"sm5_{tag}"
     ch.add({z5: f"xor({z4}, {z4} >> 31)"})
     return z5
+
+
+# ---------------------------------------------------------------------------
+# eqc / cea / moll (dialect pair: kernels.eqc_* / cea_* / moll_*)
+# ---------------------------------------------------------------------------
+def sql_eqc_fwd(lon: str, lat: str, code: str = "EPSG:4087") -> tuple[str, str]:
+    from .crs import parse_proj_string, resolve_crs
+
+    entry = resolve_crs(code)
+    p = parse_proj_string(entry.proj)[0]
+    a = 6378137.0
+    rc = math.cos(math.radians(float(p.get("lat_ts", 0.0))))
+    phi0 = math.radians(float(p.get("lat_0", 0.0)))
+    x = f"({_f(a * rc)} * radians({lon}))"
+    y = f"({_f(a)} * (radians({lat}) - {_f(phi0)}))"
+    return x, y
+
+
+def sql_cea_fwd(lon: str, lat: str, code: str = "EPSG:6933") -> tuple[str, str]:
+    from . import kernels as K
+    from .crs import parse_proj_string, resolve_crs
+
+    entry = resolve_crs(code)
+    p = parse_proj_string(entry.proj)[0]
+    a, es = K.ellipsoid(p)
+    e = math.sqrt(es)
+    one_es = 1.0 - es
+    phits = math.radians(float(p.get("lat_ts", 0.0)))
+    k0 = math.cos(phits) / math.sqrt(1.0 - es * math.sin(phits) ** 2)
+    x = f"({_f(a * k0)} * radians({lon}))"
+    q = _qsfn(f"sin(radians({lat}))", e, one_es)
+    y = f"({_f(a / (2.0 * k0))} * {q})"
+    return x, y
+
+
+def chain_moll_fwd(ch: Chain, lon: str, lat: str,
+                   iters: int = 12) -> tuple[str, str]:
+    """Mollweide forward: Newton for 2t + sin(2t) = pi*sin(phi), then
+    closed-form x/y — mirrors kernels._moll_theta step for step."""
+    a = 6378137.0
+    tag = f"moll_{ch.i}"
+    ch.add({f"phi_{tag}": f"radians({lat})",
+            f"lam_{tag}": f"radians({lon})"})
+    ch.add({f"k_{tag}": f"(pi() * sin(phi_{tag}))"})
+    th = f"th0_{tag}"
+    ch.add({th: f"phi_{tag}"})
+    for i in range(iters):
+        nxt = f"th{i + 1}_{tag}"
+        denom = f"(2.0 + 2.0 * cos(2.0 * {th}))"
+        step = (f"(CASE WHEN abs({denom}) > 1e-14 THEN "
+                f"(2.0 * {th} + sin(2.0 * {th}) - k_{tag})"
+                f" / greatest({denom}, 1e-14) ELSE 0.0 END)")
+        ch.add({nxt: f"({th} - {step})"})
+        th = nxt
+    cx = 2.0 * math.sqrt(2.0) / math.pi
+    cy = math.sqrt(2.0)
+    x = f"({_f(a * cx)} * lam_{tag} * cos({th}))"
+    y = f"({_f(a * cy)} * sin({th}))"
+    return x, y

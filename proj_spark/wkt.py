@@ -172,6 +172,39 @@ _METHODS = {
         ("y_0", "False northing", 8807,
          "false_northing", "False_Northing", _P_LEN, 0.0),
     ]),
+    "eqc": ("Equidistant Cylindrical", 1028,
+            "Equirectangular", "Equidistant_Cylindrical", [
+        ("lat_ts", "Latitude of 1st standard parallel", 8823,
+         "standard_parallel_1", "Standard_Parallel_1", _P_ANG, 0.0),
+        ("lat_0", "Latitude of natural origin", 8801,
+         "latitude_of_origin", "Latitude_Of_Origin", _P_ANG, 0.0),
+        ("lon_0", "Longitude of natural origin", 8802,
+         "central_meridian", "Central_Meridian", _P_ANG, 0.0),
+        ("x_0", "False easting", 8806,
+         "false_easting", "False_Easting", _P_LEN, 0.0),
+        ("y_0", "False northing", 8807,
+         "false_northing", "False_Northing", _P_LEN, 0.0),
+    ]),
+    "cea": ("Lambert Cylindrical Equal Area", 9835,
+            "Cylindrical_Equal_Area", "Cylindrical_Equal_Area", [
+        ("lat_ts", "Latitude of 1st standard parallel", 8823,
+         "standard_parallel_1", "Standard_Parallel_1", _P_ANG, 0.0),
+        ("lon_0", "Longitude of natural origin", 8802,
+         "central_meridian", "Central_Meridian", _P_ANG, 0.0),
+        ("x_0", "False easting", 8806,
+         "false_easting", "False_Easting", _P_LEN, 0.0),
+        ("y_0", "False northing", 8807,
+         "false_northing", "False_Northing", _P_LEN, 0.0),
+    ]),
+    "moll": ("Mollweide", 0,  # no EPSG method code (ESRI/IOGP informal)
+             "Mollweide", "Mollweide", [
+        ("lon_0", "Longitude of natural origin", 8802,
+         "central_meridian", "Central_Meridian", _P_ANG, 0.0),
+        ("x_0", "False easting", 8806,
+         "false_easting", "False_Easting", _P_LEN, 0.0),
+        ("y_0", "False northing", 8807,
+         "false_northing", "False_Northing", _P_LEN, 0.0),
+    ]),
     "eqearth": ("Equal Earth", 1078, "Equal_Earth", "Equal_Earth", [
         ("lon_0", "Longitude of natural origin", 8802,
          "central_meridian", "Central_Meridian", _P_ANG, 0.0),
@@ -384,9 +417,10 @@ def _geogcrs_node(m, v2019: bool, kw: Optional[str] = None,
 
 def _conversion_node(m) -> _Node:
     w2_name, w2_code, _, _, _ = _METHODS[m["proj"]]
-    conv = _Node("CONVERSION", _q(m["entry"].name),
-                 _Node("METHOD", _q(w2_name),
-                       _Node("ID", _q("EPSG"), str(w2_code))))
+    method = _Node("METHOD", _q(w2_name))
+    if w2_code:
+        method.vals.append(_Node("ID", _q("EPSG"), str(w2_code)))
+    conv = _Node("CONVERSION", _q(m["entry"].name), method)
     for _, w2, code, _, _, kind, v in _iter_params(m):
         unit = (_angleunit() if kind == _P_ANG
                 else _lengthunit(m["unit"]) if kind == _P_LEN
@@ -584,9 +618,12 @@ def to_projjson_dict(entry, schema: str) -> dict:
         base["type"] = "GeographicCRS"
         obj["base_crs"] = base
         w2_name, w2_code, _, _, _ = _METHODS[m["proj"]]
+        method = {"name": w2_name}
+        if w2_code:
+            method["id"] = {"authority": "EPSG", "code": w2_code}
         obj["conversion"] = {
             "name": entry.name,
-            "method": {"name": w2_name, "id": {"authority": "EPSG", "code": w2_code}},
+            "method": method,
             "parameters": [
                 {"name": w2, "value": v, "unit": _unit_json(kind, m),
                  "id": {"authority": "EPSG", "code": code}}

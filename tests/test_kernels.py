@@ -357,3 +357,68 @@ def test_extended_registry_utm_l93_conus():
     # zone-center easting is exactly 500000
     x, _ = Transform.new_known_crs("EPSG:4326", "EPSG:32633").convert(15.0, 52.0)
     assert abs(x - 500000.0) < 1e-6
+
+
+def test_eqc_cea_moll_kernels():
+    """eqc/cea/moll: closed-form anchors, roundtrips, and the
+    equal-area Jacobian property (|J| = a^2 cos(phi) on the sphere)."""
+    import numpy as np
+
+    from proj_spark.crs import Transform
+
+    a = 6378137.0
+    # eqc: exact plate carree — quarter equator circumference at 90 E
+    t = Transform.new_known_crs("EPSG:4326", "EPSG:4087")
+    x, y = t.convert(90.0, 45.0)
+    assert abs(float(x) - a * np.pi / 2.0) < 1e-6
+    assert abs(float(y) - a * np.pi / 4.0) < 1e-6
+    lon2, lat2 = Transform.new_known_crs("EPSG:4087", "EPSG:4326").convert(
+        float(x), float(y))
+    assert abs(float(lon2) - 90.0) < 1e-9 and abs(float(lat2) - 45.0) < 1e-9
+
+    # cea (EASE-Grid 2.0): x depends only on lon; roundtrip through the
+    # authalic-latitude inverse
+    t = Transform.new_known_crs("EPSG:4326", "EPSG:6933")
+    rng = np.random.default_rng(23)
+    lon = rng.uniform(-179, 179, 200)
+    lat = rng.uniform(-85, 85, 200)
+    x, y = t.convert_array(lon, lat)
+    ti = Transform.new_known_crs("EPSG:6933", "EPSG:4326")
+    lon2, lat2 = ti.convert_array(x, y)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-8
+    # known EASE-Grid 2.0 global x extent at the antimeridian (~17.37 Mm;
+    # adjlon wraps +180 to -180, so compare magnitude)
+    xe, _ = t.convert(180.0, 0.0)
+    assert abs(abs(float(xe)) - 17367530.445161) < 1.0
+
+    # moll: poles and equator closed forms + equal-area Jacobian
+    t = Transform.new_known_crs("EPSG:4326", "ESRI:54009")
+    x0, y0 = t.convert(0.0, 90.0)
+    assert abs(float(x0)) < 1e-6
+    assert abs(float(y0) - np.sqrt(2.0) * a) < 1e-3
+    x1, y1 = t.convert(180.0, 0.0)
+    assert abs(abs(float(x1)) - 2.0 * np.sqrt(2.0) * a) < 1e-3
+    assert abs(float(y1)) < 1e-6
+    # Jacobian determinant == a^2 cos(phi) (area preservation)
+    for lon_d, lat_d in [(10.0, 20.0), (-60.0, 45.0), (120.0, -70.0)]:
+        h = 1e-5
+        xa, ya = t.convert_array(
+            np.array([lon_d - h, lon_d + h, lon_d, lon_d]),
+            np.array([lat_d, lat_d, lat_d - h, lat_d + h]))
+        dxdlam = (xa[1] - xa[0]) / (2 * h * np.pi / 180.0)
+        dydlam = (ya[1] - ya[0]) / (2 * h * np.pi / 180.0)
+        dxdphi = (xa[3] - xa[2]) / (2 * h * np.pi / 180.0)
+        dydphi = (ya[3] - ya[2]) / (2 * h * np.pi / 180.0)
+        J = dxdlam * dydphi - dxdphi * dydlam
+        want = a * a * np.cos(np.radians(lat_d))
+        assert abs(J / want - 1.0) < 1e-4, (lon_d, lat_d)
+    # roundtrip
+    rng = np.random.default_rng(24)
+    lon = rng.uniform(-179, 179, 200)
+    lat = rng.uniform(-88, 88, 200)
+    x, y = t.convert_array(lon, lat)
+    ti = Transform.new_known_crs("ESRI:54009", "EPSG:4326")
+    lon2, lat2 = ti.convert_array(x, y)
+    assert np.abs(lon2 - lon).max() < 1e-8
+    assert np.abs(lat2 - lat).max() < 1e-8
