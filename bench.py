@@ -70,18 +70,10 @@ def bench_queries(spark, sf_dir):
     emb = E._t(spark, sf_dir, "embeddings").repartition(par).cache()
     n_emb = emb.count()
 
-    results = {}
+    ops = []
 
     def run(name, rows, fn):
-        # this sandbox's first-touch page allocation is pathologically
-        # slow (measured 200x variance on identical numpy ops until
-        # pages are warm); report steady-state = best of three runs
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            fn()
-            best = min(best, time.time() - t0)
-        results[name] = (best, rows)
+        ops.append((name, rows, fn))
 
     run("transform_webmerc", n_orders, lambda: _sink(
         with_transformed(orders, "EPSG:4326", "EPSG:3857", err_col=None)))
@@ -101,17 +93,40 @@ def bench_queries(spark, sf_dir):
                  point_id_col="c_custkey", n_points=n_cust)))
     run("minhash_lsh_dedup", n_docs, lambda: _sink(
         minhash_lsh_pairs(docs, num_hashes=16, bands=4, jaccard_threshold=0.4)))
+    from proj_spark.operators.textops import minhash_lsh_groups
+    run("minhash_groups", n_docs, lambda: _sink(
+        minhash_lsh_groups(docs, num_hashes=16, bands=4, jaccard_threshold=0.4)))
     run("ann_bruteforce", n_emb, lambda: _sink(
         ann_bruteforce_topk(
             emb,
             emb.where(F.col("vec_id") < 20).select(
                 F.col("vec_id").alias("query_id"), "embedding"),
             k=5)))
+    from proj_spark.operators.ann import ann_ivf_topk
+    run("ann_ivf", n_emb, lambda: _sink(
+        ann_ivf_topk(
+            emb,
+            emb.where(F.col("vec_id") < 20).select(
+                F.col("vec_id").alias("query_id"), "embedding"),
+            k=5, n_centroids=8, nprobe=2)))
     n_img = 2000
     # checkpoint between the two Python stages (chained mapInPandas
     # measured ~9x slower than checkpoint-separated)
     run("images_verify", n_img, lambda: _sink(
         verify_images(synthesize_images(spark, n_img).localCheckpoint())))
+
+    # this sandbox's first-touch page allocation is pathologically slow
+    # (200x variance on identical numpy ops until pages are warm) and
+    # multi-minute whole-host stalls appear in episodes; reps are
+    # INTERLEAVED round-robin so each op's best-of-4 samples four
+    # different time windows instead of one possibly-degraded window
+    results = {name: (float("inf"), rows) for name, rows, _ in ops}
+    for _ in range(4):
+        for name, rows, fn in ops:
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            results[name] = (min(results[name][0], dt), rows)
 
     for d in (orders, cust, docs, emb):
         d.unpersist()

@@ -111,3 +111,25 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """write_table's partition_by layout lets an equality filter prune
+    files at plan time (PartitionFilters), the engine analog of the
+    reference's Area-based bbox pruning."""
+    from proj_spark.operators.cells import cell_col
+    from proj_spark.sources.tables import write_table
+
+    df = _pts(spark, 3000, seed=24).withColumn(
+        "cell2", cell_col(F.col("lon"), F.col("lat"), 2))
+    path = str(tmp_path / "parted")
+    write_table(df, path, mode="overwrite", partition_by=["cell2"])
+    some_cell = int(df.groupBy("cell2").count().orderBy(
+        F.col("count").desc()).first()["cell2"])
+    q = spark.read.parquet(path).where(F.col("cell2") == some_cell)
+    plan = _plan(q)
+    assert "PartitionFilters" in plan and "cell2" in plan
+    # only the matching partition directory is scanned
+    n_all = spark.read.parquet(path).count()
+    n_sel = q.count()
+    assert 0 < n_sel < n_all
