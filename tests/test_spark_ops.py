@@ -439,3 +439,31 @@ def test_with_cell_matches_cell_col(spark):
         a = C.with_cell(df, "lon", "lat", level, out="c").select("c").toPandas()
         b = df.select(C.cell_col(F.col("lon"), F.col("lat"), level).alias("c")).toPandas()
         assert (a["c"].values == b["c"].values).all(), level
+
+
+def test_pip_join_left_and_empty_edges(spark):
+    polys = spark.createDataFrame(pd.DataFrame([{
+        "poly_id": "box",
+        "rings": [[[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0],
+                   [0.0, 0.0]]],
+    }]))
+    pts = spark.createDataFrame(pd.DataFrame({
+        "point_id": [0, 1], "lon": [5.0, 50.0], "lat": [5.0, 5.0]}))
+    left = pip_join(pts, polys, level=6, how="left").toPandas()
+    byid = left.set_index("point_id")
+    assert byid.loc[0, "poly_id"] == "box"
+    assert pd.isna(byid.loc[1, "poly_id"])
+    # empty polygon side: inner empty, left keeps all points with nulls
+    empty = polys.limit(0)
+    assert pip_join(pts, empty, level=6).count() == 0
+    l2 = pip_join(pts, empty, level=6, how="left").toPandas()
+    assert len(l2) == 2 and l2["poly_id"].isna().all()
+
+
+def test_knn_join_empty_queries(spark):
+    pts = spark.createDataFrame(pd.DataFrame({
+        "point_id": [0, 1], "lon": [5.0, 50.0], "lat": [5.0, 5.0]}))
+    qs = spark.createDataFrame(
+        pd.DataFrame({"query_id": [], "lon": [], "lat": []}),
+        schema="query_id long, lon double, lat double")
+    assert knn_join(pts, qs, k=2, level=6).count() == 0
