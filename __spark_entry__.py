@@ -519,6 +519,35 @@ def q34_ann_ivf(spark, sf_dir):
     )
 
 
+def q40_events_windowed(spark, sf_dir):
+    # event-time tumbling windows + JSON prop extraction on the events
+    # table (date/time + json rows of SURVEY §2.2, on data)
+    from proj_spark.operators.events import windowed_event_stats
+
+    out = windowed_event_stats(_t(spark, sf_dir, "events"), window="1 day")
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        _round(F.col("sum_value"), 4).alias("sum_value"),
+        _round(F.col("avg_k"), 6).alias("avg_k"),
+    )
+
+
+def q41_user_sessions(spark, sf_dir):
+    # gap-based sessionization (lag + running-sum analytic windows)
+    from proj_spark.operators.events import sessionize
+
+    out = sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_id").cast("long").alias("session_id"),
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def q37_eqc_fwd(spark, sf_dir):
     df = _pts(spark, sf_dir, "orders", "o_orderkey", "world")
     out = with_transformed(df, "EPSG:4326", "EPSG:4087", err_col=None)
@@ -665,6 +694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_eqc_fwd": q37_eqc_fwd,
         "q38_cea_fwd": q38_cea_fwd,
         "q39_moll_fwd": q39_moll_fwd,
+        "q40_events_windowed": q40_events_windowed,
+        "q41_user_sessions": q41_user_sessions,
     }
 
 
@@ -1139,6 +1170,34 @@ ranked AS (
 SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
        rank::BIGINT AS rank, round(sim, 5) AS sim
 FROM ranked WHERE rank <= 5
+"""
+
+    # ---- q40/q41: events windowing + sessionization
+    out["q40_events_windowed"] = r"""
+SELECT date_trunc('day', ts)::DATE::VARCHAR AS day, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value,
+       round(avg(regexp_extract(props, '"k":\s*(\d+)', 1)::INT), 6) AS avg_k
+FROM events GROUP BY 1, 2
+"""
+    out["q41_user_sessions"] = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id::BIGINT AS user_id, session_id::BIGINT AS session_id,
+       epoch_us(min(ts))::BIGINT AS start_us,
+       epoch_us(max(ts))::BIGINT AS end_us,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, session_id
 """
 
     # ---- q37/q38/q39: eqc / cea / moll forward transforms

@@ -170,3 +170,24 @@ def test_dedup_connected_components_vs_union_find(spark):
     # component id is the min member (deterministic canonical)
     for c, members in got_groups.items():
         assert c == min(members)
+
+
+def test_sessionize_gap_semantics(spark):
+    from proj_spark.operators.events import sessionize
+
+    base = pd.Timestamp("2024-03-01 10:00:00")
+    rows = [
+        # user 1: two sessions (gap 45 min between event 2 and 3)
+        {"user_id": 1, "ts": base, "event_id": 0},
+        {"user_id": 1, "ts": base + pd.Timedelta(minutes=10), "event_id": 1},
+        {"user_id": 1, "ts": base + pd.Timedelta(minutes=55), "event_id": 2},
+        # user 2: one session, gap exactly 30 min is NOT a break (> only)
+        {"user_id": 2, "ts": base, "event_id": 3},
+        {"user_id": 2, "ts": base + pd.Timedelta(minutes=30), "event_id": 4},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = sessionize(df, gap_minutes=30).toPandas()
+    u1 = out[out["user_id"] == 1].sort_values("session_id")
+    assert list(u1["n_events"]) == [2, 1]
+    u2 = out[out["user_id"] == 2]
+    assert len(u2) == 1 and int(u2["n_events"].iloc[0]) == 2
