@@ -519,6 +519,49 @@ def q34_ann_ivf(spark, sf_dir):
     )
 
 
+def q42_pricing_rollup(spark, sf_dir):
+    # classic scan->filter->aggregate shape (TPC-H Q1 silhouette):
+    # the shipdate predicate pushes to the parquet scan; the aggregate
+    # partial-combines map-side
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            _round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def q43_region_revenue(spark, sf_dir):
+    # multi-join: big fact joins BROADCAST dim chain
+    # (supplier -> nation -> region), then revenue rollup
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = _t(spark, sf_dir, "region")
+    dims = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    return (
+        li.join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            _round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
 def q40_events_windowed(spark, sf_dir):
     # event-time tumbling windows + JSON prop extraction on the events
     # table (date/time + json rows of SURVEY §2.2, on data)
@@ -696,6 +739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_moll_fwd": q39_moll_fwd,
         "q40_events_windowed": q40_events_windowed,
         "q41_user_sessions": q41_user_sessions,
+        "q42_pricing_rollup": q42_pricing_rollup,
+        "q43_region_revenue": q43_region_revenue,
     }
 
 
@@ -1170,6 +1215,28 @@ ranked AS (
 SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
        rank::BIGINT AS rank, round(sim, 5) AS sim
 FROM ranked WHERE rank <= 5
+"""
+
+    # ---- q42/q43: classic relational shapes over the TPC-H-ish tables
+    out["q42_pricing_rollup"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+    out["q43_region_revenue"] = """
+SELECT r.r_name, n.n_name,
+       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
 """
 
     # ---- q40/q41: events windowing + sessionization
