@@ -85,12 +85,21 @@ def explode_salts(df: DataFrame, key_col: str, n_salts: int,
 def skewed_cell_counts(df: DataFrame, cell_col_name: str = "cell",
                        top: int = 20) -> DataFrame:
     """Skew diagnostic: the hottest cells and their share — feeds the
-    choice of n_salts (metrics-table companion, north rule)."""
-    total = df.count()
+    choice of n_salts (metrics-table companion, north rule).
+
+    Single pass over ``df``: the share denominator is a window-sum over
+    the (small, one-row-per-distinct-cell) grouped frame instead of a
+    separate ``df.count()`` action (round-2 verdict #4 — the old form
+    scanned the big table twice).  The unpartitioned window funnels only
+    the grouped rows, never the input rows."""
+    from pyspark.sql.window import Window
+
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
     return (
         df.groupBy(cell_col_name)
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("share", F.col("n") / F.lit(float(total)))
+        .withColumn("share", F.col("n") / F.sum("n").over(w_all))
         .orderBy(F.col("n").desc())
         .limit(top)
     )

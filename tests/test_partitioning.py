@@ -82,3 +82,26 @@ def test_salt_nondeterministic_fallback_still_exact(spark):
 def test_skew_diagnostic(spark):
     top = skewed_cell_counts(_pts(spark), top=3).toPandas()
     assert top.iloc[0]["share"] > 0.4  # the planted hot cell dominates
+
+
+def test_skew_diagnostic_single_pass(spark):
+    # the share denominator is a window-sum over the grouped frame, not
+    # a separate df.count() ACTION: construction must be fully lazy
+    # (the round-2 form ran a count job before returning the DataFrame)
+    df = _pts(spark)
+    spark.sparkContext.setJobGroup("skew_lazy", "skew_lazy")
+    try:
+        out = skewed_cell_counts(df, top=3)
+        st = spark.sparkContext.statusTracker()
+        assert list(st.getJobIdsForGroup("skew_lazy")) == []
+        pdf = out.toPandas()
+    finally:
+        spark.sparkContext.setJobGroup(None, None)
+    # shares are exact fractions of the total row count
+    total = df.count()
+    counts = (
+        df.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc()).limit(3).toPandas()
+    )
+    assert list(pdf["n"]) == list(counts["n"])
+    assert np.allclose(pdf["share"], pdf["n"] / total)

@@ -133,3 +133,35 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     n_all = spark.read.parquet(path).count()
     n_sel = q.count()
     assert 0 < n_sel < n_all
+
+
+def test_knn_pinned_level_defaults_two_phase(spark):
+    # round-2 verdict hole: a PINNED level with unknown n_points used to
+    # silently disable the two-phase pre-reduce (est_cand = 0.0); it
+    # must now default SAFE — the plan carries the mapInPandas stage
+    qs = spark.createDataFrame(pd.DataFrame({
+        "query_id": [0, 1], "lon": [1.0, 2.0], "lat": [1.0, 2.0]}))
+    pinned = knn_join(_pts(spark), qs, k=3, level=2, exact_fallback=False)
+    assert "MapInPandas" in _plan(pinned)
+    # with a known (small) point count the estimate applies and the
+    # Python pre-reduce stage is skipped
+    sized = knn_join(_pts(spark), qs, k=3, level=2, exact_fallback=False,
+                     n_points=2000)
+    assert "MapInPandas" not in _plan(sized)
+
+
+def test_pip_join_chunked_plan_unions_broadcasts(spark):
+    # polygon layers beyond max_broadcast_bytes split into hash chunks:
+    # the plan is a union of broadcast joins — still no big-table shuffle
+    rng = np.random.default_rng(33)
+    rows = []
+    for i in range(40):
+        x0, y0 = rng.uniform(-60, 60), rng.uniform(-60, 60)
+        rows.append({"poly_id": f"p{i}", "rings": [[
+            [x0, y0], [x0 + 1.0, y0], [x0 + 1.0, y0 + 1.0],
+            [x0, y0 + 1.0], [x0, y0]]]})
+    polys = spark.createDataFrame(pd.DataFrame(rows))
+    chunked = pip_join(_pts(spark), polys, level=6, max_broadcast_bytes=2048)
+    plan = _plan(chunked)
+    assert "Union" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

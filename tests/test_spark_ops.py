@@ -467,3 +467,39 @@ def test_knn_join_empty_queries(spark):
         pd.DataFrame({"query_id": [], "lon": [], "lat": []}),
         schema="query_id long, lon double, lat double")
     assert knn_join(pts, qs, k=2, level=6).count() == 0
+
+
+def test_pip_join_chunked_matches_unchunked(spark):
+    # auto partition-and-union above the broadcast byte threshold must
+    # be invisible in the results (inner, anti AND left)
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(60):
+        cx, cy = rng.uniform(-50, 50), rng.uniform(-50, 50)
+        rows.append({"poly_id": f"p{i}",
+                     "rings": [_random_convex_polygon(rng, cx, cy, 3.0)]})
+    polys = spark.createDataFrame(pd.DataFrame(rows))
+    pts = spark.createDataFrame(pd.DataFrame({
+        "point_id": np.arange(1500),
+        "lon": rng.uniform(-55, 55, 1500),
+        "lat": rng.uniform(-55, 55, 1500),
+    }))
+
+    def _set(df):
+        return {(int(r["point_id"]), r["poly_id"])
+                for r in df.select("point_id", "poly_id").collect()}
+
+    one = _set(pip_join(pts, polys, level=6))
+    # 60 polys x ~9 edges x 32 B ~ 17 kB -> a 2 kB cap forces ~9 chunks
+    many = _set(pip_join(pts, polys, level=6, max_broadcast_bytes=2048))
+    assert one == many and len(one) > 0
+    left_many = pip_join(pts, polys, level=6, how="left",
+                         max_broadcast_bytes=2048)
+    matched = left_many.where(F.col("poly_id").isNotNull())
+    assert _set(matched) == one
+    anti_one = {int(r["point_id"]) for r in
+                pip_anti_join(pts, polys, level=6).select("point_id").collect()}
+    anti_many = {int(r["point_id"]) for r in
+                 pip_anti_join(pts, polys, level=6, max_broadcast_bytes=2048)
+                 .select("point_id").collect()}
+    assert anti_one == anti_many
