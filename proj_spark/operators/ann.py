@@ -16,6 +16,8 @@ Deterministic hyperplanes: components derive from splitmix64 of
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -26,7 +28,9 @@ __all__ = [
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_lsh_recall",
+    "ann_recall_vs_exact",
     "ann_ivf_topk",
+    "train_ivf_centroids",
     "embedding_neardup_pairs",
 ]
 
@@ -153,6 +157,32 @@ def ann_lsh_topk(
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ann_recall_vs_exact(
+    vectors: DataFrame,
+    queries: DataFrame,
+    approx: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measured recall@k of ANY approximate top-k result against the
+    exact brute-force baseline, per query — the in-engine gate for
+    every approximate path (recall is a property of the workload;
+    measure it, don't guess).  Output: (query_id, recall) in [0, 1]."""
+    exact = ann_bruteforce_topk(vectors, queries, k, id_col, query_id_col, vec_col)
+    hit = exact.select(query_id_col, id_col).join(
+        approx.select(query_id_col, id_col), [query_id_col, id_col], "left_semi"
+    )
+    per_q = hit.groupBy(query_id_col).agg(
+        (F.count(F.lit(1)) / F.lit(float(k))).alias("recall")
+    )
+    # queries whose approximate result is empty never appear in `hit`
+    return queries.select(query_id_col).join(per_q, query_id_col, "left").select(
+        query_id_col, F.coalesce(F.col("recall"), F.lit(0.0)).alias("recall")
+    )
+
+
 def ann_lsh_recall(
     vectors: DataFrame,
     queries: DataFrame,
@@ -162,23 +192,76 @@ def ann_lsh_recall(
     vec_col: str = "embedding",
     **lsh_kwargs,
 ) -> DataFrame:
-    """Measured recall@k of the LSH path against the exact brute-force
-    baseline, per query — the in-engine gate for the approximate path
-    (recall is a property of the workload; measure it, don't guess).
-    Output: (query_id, recall) with recall in [0, 1]."""
-    exact = ann_bruteforce_topk(vectors, queries, k, id_col, query_id_col, vec_col)
+    """Recall@k of the LSH path (see :func:`ann_recall_vs_exact`)."""
     approx = ann_lsh_topk(vectors, queries, k, id_col, query_id_col, vec_col,
                           **lsh_kwargs)
-    hit = exact.select(query_id_col, id_col).join(
-        approx.select(query_id_col, id_col), [query_id_col, id_col], "left_semi"
+    return ann_recall_vs_exact(vectors, queries, approx, k,
+                               id_col, query_id_col, vec_col)
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 8,
+    seed: int = 0,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic spherical k-means trainer for the IVF quantizer
+    (round-2 verdict ask #2: the id-ordered quantizer is oracle-
+    replicable but carries no data geometry).
+
+    Fully deterministic, no RNG state: the training sample is the
+    ``sample`` rows with the smallest ``xxhash64(id, seed)`` (a seeded
+    uniform draw that is stable across partitionings and runs),
+    bounded on the driver like the LSH plane table; init is greedy
+    farthest-point (k-means++ without randomness); Lloyd's iterations
+    use cosine assignment with mean + renormalize updates (spherical
+    k-means); an emptied cluster reseeds to the point worst-covered by
+    the current centroids.
+
+    Scale shape: training cost is O(sample x dim x k x iters) on the
+    driver — independent of table size; the 100-TB table contributes
+    only the (distributed) hash-ordered sample job.  The returned
+    centroids feed :func:`ann_ivf_topk(..., centroids=...)`, where list
+    assignment stays a pure shuffle-free projection.
+    """
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(int(seed))).asc(),
+                 F.col(id_col).asc())
+        .limit(int(sample))
+        .collect()
     )
-    per_q = hit.groupBy(query_id_col).agg(
-        (F.count(F.lit(1)) / F.lit(float(k))).alias("recall")
-    )
-    # queries whose LSH result is empty never appear in `hit`
-    return queries.select(query_id_col).join(per_q, query_id_col, "left").select(
-        query_id_col, F.coalesce(F.col("recall"), F.lit(0.0)).alias("recall")
-    )
+    X = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("cannot train IVF centroids on an empty vector table")
+    n = np.linalg.norm(X, axis=1)
+    X = X / np.where(n == 0.0, 1.0, n)[:, None]
+    k = min(k, len(X))
+
+    # greedy farthest-point init (deterministic k-means++)
+    cents = [X[0]]
+    cover = X @ X[0]
+    for _ in range(1, k):
+        j = int(np.argmin(cover))
+        cents.append(X[j])
+        cover = np.maximum(cover, X @ X[j])
+    C = np.stack(cents)
+
+    for _ in range(max(iters, 1)):
+        sims = X @ C.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+            else:
+                C[c] = X[int(np.argmin(sims.max(axis=1)))]
+        cn = np.linalg.norm(C, axis=1)
+        C = C / np.where(cn == 0.0, 1.0, cn)[:, None]
+    return [[float(v) for v in c] for c in C]
 
 
 def ann_ivf_topk(
@@ -190,16 +273,21 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
+    centroids: Optional[list] = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: a coarse quantizer partitions the
     vectors into inverted lists; queries probe only their ``nprobe``
     nearest lists; exact cosine re-ranks the candidates.
 
-    The quantizer is DELIBERATELY deterministic — the ``n_centroids``
-    vectors with the smallest ids — so the whole operator (lists,
-    probes, result set) is replicable in plain SQL for the value oracle,
-    like the LSH hyperplane literals.  A production swap-in (k-means
-    centroids) changes only the centroid table.
+    Two quantizers:
+      * default — the ``n_centroids`` vectors with the smallest ids,
+        DELIBERATELY trivial so the whole operator (lists, probes,
+        result set) is replicable in plain SQL for the value oracle,
+        like the LSH hyperplane literals;
+      * ``centroids=`` — a trained centroid table (list of vectors,
+        e.g. from :func:`train_ivf_centroids`), the production path;
+        cent_id is the list index.  Gated by measured recall
+        (:func:`ann_recall_vs_exact`) instead of SQL replication.
 
     Scale shape: centroids are collected once (a tiny bounded set, like
     the LSH planes) and embedded as literal arrays, so LIST ASSIGNMENT
@@ -208,11 +296,15 @@ def ann_ivf_topk(
     a window over the (small) query side; the candidate join shuffles
     nothing but list-id partitions of the reduced candidate set.
     """
-    cents = (
-        vectors.orderBy(F.col(id_col).asc()).limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-        .collect()
-    )
+    if centroids is not None:
+        cents = [{"cent_id": i, "cent_vec": list(v)}
+                 for i, v in enumerate(centroids)]
+    else:
+        cents = (
+            vectors.orderBy(F.col(id_col).asc()).limit(n_centroids)
+            .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+            .collect()
+        )
 
     def _cent_sim(vec: Column, row) -> Column:
         arr = F.array(*[F.lit(float(x)) for x in row["cent_vec"]])
