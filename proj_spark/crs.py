@@ -740,6 +740,17 @@ def resolve_crs(spec: str) -> CrsEntry:
     raise ProjCreateError(f"unknown CRS: {spec!r} (not in engine registry)")
 
 
+def _resolve_any(spec: str) -> CrsEntry:
+    """AUTHORITY:CODE, WKT string or PROJJSON -> CrsEntry."""
+    spec = spec.strip()
+    from .wkt_parse import entry_from_definition
+
+    entry = entry_from_definition(spec)
+    if entry is not None:
+        return entry
+    return resolve_crs(spec)
+
+
 def lib_info() -> dict:
     """Engine version info (reference Proj::lib_info,
     /root/reference/src/proj.rs:313-335)."""
@@ -781,11 +792,22 @@ class Transform:
     # -- constructors -------------------------------------------------
     @classmethod
     def new(cls, definition: str) -> "Transform":
-        """From a PROJ string or ``AUTHORITY:CODE`` (Proj::new,
-        /root/reference/src/proj.rs:675-677).  Coordinate order is
-        caller-owned; for single projections ``project()`` consumes
-        geodetic radians (src/proj.rs:986-991)."""
+        """From a PROJ string, ``AUTHORITY:CODE``, WKT string (any of
+        the six dialects this engine writes, plus external WKT1/WKT2)
+        or PROJJSON (Proj::new, /root/reference/src/proj.rs:675-677 —
+        libproj's proj_create accepts all four forms, :679-685).
+        Coordinate order is caller-owned; for single projections
+        ``project()`` consumes geodetic radians (src/proj.rs:986-991)."""
         definition = definition.strip()
+        if not definition.startswith("+"):
+            from .wkt_parse import entry_from_definition
+
+            wkt_entry = entry_from_definition(definition)
+            if wkt_entry is not None:
+                steps = [make_step(p) for p in parse_proj_string(wkt_entry.proj)]
+                return cls(steps, definition=wkt_entry.proj, src=wkt_entry,
+                           dst=wkt_entry, area=wkt_entry.area,
+                           name=wkt_entry.name)
         if not definition.startswith("+") and ":" in definition:
             entry = resolve_crs(definition)
             steps = [make_step(p) for p in parse_proj_string(entry.proj)]
@@ -841,9 +863,12 @@ class Transform:
         transformation classes); a ballpark leg has unknown accuracy.
         If the operation cannot meet the requested accuracy,
         ``ProjCreateError`` is raised, like PROJ's candidate filtering.
+
+        ``from_crs`` / ``to_crs`` accept ``AUTHORITY:CODE``, WKT or
+        PROJJSON, like libproj's proj_create_crs_to_crs.
         """
-        src = resolve_crs(from_crs)
-        dst = resolve_crs(to_crs)
+        src = _resolve_any(from_crs)
+        dst = _resolve_any(to_crs)
         allow_ballpark = bool(options.get("allow_ballpark", True))
         only_best = bool(options.get("only_best", False))
         force_over = bool(options.get("force_over", False))
