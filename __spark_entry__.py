@@ -522,6 +522,22 @@ def q34_ann_ivf(spark, sf_dir):
 _IVF_FLOOR = 0.35  # measured min per-query recall is 0.4 at every sf
 
 
+def q45_dedup_full(spark, sf_dir):
+    # full transitive closure over the verified groups edges — chained
+    # duplicates (A~B~C without A~C colliding) share one canonical.
+    # Gated by a DuckDB RECURSIVE CTE that chases each doc's canonical
+    # pointer to its root (the edge set is a forest of in-trees toward
+    # smaller ids, so min-label propagation == pointer chasing).
+    out = TX.dedup_full(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4,
+        jaccard_threshold=0.4,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
 def q44_ann_ivf_trained(spark, sf_dir):
     # PRODUCTION IVF: deterministic spherical k-means quantizer
     # (train_ivf_centroids), gated by MEASURED recall@k vs the exact
@@ -768,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_pricing_rollup": q42_pricing_rollup,
         "q43_region_revenue": q43_region_revenue,
         "q44_ann_ivf_trained": q44_ann_ivf_trained,
+        "q45_dedup_full": q45_dedup_full,
     }
 
 
@@ -1349,8 +1366,7 @@ FROM unnest(range(0, 200)) AS t(i)
 
     # ---- q31: dedup groups — same CTE technique as q23, then
     # bucket-min -> per-doc min -> single verification per doc
-    out["q31_minhash_groups"] = f"""
-WITH hashed AS (
+    groups_ctes = f"""hashed AS (
   SELECT doc_id, text,
          list_transform({sh}, s -> {O.sql_md5_long('s')}) AS base
   FROM documents),
@@ -1375,10 +1391,33 @@ ver AS (
   FROM cand c JOIN documents a ON a.doc_id = c.doc_id
               JOIN documents b ON b.doc_id = c.cand_canon
   WHERE c.cand_canon < c.doc_id
+),
+g AS (
+  SELECT doc_id, canonical_id FROM ver
+  UNION ALL
+  SELECT doc_id, doc_id FROM cand WHERE cand_canon = doc_id
+)"""
+    out["q31_minhash_groups"] = f"""
+WITH {groups_ctes}
+SELECT doc_id::BIGINT AS doc_id, canonical_id::BIGINT AS canonical_id FROM g
+"""
+
+    # ---- q45: full closure — chase each doc's verified canonical
+    # pointer to its root.  The edge set is a forest of in-trees toward
+    # strictly smaller ids (one verified edge per doc), so the root is
+    # the component minimum: iterated pointer-chasing (this CTE) and the
+    # engine's min-label propagation converge to the same value.
+    out["q45_dedup_full"] = f"""
+WITH RECURSIVE {groups_ctes},
+chase(doc_id, cur) AS (
+  SELECT doc_id, canonical_id FROM g
+  UNION ALL
+  SELECT c.doc_id, g2.canonical_id
+  FROM chase c JOIN g g2 ON c.cur = g2.doc_id
+  WHERE g2.canonical_id <> c.cur
 )
-SELECT doc_id::BIGINT AS doc_id, canonical_id::BIGINT AS canonical_id FROM ver
-UNION ALL
-SELECT doc_id::BIGINT, doc_id::BIGINT FROM cand WHERE cand_canon = doc_id
+SELECT doc_id::BIGINT AS doc_id, min(cur)::BIGINT AS canonical_id
+FROM chase GROUP BY doc_id
 """
 
     return out

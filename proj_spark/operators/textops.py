@@ -31,6 +31,7 @@ __all__ = [
     "minhash_signature",
     "minhash_lsh_pairs",
     "minhash_lsh_groups",
+    "dedup_full",
     "dedup_connected_components",
     "simhash_col",
     "simhash_dedup_pairs",
@@ -290,6 +291,52 @@ def minhash_lsh_groups(
         .alias("canonical_id"),
     )
     return trivial.unionByName(verified)
+
+
+def dedup_full(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_iters: int = 12,
+) -> DataFrame:
+    """FULL-CLOSURE dedup in one call (round-2 verdict ask #7):
+    :func:`minhash_lsh_groups` produces the verified (doc -> candidate
+    canonical) edges with linear candidate work, then
+    :func:`dedup_connected_components` collapses canonical CHAINS
+    (A <- B verified, B <- C verified, A !~ C in any bucket) so every
+    chained duplicate shares one canonical.
+
+    Semantics note that makes the SQL oracle possible: each doc carries
+    at most ONE verified edge, always toward a smaller id, so the edge
+    set is a forest of in-trees whose root (the only self-canonical
+    node) is the component MINIMUM — min-label propagation (Spark side)
+    and iterated canonical-chasing (DuckDB recursive CTE oracle) both
+    converge to it.
+
+    Scale shape: the groups stage is the round-2 linear-output plan
+    unchanged; the closure stage runs on the EDGE LIST ONLY (one row
+    per non-trivial doc, not per pair), O(component diameter) rounds.
+    Output: (doc_id, canonical_id).
+    """
+    groups = minhash_lsh_groups(df, text_col, id_col, num_hashes, bands,
+                                k, jaccard_threshold)
+    groups = groups.localCheckpoint(eager=False)  # feeds edges AND output
+    edges = groups.where(F.col("canonical_id") != F.col(id_col)).select(
+        F.col(id_col).alias("id_a"), F.col("canonical_id").alias("id_b")
+    )
+    comp = dedup_connected_components(edges, max_iters=max_iters)
+    return (
+        groups.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component_id"), F.col(id_col)).alias("canonical_id"),
+        )
+    )
 
 
 def dedup_connected_components(

@@ -231,3 +231,53 @@ def test_train_ivf_centroids_clustered_beats_id_quantizer(spark):
     assert trained["recall"].min() >= 0.7
     assert trained["recall"].mean() > idq["recall"].mean()
     assert trained["recall"].min() > idq["recall"].min()
+
+
+def test_dedup_full_closure_vs_union_find(spark):
+    # dedup_full must equal union-find over the verified groups edges —
+    # and the crafted corpus must actually contain a CHAIN (A~B, B~C,
+    # A!~C) so the closure stage is exercised, not vacuous
+    from proj_spark.operators.textops import dedup_full, minhash_lsh_groups
+
+    words = [f"w{i:03d}" for i in range(200)]
+    # a drifting chain (stride 5, window 15): each doc shares 10 of 15
+    # words with its neighbor, 5 with its neighbor-but-one, 0 beyond
+    chain = [" ".join(words[i * 5:i * 5 + 15]) for i in range(8)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(chain)]
+    # plus exact-duplicate clusters and unrelated docs
+    rows += [{"doc_id": 100 + i, "text": "same boilerplate text " * 5}
+             for i in range(4)]
+    rows += [{"doc_id": 200 + i, "text": f"unrelated document {i} " + words[-i]}
+             for i in range(5)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+
+    groups = minhash_lsh_groups(df, num_hashes=16, bands=8,
+                                jaccard_threshold=0.3).toPandas()
+    full = dedup_full(df, num_hashes=16, bands=8,
+                      jaccard_threshold=0.3).toPandas()
+
+    # union-find reference over the groups edges
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for _, r in groups.iterrows():
+        a, b = int(r["doc_id"]), int(r["canonical_id"])
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(int(d)) for d in groups["doc_id"]}
+    got = {int(r["doc_id"]): int(r["canonical_id"])
+           for _, r in full.iterrows()}
+    assert got == want
+    # the closure must have merged at least one chain the one-hop
+    # groups output kept separate
+    g_map = {int(r["doc_id"]): int(r["canonical_id"])
+             for _, r in groups.iterrows()}
+    assert any(got[d] != g_map[d] for d in got), \
+        "corpus produced no chain; closure untested"
