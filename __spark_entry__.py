@@ -522,6 +522,23 @@ def q34_ann_ivf(spark, sf_dir):
 _IVF_FLOOR = 0.35  # measured min per-query recall is 0.4 at every sf
 
 
+def q46_jpeg_verify(spark, sf_dir):
+    # REAL baseline JPEG path (pure-numpy T.81 codec, round-2 ask #5):
+    # the 'jpg' rows of the synthetic images table carry actual JFIF
+    # bytes; decode them and gate the per-row lossy invariant
+    # (PSNR >= 40 dB) plus phash/caption/size.  The oracle regenerates
+    # the fmt selection (splitmix64 bits) in SQL and asserts all-TRUE.
+    from proj_spark.sources.datagen import synthesize_images
+    from proj_spark.sources.images import verify_images
+
+    imgs = synthesize_images(spark, 300, partitions=8).localCheckpoint()
+    out = verify_images(imgs.where(F.col("fmt") == "jpg"))
+    return out.select(
+        "image_id", "size_ok", "phash_ok",
+        (F.col("psnr") >= F.lit(40.0)).alias("psnr40_ok"), "caption_ok",
+    )
+
+
 def q45_dedup_full(spark, sf_dir):
     # full transitive closure over the verified groups edges — chained
     # duplicates (A~B~C without A~C colliding) share one canonical.
@@ -785,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_region_revenue": q43_region_revenue,
         "q44_ann_ivf_trained": q44_ann_ivf_trained,
         "q45_dedup_full": q45_dedup_full,
+        "q46_jpeg_verify": q46_jpeg_verify,
     }
 
 
@@ -1349,6 +1367,17 @@ SELECT printf('aud%012d', i) AS audio_id,
        true AS rms_ok, true AS zcr_ok, true AS dur_ok
 FROM unnest(range(0, 200)) AS t(i)
 """
+
+    # ---- q46: real-JPEG rows — regenerate the fmt selection bits in
+    # SQL ((splitmix64(i) >> 16) & 3 == 2 -> 'jpg') and assert every
+    # decoded row clears the lossy invariants
+    ch = O.Chain("SELECT i FROM unnest(range(0, 300)) AS t(i)")
+    h46 = O.chain_splitmix64(ch, "i", "h46")
+    out["q46_jpeg_verify"] = ch.finish(
+        "printf('img%012d', i) AS image_id, true AS size_ok, "
+        "true AS phash_ok, true AS psnr40_ok, true AS caption_ok",
+        f"WHERE ((({h46} >> 16) & 3) = 2)",
+    )
 
     # ---- q30: the generator's lon/lat are pure splitmix64 of the row
     # number — replicated bit-exactly in SQL (oracle.chain_splitmix64)

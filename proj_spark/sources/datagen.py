@@ -60,7 +60,11 @@ def meta_for(seq: np.ndarray) -> dict:
     h = splitmix64(seq)
     w = (16 + (h & np.uint64(0x2F)) % np.uint64(49)).astype(np.int32)
     hh = (16 + ((h >> np.uint64(8)) & np.uint64(0x3F)) % np.uint64(49)).astype(np.int32)
-    fmt = np.where((h >> np.uint64(16)) & np.uint64(1), "jpeg", "png")
+    # three coexisting formats: lossless PNG, the quantized-PNG lossy
+    # stand-in ("jpeg"), and REAL baseline JPEG ("jpg", proj_spark
+    # numpy codec) — all verified by the same per-row invariants
+    fsel = ((h >> np.uint64(16)) & np.uint64(3)).astype(np.int64)
+    fmt = np.asarray(["png", "jpeg", "jpg", "png"], dtype=object)[fsel]
     lon = ((h >> np.uint64(17)) % np.uint64(3_600_000)).astype(np.float64) / 10_000.0 - 180.0
     lat = ((h >> np.uint64(40)) % np.uint64(1_700_000)).astype(np.float64) / 10_000.0 - 85.0
     return {"hash": h, "w": w, "h": hh, "fmt": fmt, "lon": lon, "lat": lat}
@@ -110,7 +114,14 @@ def synthesize_images(spark: SparkSession, n: int,
                 w, h = int(meta["w"][i]), int(meta["h"][i])
                 arr = raster_for(seed, w, h)
                 fmt = str(meta["fmt"][i])
-                data = encode_lossy(arr) if fmt == "jpeg" else encode_png(arr)
+                if fmt == "jpeg":
+                    data = encode_lossy(arr)
+                elif fmt == "jpg":
+                    from .jpeg import encode_jpeg
+
+                    data = encode_jpeg(arr, quality=98)
+                else:
+                    data = encode_png(arr)
                 # phash is computed over the pixels a reader will see
                 from .images import decode_image
 

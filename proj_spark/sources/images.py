@@ -8,13 +8,15 @@ libraries (no PIL), so:
   * ``png`` is a REAL, self-contained codec: spec-conformant PNG
     (8-bit RGB, zlib deflate, filters 0-2) written/read with
     numpy + zlib.  Lossless round-trip is exact.
-  * ``jpeg`` decode of real JPEG bytes is STUBBED (raises
-    NotImplementedError).  The lossy path is exercised instead by a
-    deterministic stand-in codec ("quantized PNG": 6-bit/channel
-    quantization inside a real PNG container) whose reconstruction
-    error is bounded and yields PSNR >= 40 dB, so the per-row invariant
-    (decoded-pixel PSNR >= 40 dB for lossy + caption equality) is
-    tested with real Spark plumbing end-to-end.
+  * ``jpg`` is a REAL baseline JPEG codec (pure numpy, ITU-T T.81
+    Annex K tables — see :mod:`proj_spark.sources.jpeg`); encoded at
+    quality 98 it clears the PSNR >= 40 dB lossy invariant.
+  * ``jpeg`` is the deterministic lossy STAND-IN kept from round 2
+    ("quantized PNG": 6-bit/channel quantization inside a real PNG
+    container) — bounded error, PSNR >= 40 dB; retained so the lossy
+    invariant is exercised through two independent code paths.
+  * ``webp``/``avif`` remain stubbed (no codec libraries in this
+    container).
 
 All Spark-side work is Arrow-batched ``mapInPandas`` — binary columns
 arrive as whole batches; numpy does the pixel math; never per-row
@@ -45,8 +47,9 @@ __all__ = [
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-# real-JPEG decode needs libjpeg; stubbed per task contract
-DECODE_STUBBED_FORMATS = {"jpg-real", "webp", "avif"}
+# webp/avif decode needs codec libraries this container lacks; real
+# baseline JPEG ("jpg") is implemented in proj_spark.sources.jpeg
+DECODE_STUBBED_FORMATS = {"webp", "avif"}
 
 _Q_BITS = 6  # lossy stand-in: 6 bits/channel -> PSNR ~ 46 dB
 
@@ -129,6 +132,10 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     """Dispatch by the table's ``fmt`` column."""
     if fmt in ("png", "jpeg"):  # jpeg == our deterministic lossy stand-in
         return decode_png(data)
+    if fmt == "jpg":  # REAL baseline JPEG (pure-numpy codec)
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     if fmt in DECODE_STUBBED_FORMATS:
         raise NotImplementedError(
             f"decoding {fmt!r} requires an image library not present in "

@@ -40,7 +40,7 @@ def test_phash_deterministic_and_robust():
 
 def test_stubbed_formats_raise():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff", "jpg-real")
+        decode_image(b"\xff\xd8\xff", "webp")
     with pytest.raises(ValueError):
         decode_image(b"xx", "bmp")
 
@@ -69,3 +69,62 @@ def test_synthesize_and_verify_spark(spark):
     four = synthesize_images(spark, 8, partitions=4).toPandas().sort_values("image_id")
     for a, b in zip(one["bytes"], four["bytes"]):
         assert bytes(a) == bytes(b)
+
+
+# ---------------------------------------------------------------------------
+# real baseline JPEG codec (proj_spark.sources.jpeg)
+# ---------------------------------------------------------------------------
+def test_jpeg_solid_color_is_near_exact():
+    import numpy as np
+
+    from proj_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    solid = np.full((16, 24, 3), [200, 30, 90], dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(solid, 90))
+    assert dec.shape == solid.shape
+    # DC-only blocks: error bounded by color-transform rounding
+    assert np.abs(dec.astype(int) - solid.astype(int)).max() <= 1
+
+
+def test_jpeg_psnr_and_quality_monotonicity():
+    import numpy as np
+
+    from proj_spark.sources.datagen import raster_for
+    from proj_spark.sources.images import psnr
+    from proj_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    for seed, (w, h) in ((1, (23, 17)), (7, (16, 16)), (99, (19, 31))):
+        arr = raster_for(seed, w, h)  # odd sizes: edge-padding path
+        prev = -1.0
+        for q in (50, 75, 90, 98):
+            data = encode_jpeg(arr, q)
+            dec = decode_jpeg(data)
+            assert dec.shape == arr.shape
+            p = psnr(arr, dec)
+            assert p > prev, f"PSNR not increasing with quality at q={q}"
+            prev = p
+        assert prev >= 40.0  # the q98 lossy invariant
+
+
+def test_jpeg_decode_image_dispatch_and_errors():
+    import numpy as np
+    import pytest
+
+    from proj_spark.sources.datagen import raster_for
+    from proj_spark.sources.images import decode_image, psnr
+    from proj_spark.sources.jpeg import encode_jpeg
+
+    arr = raster_for(3, 24, 16)
+    data = encode_jpeg(arr, 98)
+    dec = decode_image(data, "jpg")
+    assert psnr(arr, dec) >= 40.0
+    with pytest.raises(ValueError):
+        decode_image(b"\x00\x01" + data[2:], "jpg")  # missing SOI
+    # flip SOF0 -> SOF2: progressive must raise a clear error
+    prog = bytearray(data)
+    idx = bytes(prog).find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(prog), "jpg")
+    with pytest.raises(NotImplementedError):
+        decode_image(data, "webp")  # still-stubbed formats
