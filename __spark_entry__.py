@@ -578,6 +578,30 @@ def q44_ann_ivf_trained(spark, sf_dir):
     )
 
 
+def q47_phash_neardup(spark, sf_dir):
+    # image near-dup: banded-Hamming self-join over a 64-bit perceptual
+    # hash column (pigeonhole LSH, max_hamming+1 bands, bit_count
+    # verify).  A real pHash is pixel-DCT and not SQL-expressible, so
+    # the oracle-gated run feeds the SAME operator a planted hash
+    # (md5-derived, Hamming-3 twins on odd keys — oracle.sql_planted_hash
+    # replicates it bit-for-bit); the real-pixel path (phash64 over
+    # re-encoded rasters) is gated in tests/test_imagedup.py.
+    from proj_spark.operators.imagedup import (hamming_neardup_pairs,
+                                               planted_hash_col)
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("img_id"),
+        planted_hash_col(F.col("o_orderkey").cast("long")).alias("ph"),
+    )
+    out = hamming_neardup_pairs(base, id_col="img_id", hash_col="ph",
+                                max_hamming=3, bits=60)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
 def q42_pricing_rollup(spark, sf_dir):
     # classic scan->filter->aggregate shape (TPC-H Q1 silhouette):
     # the shipdate predicate pushes to the parquet scan; the aggregate
@@ -803,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_ann_ivf_trained": q44_ann_ivf_trained,
         "q45_dedup_full": q45_dedup_full,
         "q46_jpeg_verify": q46_jpeg_verify,
+        "q47_phash_neardup": q47_phash_neardup,
     }
 
 
@@ -1447,6 +1472,25 @@ chase(doc_id, cur) AS (
 )
 SELECT doc_id::BIGINT AS doc_id, min(cur)::BIGINT AS canonical_id
 FROM chase GROUP BY doc_id
+"""
+
+    # ---- q47: banded-Hamming near-dup join over planted 60-bit hashes
+    # (4 bands x 15 bits; pigeonhole guarantees Hamming<=3 pairs share
+    # a band) — the image-phash dedup plan, value-checked end to end.
+    ph = O.sql_planted_hash("o_orderkey", bits=60, flips=3)
+    band_eq = " OR ".join(
+        f"((x.ph >> {15 * i}) & 32767) = ((y.ph >> {15 * i}) & 32767)"
+        for i in range(4)
+    )
+    out["q47_phash_neardup"] = f"""
+WITH base AS (
+  SELECT o_orderkey::BIGINT AS img_id, {ph}::BIGINT AS ph FROM orders),
+cand AS (
+  SELECT x.img_id AS ida, y.img_id AS idb, x.ph AS ha, y.ph AS hb
+  FROM base x JOIN base y ON x.img_id < y.img_id AND ({band_eq})
+)
+SELECT ida AS id_a, idb AS id_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 """
 
     return out

@@ -675,6 +675,19 @@ def sql_shingles(text: str, k: int = 3) -> str:
     )
 
 
+def sql_planted_hash(key: str, bits: int = 60, flips: int = 3) -> str:
+    """Dialect twin of ``operators.imagedup.planted_hash_col``: rows
+    sharing ``key >> 1`` share an md5-derived base hash; odd keys flip
+    ``flips`` stride-7 bit positions, planting Hamming-``flips``
+    near-duplicate pairs."""
+    base = sql_md5_long(f"(({key}) >> 1)::VARCHAR")
+    h = base
+    for j in range(flips):
+        pos = f"((({key}) % 97 + {7 * j}) % {bits})"
+        h = f"xor({h}, (1::BIGINT << {pos}))"
+    return f"(CASE WHEN ({key}) % 2 = 1 THEN {h} ELSE {base} END)"
+
+
 # ---------------------------------------------------------------------------
 # splitmix64 (dialect pair: numpy side in sources/datagen.py:splitmix64)
 # ---------------------------------------------------------------------------
