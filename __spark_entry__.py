@@ -578,6 +578,37 @@ def q44_ann_ivf_trained(spark, sf_dir):
     )
 
 
+def q48_stere_south_fwd(spark, sf_dir):
+    # EPSG:3031 Antarctic Polar Stereographic (variant B, lat_ts=-71)
+    # over Antarctic-band points; oracle replicates the tsfn polar
+    # forward in SQL (oracle.sql_stere_polar_fwd)
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "antarctic")
+    out = with_transformed(df, "EPSG:4326", "EPSG:3031", err_col=None)
+    return out.select(
+        "o_orderkey", _round(F.col("x"), 1).alias("xm"), _round(F.col("y"), 1).alias("ym")
+    )
+
+
+def q49_stere_north_fwd(spark, sf_dir):
+    # EPSG:3413 NSIDC Sea Ice North (lat_ts=70, lon_0=-45) over
+    # Arctic-band points
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "arctic")
+    out = with_transformed(df, "EPSG:4326", "EPSG:3413", err_col=None)
+    return out.select(
+        "o_orderkey", _round(F.col("x"), 1).alias("xm"), _round(F.col("y"), 1).alias("ym")
+    )
+
+
+def q50_sinu_fwd(spark, sf_dir):
+    # ESRI:54008 World Sinusoidal (the MODIS-grid projection family):
+    # meridian-arc series y, parallel-radius-scaled x
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "world")
+    out = with_transformed(df, "EPSG:4326", "ESRI:54008", err_col=None)
+    return out.select(
+        "o_orderkey", _round(F.col("x"), 1).alias("xm"), _round(F.col("y"), 1).alias("ym")
+    )
+
+
 def q47_phash_neardup(spark, sf_dir):
     # image near-dup: banded-Hamming self-join over a 64-bit perceptual
     # hash column (pigeonhole LSH, max_hamming+1 bands, bit_count
@@ -828,6 +859,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_dedup_full": q45_dedup_full,
         "q46_jpeg_verify": q46_jpeg_verify,
         "q47_phash_neardup": q47_phash_neardup,
+        "q48_stere_south_fwd": q48_stere_south_fwd,
+        "q49_stere_north_fwd": q49_stere_north_fwd,
+        "q50_sinu_fwd": q50_sinu_fwd,
     }
 
 
@@ -1473,6 +1507,22 @@ chase(doc_id, cur) AS (
 SELECT doc_id::BIGINT AS doc_id, min(cur)::BIGINT AS canonical_id
 FROM chase GROUP BY doc_id
 """
+
+    # ---- q48/q49/q50: stere polar (south + north) and sinusoidal
+    lon_an, lat_an = O.lonlat_exprs("o_orderkey", "antarctic")
+    x, y = O.sql_stere_polar_fwd(lon_an, lat_an, "EPSG:3031")
+    out["q48_stere_south_fwd"] = (
+        f"SELECT o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym FROM orders"
+    )
+    lon_ar, lat_ar = O.lonlat_exprs("o_orderkey", "arctic")
+    x, y = O.sql_stere_polar_fwd(lon_ar, lat_ar, "EPSG:3413")
+    out["q49_stere_north_fwd"] = (
+        f"SELECT o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym FROM orders"
+    )
+    x, y = O.sql_sinu_fwd(lon_w, lat_w, "ESRI:54008")
+    out["q50_sinu_fwd"] = (
+        f"SELECT o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym FROM orders"
+    )
 
     # ---- q47: banded-Hamming near-dup join over planted 60-bit hashes
     # (4 bands x 15 bits; pigeonhole guarantees Hamming<=3 pairs share

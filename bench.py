@@ -133,6 +133,127 @@ def bench_queries(spark, sf_dir):
     return results
 
 
+def _replicate(df, copies: int, key: str):
+    """Deterministic x-N row replication: each copy keeps the original
+    row shape with a re-keyed id (id*copies + c).  Pure JVM projection
+    + explode — no Python, no shuffle."""
+    from pyspark.sql import functions as F
+
+    c = F.explode(F.array(*[F.lit(i) for i in range(copies)])).alias("__c")
+    rep = df.select("*", c)
+    return rep.withColumn(key, F.col(key) * copies + F.col("__c"))
+
+
+def bench_queries_x10(spark, sf_dir, copies: int = 10):
+    """Round-2 verdict ask #8: a pinned larger-scale variant (10x the
+    sf0.1 rows, deterministic replication) so round-over-round deltas
+    on the fast queries escape the host's noise band.  Scoped to the
+    linear-output headline ops; per-copy jitter keeps text near-dup
+    groups from growing quadratically (each copy's doc text is salted
+    with its new id, and each copy's point is offset a few cells)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from proj_spark.functions.transform import with_transformed
+    from proj_spark.operators import cells as C
+    from proj_spark.operators import tiles as T
+    from proj_spark.operators.joins import knn_join, pip_join
+    from proj_spark.operators.textops import minhash_lsh_groups
+    from proj_spark.operators.ann import ann_bruteforce_topk, ann_ivf_topk
+    from proj_spark.sources.datagen import synthesize_images
+    from proj_spark.sources.images import verify_images
+
+    par = spark.sparkContext.defaultParallelism
+    orders = _replicate(
+        E._pts(spark, sf_dir, "orders", "o_orderkey", "world"),
+        copies, "o_orderkey")
+    # spread the copies spatially so cells/tiles stay realistic
+    orders = orders.select(
+        "o_orderkey",
+        ((F.col("lon") + F.col("__c") * 1.37 + 180.0) % 360.0 - 180.0).alias("lon"),
+        (F.col("lat") * (1.0 - F.col("__c") * 0.013)).alias("lat"),
+    ).repartition(par).cache()
+    n_orders = orders.count()
+    cust = _replicate(
+        E._pts(spark, sf_dir, "customer", "c_custkey", "customer"),
+        copies, "c_custkey")
+    cust = cust.select(
+        "c_custkey",
+        ((F.col("lon") + F.col("__c") * 2.11 + 180.0) % 360.0 - 180.0).alias("lon"),
+        (F.col("lat") * (1.0 - F.col("__c") * 0.017)).alias("lat"),
+    ).repartition(par).cache()
+    n_cust = cust.count()
+    docs = _replicate(E._t(spark, sf_dir, "documents"), copies, "doc_id")
+    docs = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" zz"),
+                 F.col("doc_id").cast("string")).alias("text"),
+    ).repartition(par).cache()
+    n_docs = docs.count()
+    emb = _replicate(E._t(spark, sf_dir, "embeddings"), copies, "vec_id")
+    emb = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v, i: v + F.when(i == 0, (F.col("__c") % 7) * 0.001)
+            .otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    ).repartition(par).cache()
+    n_emb = emb.count()
+
+    ops = []
+
+    def run(name, rows, fn):
+        ops.append((name, rows, fn))
+
+    run("transform_webmerc", n_orders, lambda: _sink(
+        with_transformed(orders, "EPSG:4326", "EPSG:3857", err_col=None)))
+    run("transform_utm", n_orders, lambda: _sink(
+        with_transformed(orders, "EPSG:4326", "EPSG:6366",
+                         out_x="ux", out_y="uy", err_col=None)))
+    run("cell_index", n_orders, lambda: _sink(
+        orders.select(C.cell_col(F.col("lon"), F.col("lat"), 12).alias("cell"))))
+    run("tile_assign_rollup", n_orders, lambda: _sink(
+        T.tile_rollup(T.with_tiles(orders, zoom=8))))
+    run("pip_join", n_orders, lambda: _sink(
+        pip_join(orders.withColumnRenamed("o_orderkey", "point_id"),
+                 E._rect_polys(spark, sf_dir), level=5)))
+    run("knn_join", n_cust, lambda: _sink(
+        knn_join(cust, E._knn_queries(spark, sf_dir), k=5,
+                 point_id_col="c_custkey", n_points=n_cust)))
+    run("minhash_groups", n_docs, lambda: _sink(
+        minhash_lsh_groups(docs, num_hashes=16, bands=4,
+                           jaccard_threshold=0.4)))
+    run("ann_bruteforce", n_emb, lambda: _sink(
+        ann_bruteforce_topk(
+            emb,
+            emb.where(F.col("vec_id") < 20).select(
+                F.col("vec_id").alias("query_id"), "embedding"),
+            k=5)))
+    run("ann_ivf", n_emb, lambda: _sink(
+        ann_ivf_topk(
+            emb,
+            emb.where(F.col("vec_id") < 20).select(
+                F.col("vec_id").alias("query_id"), "embedding"),
+            k=5, n_centroids=8, nprobe=2)))
+    n_img = 2000 * copies
+    run("images_verify", n_img, lambda: _sink(
+        verify_images(synthesize_images(spark, n_img).localCheckpoint())))
+
+    # best-of-2, interleaved (see bench_queries noise note)
+    results = {name: (float("inf"), rows) for name, rows, _ in ops}
+    for _ in range(2):
+        for name, rows, fn in ops:
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            results[name] = (min(results[name][0], dt), rows)
+
+    for d in (orders, cust, docs, emb):
+        d.unpersist()
+    return results
+
+
 def flagship(spark, sf_dir):
     """The end-to-end north-rule pipeline (transform + cell + tile +
     PIP + rollup) — the job used for the scaling-efficiency measurement."""
@@ -314,24 +435,33 @@ def main():
         print(json.dumps({"scaling": out, "efficiency": eff}))
         return
 
+    copies = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
     spark = make_spark(CPUS)
     try:
         results = bench_queries(spark, SF_DIR)
         total_sec = sum(s for s, _ in results.values())
         total_rows = sum(r for _, r in results.values())
-        print(
-            json.dumps(
-                {
-                    "metric": "spatial-join + transform throughput",
-                    "value": round(total_sec, 3),
-                    "unit": "sec",
-                    "rows_per_sec": round(total_rows / total_sec, 1),
-                    "queries": {k: round(s, 3) for k, (s, _) in results.items()},
-                    "sf": SF_DIR,
-                    "cores": CPUS,
-                }
-            )
-        )
+        payload = {
+            "metric": "spatial-join + transform throughput",
+            "value": round(total_sec, 3),
+            "unit": "sec",
+            "rows_per_sec": round(total_rows / total_sec, 1),
+            "queries": {k: round(s, 3) for k, (s, _) in results.items()},
+            "sf": SF_DIR,
+            "cores": CPUS,
+        }
+        if copies > 1:
+            # second pinned scale (round-2 verdict ask #8): same host,
+            # same session, 10x the rows — deltas on the sub-second
+            # queries become readable across rounds
+            r10 = bench_queries_x10(spark, SF_DIR, copies=copies)
+            t10 = sum(s for s, _ in r10.values())
+            rows10 = sum(r for _, r in r10.values())
+            payload["queries_x10"] = {k: round(s, 3) for k, (s, _) in r10.items()}
+            payload["total_x10_sec"] = round(t10, 3)
+            payload["rows_per_sec_x10"] = round(rows10 / t10, 1)
+            payload["x10_copies"] = copies
+        print(json.dumps(payload))
     finally:
         spark.stop()
 

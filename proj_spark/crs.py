@@ -209,6 +209,13 @@ class ProjStep(_StepBase):
             params.setdefault("k", 0.9996)
             params.setdefault("x_0", 500000.0)
             params.setdefault("y_0", 10000000.0 if params.get("south") else 0.0)
+        if name == "ups":
+            # Universal Polar Stereographic presets (PROJ ups)
+            params = dict(params)
+            params.setdefault("lat_0", -90.0 if params.get("south") else 90.0)
+            params.setdefault("k", 0.994)
+            params.setdefault("x_0", 2000000.0)
+            params.setdefault("y_0", 2000000.0)
         if name not in K.PROJECTIONS:
             raise ProjCreateError(f"unsupported projection: {name}")
         self.name = name
@@ -590,6 +597,49 @@ for entry in [
        towgs84=(0, 0, 0),
        area=Area(-180, -86, 180, 86),
        area_name="World between 86 S and 86 N.",
+       datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
+       base_geog="EPSG:4326", base_geog_name="WGS 84"),
+    _e("EPSG:3413", "WGS 84 / NSIDC Sea Ice Polar Stereographic North",
+       "projected",
+       "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 "
+       "+ellps=WGS84 +units=m",
+       towgs84=(0, 0, 0),
+       area=Area(-180, 60, 180, 90),
+       area_name="Northern hemisphere - north of 60 N onshore and "
+                 "offshore, including Arctic.",
+       datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
+       base_geog="EPSG:4326", base_geog_name="WGS 84"),
+    _e("EPSG:3031", "WGS 84 / Antarctic Polar Stereographic", "projected",
+       "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 "
+       "+ellps=WGS84 +units=m",
+       towgs84=(0, 0, 0),
+       area=Area(-180, -90, 180, -60),
+       area_name="Antarctica.",
+       datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
+       base_geog="EPSG:4326", base_geog_name="WGS 84"),
+    _e("EPSG:3976", "WGS 84 / NSIDC Sea Ice Polar Stereographic South",
+       "projected",
+       "+proj=stere +lat_0=-90 +lat_ts=-70 +lon_0=0 +x_0=0 +y_0=0 "
+       "+ellps=WGS84 +units=m",
+       towgs84=(0, 0, 0),
+       area=Area(-180, -90, 180, -60),
+       area_name="Southern hemisphere - south of 60 S onshore and "
+                 "offshore - Antarctica.",
+       datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
+       base_geog="EPSG:4326", base_geog_name="WGS 84"),
+    _e("EPSG:5041", "WGS 84 / UPS North (E,N)", "projected",
+       "+proj=stere +lat_0=90 +k=0.994 +lon_0=0 +x_0=2000000 "
+       "+y_0=2000000 +ellps=WGS84 +units=m",
+       towgs84=(0, 0, 0),
+       area=Area(-180, 60, 180, 90),
+       area_name="Northern hemisphere - north of 60 N onshore and "
+                 "offshore, including Arctic.",
+       datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
+       base_geog="EPSG:4326", base_geog_name="WGS 84"),
+    _e("ESRI:54008", "World Sinusoidal", "projected",
+       "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m",
+       towgs84=(0, 0, 0),
+       area=Area(-180, -90, 180, 90), area_name="World.",
        datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
        base_geog="EPSG:4326", base_geog_name="WGS 84"),
     _e("ESRI:54009", "World Mollweide", "projected",

@@ -1237,6 +1237,134 @@ def moll_inv(x, y, P):
 
 
 # ---------------------------------------------------------------------------
+# stere — Stereographic (Snyder ch. 21; EPSG methods 9810 "Polar
+# Stereographic (variant A)" and 9829 "(variant B)").  Polar aspects
+# via the isometric-latitude function tsfn; oblique/equatorial via
+# conformal latitude chi (Snyder 21-27..21-39).  Covers EPSG:3413/3976
+# (NSIDC sea-ice grids), EPSG:3031 (Antarctic), EPSG:5041/5042 (UPS).
+# ---------------------------------------------------------------------------
+_STERE_EPS = 1e-10
+
+
+def _ssfn(phi, sinphi, e):
+    esp = e * sinphi
+    return ftan(0.5 * (HALFPI + phi)) * np.power(
+        (1.0 - esp) / (1.0 + esp), 0.5 * e)
+
+
+def stere_setup(params, a, es):
+    e = float(np.sqrt(es))
+    phi0 = np.radians(float(params.get("lat_0", 0.0)))
+    k0 = float(params.get("k", params.get("k_0", 1.0)))
+    P = {"e": e, "es": es}
+    if abs(abs(phi0) - HALFPI) < _STERE_EPS:
+        P["mode"] = "n_pole" if phi0 > 0.0 else "s_pole"
+        if "lat_ts" in params:
+            phits = abs(np.radians(float(params["lat_ts"])))
+        else:
+            phits = HALFPI
+        if abs(phits - HALFPI) < _STERE_EPS:
+            # variant A: scale pinned by k0 at the pole
+            akm1 = 2.0 * k0 / np.sqrt(
+                (1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+        else:
+            # variant B: true scale at lat_ts
+            st = float(fsin(np.array(phits)))
+            akm1 = float(
+                fcos(np.array(phits))
+                / _tsfn(np.array(phits), np.array(st), e))
+            akm1 /= np.sqrt(1.0 - (e * st) ** 2)
+        P["akm1"] = float(akm1)
+    else:
+        sinphi0 = float(fsin(np.array(phi0)))
+        X1 = 2.0 * np.arctan(float(_ssfn(np.array(phi0),
+                                         np.array(sinphi0), e))) - HALFPI
+        P["mode"] = "obliq" if abs(phi0) > _STERE_EPS else "equit"
+        P["sinX1"] = float(np.sin(X1))
+        P["cosX1"] = float(np.cos(X1))
+        P["akm1"] = float(
+            2.0 * k0 * np.cos(phi0) / np.sqrt(1.0 - es * sinphi0 ** 2))
+    return P
+
+
+def stere_fwd(lam, phi, P):
+    e = P["e"]
+    sinlam, coslam = fsin(lam), fcos(lam)
+    if P["mode"] in ("n_pole", "s_pole"):
+        if P["mode"] == "s_pole":
+            phi = -np.asarray(phi, dtype=np.float64)
+            coslam = -coslam
+        r = P["akm1"] * _tsfn(phi, fsin(phi), e)
+        return r * sinlam, -r * coslam
+    X = 2.0 * np.arctan(_ssfn(phi, fsin(phi), e)) - HALFPI
+    sinX, cosX = fsin(X), fcos(X)
+    sinX1, cosX1 = P["sinX1"], P["cosX1"]
+    A = P["akm1"] / (cosX1 * (1.0 + sinX1 * sinX + cosX1 * cosX * coslam))
+    return A * cosX * sinlam, A * (cosX1 * sinX - sinX1 * cosX * coslam)
+
+
+def stere_inv(x, y, P):
+    e = P["e"]
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    rho = np.hypot(x, y)
+    if P["mode"] in ("n_pole", "s_pole"):
+        ts = rho / P["akm1"]
+        phi = _phi2(ts, e)
+        if P["mode"] == "n_pole":
+            return np.arctan2(x, -y), phi
+        return np.arctan2(x, y), -phi
+    sinX1, cosX1 = P["sinX1"], P["cosX1"]
+    ce = 2.0 * np.arctan2(rho * cosX1, P["akm1"])
+    cosce, since = np.cos(ce), np.sin(ce)
+    safe_rho = np.where(rho > 1e-12, rho, 1.0)
+    X = farcsin(np.clip(
+        np.where(rho > 1e-12,
+                 cosce * sinX1 + y * since * cosX1 / safe_rho,
+                 cosce * sinX1),
+        -1.0, 1.0))
+    lam = np.arctan2(x * since, rho * cosX1 * cosce - y * sinX1 * since)
+    phi = np.arctan(_conformal_lat_tan_inv(np.tan(X), e))
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# sinu — Sinusoidal (Snyder ch. 30), ellipsoidal via the meridian-arc
+# series: y = M(phi), x = lam*cos(phi)/sqrt(1 - es*sin^2 phi).
+# Equal-area; the MODIS/ESRI:54008 world grid projection.
+# ---------------------------------------------------------------------------
+def sinu_setup(params, a, es):
+    P = {"es": es}
+    if es > 0.0:
+        P["en"] = _enfn(es)
+    return P
+
+
+def sinu_fwd(lam, phi, P):
+    s, c = fsin(phi), fcos(phi)
+    if P["es"] > 0.0:
+        return lam * c / np.sqrt(1.0 - P["es"] * s * s), _mlfn(phi, s, c, P["en"])
+    return lam * c, np.asarray(phi, dtype=np.float64)
+
+
+def sinu_inv(x, y, P):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if P["es"] > 0.0:
+        phi = _inv_mlfn(y, P["es"], P["en"])
+        s, c = fsin(phi), fcos(phi)
+        lam = np.where(np.abs(c) > 1e-12,
+                       x * np.sqrt(1.0 - P["es"] * s * s)
+                       / np.where(np.abs(c) > 1e-12, c, 1.0),
+                       0.0)
+        return lam, phi
+    c = fcos(y)
+    lam = np.where(np.abs(c) > 1e-12,
+                   x / np.where(np.abs(c) > 1e-12, c, 1.0), 0.0)
+    return lam, y
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 PROJECTIONS = {
@@ -1256,4 +1384,7 @@ PROJECTIONS = {
     "eqc": (eqc_setup, eqc_fwd, eqc_inv),
     "cea": (cea_setup, cea_fwd, cea_inv),
     "moll": (moll_setup, moll_fwd, moll_inv),
+    "stere": (stere_setup, stere_fwd, stere_inv),
+    "ups": (stere_setup, stere_fwd, stere_inv),
+    "sinu": (sinu_setup, sinu_fwd, sinu_inv),
 }

@@ -119,6 +119,16 @@ def lonlat_exprs(key: str, kind: str = "world") -> tuple[str, str]:
             f"(({key}) % 720) / 2.0 - 180.0 + 0.25",
             f"(({key}) % 340) / 2.0 - 85.0 + 0.25",
         )
+    if kind == "arctic":
+        return (
+            f"(({key}) % 3600) / 10.0 - 180.0 + 0.05",
+            f"61.0 + (({key}) % 280) / 10.0 + 0.05",
+        )
+    if kind == "antarctic":
+        return (
+            f"(({key}) % 3600) / 10.0 - 180.0 + 0.05",
+            f"-89.5 + (({key}) % 280) / 10.0 + 0.05",
+        )
     raise ValueError(kind)
 
 
@@ -673,6 +683,65 @@ def sql_shingles(text: str, k: int = 3) -> str:
         f"list_transform(range(1, greatest(len({toks}) - {k - 1}, 0) + 1), "
         f"i -> array_to_string(({toks})[i:i+{k - 1}], ' '))"
     )
+
+
+def sql_stere_polar_fwd(lon: str, lat: str,
+                        code: str = "EPSG:3031") -> tuple[str, str]:
+    """Polar Stereographic forward (dialect pair: kernels.stere_fwd,
+    polar modes).  The forward uses only sin/cos of the offset
+    longitude, so the kernel's adjlon wrap is a no-op here."""
+    from . import kernels as K
+    from .crs import parse_proj_string, resolve_crs
+
+    entry = resolve_crs(code)
+    p = parse_proj_string(entry.proj)[0]
+    a, es = K.ellipsoid(p)
+    P = K.stere_setup(p, a, es)
+    if P["mode"] not in ("n_pole", "s_pole"):
+        raise ValueError(f"{code} is not a polar stereographic CRS")
+    e = P["e"]
+    lam0 = math.radians(float(p.get("lon_0", 0.0)))
+    x0 = float(p.get("x_0", 0.0))
+    y0 = float(p.get("y_0", 0.0))
+    lam = f"(radians({lon}) - {_f(lam0)})"
+    if P["mode"] == "n_pole":
+        ts = _tsfn(f"radians({lat})", e)
+        sign = "-"
+    else:
+        ts = _tsfn(f"(-radians({lat}))", e)
+        sign = ""
+    r = f"({_f(a * P['akm1'])} * {ts})"
+    x = f"({r} * sin({lam}) + {_f(x0)})"
+    y = f"({sign}{r} * cos({lam}) + {_f(y0)})"
+    return x, y
+
+
+def sql_sinu_fwd(lon: str, lat: str,
+                 code: str = "ESRI:54008") -> tuple[str, str]:
+    """Sinusoidal forward (dialect pair: kernels.sinu_fwd): meridian
+    arc via the en-series, x scaled by the parallel radius."""
+    from . import kernels as K
+    from .crs import parse_proj_string, resolve_crs
+
+    entry = resolve_crs(code)
+    p = parse_proj_string(entry.proj)[0]
+    a, es = K.ellipsoid(p)
+    en = K._enfn(es)
+    lam0 = math.radians(float(p.get("lon_0", 0.0)))
+    x0 = float(p.get("x_0", 0.0))
+    y0 = float(p.get("y_0", 0.0))
+    phi = f"radians({lat})"
+    s = f"sin({phi})"
+    c = f"cos({phi})"
+    s2 = f"({s}*{s})"
+    ml = (
+        f"({_f(en[0])}*{phi} - ({c}*{s})*({_f(en[1])} + {s2}*({_f(en[2])}"
+        f" + {s2}*({_f(en[3])} + {s2}*{_f(en[4])}))))"
+    )
+    lam = f"(radians({lon}) - {_f(lam0)})"
+    x = f"({_f(a)} * {lam} * {c} / sqrt(1.0 - {_f(es)}*{s2}) + {_f(x0)})"
+    y = f"({_f(a)} * {ml} + {_f(y0)})"
+    return x, y
 
 
 def sql_planted_hash(key: str, bits: int = 60, flips: int = 3) -> str:

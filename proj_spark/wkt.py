@@ -196,6 +196,30 @@ _METHODS = {
         ("y_0", "False northing", 8807,
          "false_northing", "False_Northing", _P_LEN, 0.0),
     ]),
+    "stere": ("Polar Stereographic (variant B)", 9829,
+              "Polar_Stereographic", "Stereographic", [
+        ("lat_0", "Latitude of natural origin", 8801,
+         "latitude_of_origin", "Latitude_Of_Origin", _P_ANG, 0.0),
+        ("lat_ts", "Latitude of standard parallel", 8832,
+         "standard_parallel_1", "Standard_Parallel_1", _P_ANG, None),
+        ("k", "Scale factor at natural origin", 8805,
+         "scale_factor", "Scale_Factor", _P_SCALE, None),
+        ("lon_0", "Longitude of origin", 8833,
+         "central_meridian", "Central_Meridian", _P_ANG, 0.0),
+        ("x_0", "False easting", 8806,
+         "false_easting", "False_Easting", _P_LEN, 0.0),
+        ("y_0", "False northing", 8807,
+         "false_northing", "False_Northing", _P_LEN, 0.0),
+    ]),
+    "sinu": ("Sinusoidal", 0,  # no EPSG method code (ESRI/IOGP informal)
+             "Sinusoidal", "Sinusoidal", [
+        ("lon_0", "Longitude of natural origin", 8802,
+         "central_meridian", "Central_Meridian", _P_ANG, 0.0),
+        ("x_0", "False easting", 8806,
+         "false_easting", "False_Easting", _P_LEN, 0.0),
+        ("y_0", "False northing", 8807,
+         "false_northing", "False_Northing", _P_LEN, 0.0),
+    ]),
     "moll": ("Mollweide", 0,  # no EPSG method code (ESRI/IOGP informal)
              "Mollweide", "Mollweide", [
         ("lon_0", "Longitude of natural origin", 8802,

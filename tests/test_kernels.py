@@ -422,3 +422,149 @@ def test_eqc_cea_moll_kernels():
     lon2, lat2 = ti.convert_array(x, y)
     assert np.abs(lon2 - lon).max() < 1e-8
     assert np.abs(lat2 - lat).max() < 1e-8
+
+
+def test_stere_polar_variant_a_ups_north():
+    """EPSG Guidance Note 7-2 worked example, Polar Stereographic
+    variant A (UPS North, WGS84, k0=0.994, FE=FN=2000000):
+    73 N, 44 E -> E 3320416.75, N 632668.43 (published to cm)."""
+    import numpy as np
+
+    from proj_spark.crs import Transform
+
+    t = Transform.new_known_crs("EPSG:4326", "EPSG:5041")
+    x, y = t.convert(44.0, 73.0)
+    assert abs(float(x) - 3320416.75) < 0.01
+    assert abs(float(y) - 632668.43) < 0.01
+    lon2, lat2 = Transform.new_known_crs("EPSG:5041", "EPSG:4326").convert(
+        float(x), float(y))
+    assert abs(float(lon2) - 44.0) < 1e-9 and abs(float(lat2) - 73.0) < 1e-9
+
+
+def test_stere_polar_variant_b_south():
+    """EPSG GN 7-2 worked example, Polar Stereographic variant B
+    (Australian Antarctic: lat_ts=-71, lon_0=70, FE=FN=6000000):
+    75 S, 120 E -> E 7255380.79, N 7053389.56."""
+    from proj_spark.crs import Transform
+
+    t = Transform.new(
+        "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=70 +x_0=6000000 "
+        "+y_0=6000000 +ellps=WGS84 +units=m")
+    import numpy as np
+
+    x, y = t.project(np.radians(120.0), np.radians(-75.0))
+    assert abs(float(x) - 7255380.79) < 0.01
+    assert abs(float(y) - 7053389.56) < 0.01
+
+
+def test_stere_oblique_snyder_example():
+    """Snyder PP-1395 numerical example, oblique ellipsoidal
+    stereographic (Clarke 1866, k0=0.9999, lat_0=40 N, lon_0=100 W):
+    30 N, 90 W -> x 971630.8, y -1063049.3 (published to 0.1 m)."""
+    import numpy as np
+
+    from proj_spark.crs import Transform
+
+    t = Transform.new(
+        "+proj=stere +lat_0=40 +k=0.9999 +lon_0=-100 +ellps=clrk66 +units=m")
+    x, y = t.project(np.radians(-90.0), np.radians(30.0))
+    assert abs(float(x) - 971630.8) < 0.3
+    assert abs(float(y) - (-1063049.3)) < 0.3
+    # inverse closes the loop at machine precision
+    lam, phi = t.project(x, y, inverse=True)
+    assert abs(float(lam) - np.radians(-90.0)) < 1e-12
+    assert abs(float(phi) - np.radians(30.0)) < 1e-12
+
+
+def test_stere_polar_grids_roundtrip_and_scale():
+    """NSIDC grids: roundtrip over dense polar grids at <1e-8 deg, and
+    the variant-B defining property — true scale at lat_ts (numeric
+    Jacobian k == 1 at 70 N for EPSG:3413, at 71 S for EPSG:3031)."""
+    import numpy as np
+
+    from proj_spark.crs import Transform
+
+    for code, latlo, lathi, lat_ts in [
+        ("EPSG:3413", 60.0, 89.5, 70.0),
+        ("EPSG:3031", -89.5, -60.0, -71.0),
+        ("EPSG:3976", -89.5, -60.0, -70.0),
+    ]:
+        t = Transform.new_known_crs("EPSG:4326", code)
+        ti = Transform.new_known_crs(code, "EPSG:4326")
+        rng = np.random.default_rng(11)
+        lon = rng.uniform(-179.9, 179.9, 300)
+        lat = rng.uniform(latlo, lathi, 300)
+        x, y = t.convert_array(lon, lat)
+        lon2, lat2 = ti.convert_array(x, y)
+        dlon = (lon2 - lon + 180.0) % 360.0 - 180.0
+        assert np.abs(dlon).max() < 1e-8, code
+        assert np.abs(lat2 - lat).max() < 1e-8, code
+        # scale factor along the standard parallel: k = sqrt(E/(m^2))
+        # via numeric Jacobian of (x, y) wrt (lam, phi)
+        a, es = 6378137.0, 0.0066943799901413165
+        h = 1e-6
+        for lon_d in (-120.0, 0.0, 77.0):
+            xa, ya = t.convert_array(
+                np.array([lon_d - h, lon_d + h]),
+                np.array([lat_ts, lat_ts]))
+            dx = np.hypot(xa[1] - xa[0], ya[1] - ya[0])
+            ground = (2 * h * np.pi / 180.0) * np.cos(np.radians(lat_ts)) \
+                * a / np.sqrt(1 - es * np.sin(np.radians(lat_ts)) ** 2)
+            assert abs(dx / ground - 1.0) < 1e-6, (code, lon_d)
+
+
+def test_sinu_kernel_properties():
+    """Sinusoidal: y on the central meridian is the meridian arc
+    (equator to pole = 10001965.73 m on WGS84 — the quarter-meridian),
+    equal-area Jacobian |J| = a^2 (1-es) cos(phi)/(1 - es sin^2 phi)^2
+    ... verified numerically, and dense roundtrip."""
+    import numpy as np
+
+    from proj_spark.crs import Transform
+
+    t = Transform.new_known_crs("EPSG:4326", "ESRI:54008")
+    # quarter meridian on WGS84 (Karney/geographiclib value 10001965.729 m)
+    x, y = t.convert(0.0, 90.0)
+    assert abs(float(x)) < 1e-6
+    assert abs(float(y) - 10001965.729) < 0.01
+    # equal-area property via numeric Jacobian at sample points
+    a, es = 6378137.0, 0.0066943799901413165
+    h = 1e-5
+    for lon_d, lat_d in [(10.0, 20.0), (-60.0, 45.0), (120.0, -35.0)]:
+        xa, ya = t.convert_array(
+            np.array([lon_d - h, lon_d + h, lon_d, lon_d]),
+            np.array([lat_d, lat_d, lat_d - h, lat_d + h]))
+        rad = np.pi / 180.0
+        dxdlam = (xa[1] - xa[0]) / (2 * h * rad)
+        dydlam = (ya[1] - ya[0]) / (2 * h * rad)
+        dxdphi = (xa[3] - xa[2]) / (2 * h * rad)
+        dydphi = (ya[3] - ya[2]) / (2 * h * rad)
+        J = abs(dxdlam * dydphi - dxdphi * dydlam)
+        s = np.sin(np.radians(lat_d))
+        want = a * a * (1 - es) * np.cos(np.radians(lat_d)) / (1 - es * s * s) ** 2
+        assert abs(J / want - 1.0) < 1e-4, (lon_d, lat_d)
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-179, 179, 300)
+    lat = rng.uniform(-89, 89, 300)
+    x, y = t.convert_array(lon, lat)
+    lon2, lat2 = Transform.new_known_crs("ESRI:54008", "EPSG:4326").convert_array(x, y)
+    assert np.abs(lon2 - lon).max() < 1e-8
+    assert np.abs(lat2 - lat).max() < 1e-8
+
+
+def test_ups_proj_alias_presets():
+    """+proj=ups fills UPS presets (lat_0=90, k=0.994, FE/FN 2000000)
+    and matches EPSG:5041 exactly; +south selects the S aspect."""
+    import numpy as np
+
+    from proj_spark.crs import Transform
+
+    tu = Transform.new("+proj=ups +ellps=WGS84 +units=m")
+    tk = Transform.new_known_crs("EPSG:4326", "EPSG:5041")
+    x1, y1 = tu.project(np.radians(44.0), np.radians(73.0))
+    x2, y2 = tk.convert(44.0, 73.0)
+    assert abs(float(x1) - float(x2)) < 1e-9
+    assert abs(float(y1) - float(y2)) < 1e-9
+    ts = Transform.new("+proj=ups +south +ellps=WGS84 +units=m")
+    xs, ys = ts.project(np.radians(44.0), np.radians(-73.0))
+    assert np.isfinite(float(xs)) and np.isfinite(float(ys))
