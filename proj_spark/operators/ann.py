@@ -52,6 +52,19 @@ def cosine_sim_col(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _seq_norm(vals) -> float:
+    """Driver-side twin of :func:`_norm`: sequential left-to-right
+    double accumulation, BIT-IDENTICAL to the JVM aggregate (so a
+    literal centroid norm can replace a per-row recomputation without
+    moving any oracle value by an ulp)."""
+    import math
+
+    acc = 0.0
+    for x in vals:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def ann_bruteforce_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -61,14 +74,23 @@ def ann_bruteforce_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries x full scan of vectors,
-    per-query window rank.  Output: query_id, vec_id, cos_sim, rank."""
+    per-query window rank.  Output: query_id, vec_id, cos_sim, rank.
+
+    Norms are computed ONCE per row on each side before the cross
+    join (the higher-order aggregate is interpreted, not codegen'd, so
+    per-pair norm recomputation triples the hot-loop cost); the pair
+    loop then does a single dot product.  Same arithmetic, same
+    association order — values are bit-identical to cosine_sim_col."""
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("q_vec")
-    )
-    scored = vectors.crossJoin(F.broadcast(q)).select(
+    ).withColumn("__qn", _norm(F.col("q_vec")))
+    v = vectors.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "__vn", _norm(F.col(vec_col)))
+    scored = v.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_sim_col(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
+        (_dot(F.col(vec_col), F.col("q_vec"))
+         / (F.col("__vn") * F.col("__qn"))).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
@@ -138,17 +160,22 @@ def ann_lsh_topk(
             *df.columns, F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key")
         ).drop("_bk", "_sig")
 
-    v = with_bands(vectors.select(id_col, vec_col), vec_col)
+    v = with_bands(
+        vectors.select(F.col(id_col), F.col(vec_col)).withColumn(
+            "__vn", _norm(F.col(vec_col))),
+        vec_col)
     q = with_bands(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec")), "q_vec"
-    )
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec"))
+        .withColumn("__qn", _norm(F.col("q_vec"))),
+        "q_vec")
     cand = (
         v.join(F.broadcast(q), ["band", "key"])
         .dropDuplicates([query_id_col, id_col])
         .select(
             F.col(query_id_col),
             F.col(id_col),
-            cosine_sim_col(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
+            (_dot(F.col(vec_col), F.col("q_vec"))
+             / (F.col("__vn") * F.col("__qn"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -306,25 +333,34 @@ def ann_ivf_topk(
             .collect()
         )
 
-    def _cent_sim(vec: Column, row) -> Column:
+    # per-centroid norms hoisted to driver-side literals (bit-identical
+    # sequential accumulation — see _seq_norm); per-row norm computed
+    # once instead of once per centroid
+    cent_norms = {int(r["cent_id"]): _seq_norm(r["cent_vec"]) for r in cents}
+
+    def _cent_sim(vec: Column, norm_col: str, row) -> Column:
         arr = F.array(*[F.lit(float(x)) for x in row["cent_vec"]])
-        return cosine_sim_col(vec, arr)
+        return _dot(vec, arr) / (
+            F.col(norm_col) * F.lit(cent_norms[int(row["cent_id"])]))
 
     # argmax by (sim, cent_id): greatest() on structs compares
     # lexicographically, so ties break toward the larger cent_id —
     # mirrored exactly in the SQL oracle (ORDER BY sim DESC, id DESC)
+    vn = vectors.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "__vn", _norm(F.col(vec_col)))
     structs = [
-        F.struct(_cent_sim(F.col(vec_col), r).alias("s"),
+        F.struct(_cent_sim(F.col(vec_col), "__vn", r).alias("s"),
                  F.lit(int(r["cent_id"])).cast("long").alias("c"))
         for r in cents
     ]
     best = structs[0] if len(structs) == 1 else F.greatest(*structs)
-    assigned = vectors.select(id_col, vec_col,
-                              best["c"].alias("list_id"))
+    assigned = vn.select(id_col, vec_col, "__vn",
+                         best["c"].alias("list_id"))
 
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec"))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec")
+                       ).withColumn("__qn", _norm(F.col("q_vec")))
     probes = [
-        F.struct(_cent_sim(F.col("q_vec"), r).alias("s"),
+        F.struct(_cent_sim(F.col("q_vec"), "__qn", r).alias("s"),
                  F.lit(int(r["cent_id"])).cast("long").alias("c"))
         for r in cents
     ]
@@ -335,12 +371,13 @@ def ann_ivf_topk(
     qprobe = (
         qp.withColumn("_pr", F.row_number().over(wq))
         .where(F.col("_pr") <= nprobe)
-        .select(query_id_col, "q_vec", F.col("_p.c").alias("list_id"))
+        .select(query_id_col, "q_vec", "__qn", F.col("_p.c").alias("list_id"))
     )
     cand = assigned.join(F.broadcast(qprobe), "list_id").select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine_sim_col(F.col(vec_col), F.col("q_vec")).alias("cos_sim"),
+        (_dot(F.col(vec_col), F.col("q_vec"))
+         / (F.col("__vn") * F.col("__qn"))).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
@@ -363,7 +400,9 @@ def embedding_neardup_pairs(
     planes = [_hyperplane(p, dim) for p in range(n_planes)]
     rows_per_band = n_planes // bands
     sig = _sign_bits_col(F.col(vec_col), planes)
-    df = vectors.select(id_col, vec_col).withColumn("_sig", sig)
+    df = (vectors.select(F.col(id_col), F.col(vec_col))
+          .withColumn("__n", _norm(F.col(vec_col)))
+          .withColumn("_sig", sig))
     parts = [
         F.struct(
             F.lit(b).alias("band"),
@@ -374,7 +413,8 @@ def embedding_neardup_pairs(
         for b in range(bands)
     ]
     ex = df.withColumn("_bk", F.explode(F.array(*parts))).select(
-        id_col, vec_col, F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key")
+        id_col, vec_col, "__n",
+        F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key")
     )
     a, b = ex.alias("a"), ex.alias("b")
     cand = (
@@ -386,11 +426,15 @@ def embedding_neardup_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.col(f"a.{vec_col}").alias("va"),
             F.col(f"b.{vec_col}").alias("vb"),
+            F.col("a.__n").alias("na"),
+            F.col("b.__n").alias("nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.withColumn("cos_sim", cosine_sim_col(F.col("va"), F.col("vb")))
+        cand.withColumn(
+            "cos_sim",
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
