@@ -578,6 +578,28 @@ def q44_ann_ivf_trained(spark, sf_dir):
     )
 
 
+def q51_phash_dedup_groups(spark, sf_dir):
+    # full image dedup (linear output): banded-Hamming pairs ->
+    # transitive closure -> canonical per image.  Planted CHAIN hashes
+    # (root~member d=3, member~member d=6 > max_hamming) force the
+    # closure to actually chain; the oracle recomputes the pair set and
+    # walks it with a DuckDB recursive CTE.
+    from proj_spark.operators.imagedup import (phash_dedup_groups,
+                                               planted_chain_hash_col)
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("img_id"),
+        planted_chain_hash_col(F.col("o_orderkey").cast("long"),
+                               group_size=3).alias("ph"),
+    )
+    out = phash_dedup_groups(base, max_hamming=3, id_col="img_id",
+                             hash_col="ph", bits=60)
+    return out.select(
+        F.col("img_id").cast("long").alias("img_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
 def q48_stere_south_fwd(spark, sf_dir):
     # EPSG:3031 Antarctic Polar Stereographic (variant B, lat_ts=-71)
     # over Antarctic-band points; oracle replicates the tsfn polar
@@ -862,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_stere_south_fwd": q48_stere_south_fwd,
         "q49_stere_north_fwd": q49_stere_north_fwd,
         "q50_sinu_fwd": q50_sinu_fwd,
+        "q51_phash_dedup_groups": q51_phash_dedup_groups,
     }
 
 
@@ -1541,6 +1564,37 @@ cand AS (
 )
 SELECT ida AS id_a, idb AS id_b, bit_count(xor(ha, hb))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+    # ---- q51: image-dedup full closure — same banded pair set over
+    # planted CHAIN hashes, then a recursive reachability walk; the
+    # canonical is the minimum reachable id (mirrors min-label
+    # propagation exactly on symmetric edges).
+    chp = O.sql_planted_chain_hash("o_orderkey", group_size=3,
+                                   bits=60, flips=3)
+    band_eq51 = " OR ".join(
+        f"((x.ph >> {15 * i}) & 32767) = ((y.ph >> {15 * i}) & 32767)"
+        for i in range(4)
+    )
+    out["q51_phash_dedup_groups"] = f"""
+WITH RECURSIVE base AS (
+  SELECT o_orderkey::BIGINT AS img_id, {chp}::BIGINT AS ph FROM orders),
+pairs AS (
+  SELECT x.img_id AS ida, y.img_id AS idb
+  FROM base x JOIN base y ON x.img_id < y.img_id AND ({band_eq51})
+  WHERE bit_count(xor(x.ph, y.ph)) <= 3
+),
+edges AS (
+  SELECT ida AS u, idb AS v FROM pairs
+  UNION ALL SELECT idb, ida FROM pairs
+),
+walk(n, r) AS (
+  SELECT img_id, img_id FROM base
+  UNION
+  SELECT w.n, e.v FROM walk w JOIN edges e ON w.r = e.u
+)
+SELECT n AS img_id, min(r)::BIGINT AS canonical_id
+FROM walk GROUP BY n
 """
 
     return out

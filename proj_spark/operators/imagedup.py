@@ -34,7 +34,9 @@ from .textops import _spread_small_input
 __all__ = [
     "hamming_neardup_pairs",
     "phash_neardup_pairs",
+    "phash_dedup_groups",
     "planted_hash_col",
+    "planted_chain_hash_col",
 ]
 
 
@@ -126,6 +128,41 @@ def phash_neardup_pairs(images: DataFrame, max_hamming: int = 6,
                                  max_hamming=max_hamming, bits=64)
 
 
+def phash_dedup_groups(
+    images: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "image_id",
+    hash_col: str = "phash",
+    bits: int = 64,
+    max_iters: int = 12,
+) -> DataFrame:
+    """FULL image dedup: banded-Hamming candidate pairs, then
+    transitive closure, then one canonical id per image — the linear-
+    output shape a 10^12-image dedup needs (chains A~B~C where A and C
+    are each re-encodes of B but not of each other share one
+    canonical).  Output: (id_col, canonical_id = component minimum;
+    singletons map to themselves).
+
+    Scale shape: pairs are band-bucketed (never all-pairs), closure is
+    min-label propagation over the (sparse) edge list only — the full
+    images table contributes one left join at the end."""
+    from .textops import dedup_connected_components
+
+    pairs = hamming_neardup_pairs(images, id_col=id_col, hash_col=hash_col,
+                                  max_hamming=max_hamming, bits=bits)
+    comp = dedup_connected_components(pairs, "id_a", "id_b",
+                                      max_iters=max_iters)
+    return (
+        images.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component_id"), F.col(id_col))
+            .alias("canonical_id"),
+        )
+    )
+
+
 def planted_hash_col(key: Column, bits: int = 60, flips: int = 3) -> Column:
     """Deterministic 'phash-like' hash with planted near-duplicates,
     computable identically in Spark and ANSI SQL (oracle twin:
@@ -151,3 +188,30 @@ def planted_hash_col(key: Column, bits: int = 60, flips: int = 3) -> Column:
         h = h.bitwiseXOR(
             F.pow(F.lit(2.0), pos.cast("double")).cast("long"))
     return F.when(F.pmod(key, F.lit(2)) == 1, h).otherwise(base)
+
+
+def planted_chain_hash_col(key: Column, group_size: int = 3,
+                           bits: int = 60, flips: int = 3) -> Column:
+    """Chain variant of :func:`planted_hash_col` (SQL twin:
+    ``oracle.sql_planted_chain_hash``): rows sharing ``key div
+    group_size`` share a base hash; the group's non-root members each
+    flip their own ``flips`` key-derived bits.  Root~member distance is
+    exactly ``flips``; member~member distance is usually 2*flips, so
+    with max_hamming == flips the pair join sees a star around the
+    root and full dedup must CLOSE the chain — the planted test case
+    for :func:`phash_dedup_groups`.
+
+    Exact for keys below 2^53 (the group index passes through a double
+    division before the string cast — both engines agree there).
+    """
+    from .textops import md5_long_col
+
+    gs = F.lit(group_size)
+    grp = ((key - F.pmod(key, gs)) / gs).cast("long")
+    base = md5_long_col(grp.cast("string"))
+    h = base
+    for j in range(flips):
+        pos = (F.pmod(key, F.lit(97)) + F.lit(7 * j)) % F.lit(bits)
+        h = h.bitwiseXOR(
+            F.pow(F.lit(2.0), pos.cast("double")).cast("long"))
+    return F.when(F.pmod(key, gs) == 0, base).otherwise(h)

@@ -757,6 +757,17 @@ def sql_planted_hash(key: str, bits: int = 60, flips: int = 3) -> str:
     return f"(CASE WHEN ({key}) % 2 = 1 THEN {h} ELSE {base} END)"
 
 
+def sql_planted_chain_hash(key: str, group_size: int = 3, bits: int = 60,
+                           flips: int = 3) -> str:
+    """Dialect twin of ``operators.imagedup.planted_chain_hash_col``."""
+    base = sql_md5_long(f"(({key}) // {group_size})::VARCHAR")
+    h = base
+    for j in range(flips):
+        pos = f"((({key}) % 97 + {7 * j}) % {bits})"
+        h = f"xor({h}, (1::BIGINT << {pos}))"
+    return f"(CASE WHEN ({key}) % {group_size} = 0 THEN {base} ELSE {h} END)"
+
+
 # ---------------------------------------------------------------------------
 # splitmix64 (dialect pair: numpy side in sources/datagen.py:splitmix64)
 # ---------------------------------------------------------------------------

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from proj_spark.operators.imagedup import (
     hamming_neardup_pairs,
+    phash_dedup_groups,
     phash_neardup_pairs,
     planted_hash_col,
 )
@@ -111,3 +112,37 @@ def test_keep_cols_passthrough(spark):
                                 keep_cols=("tag",))
     r = out.collect()
     assert len(r) == 1 and r[0].tag_a == "a" and r[0].tag_b == "b"
+
+
+def test_phash_dedup_groups_chain_closure(spark):
+    # A=000000, B=000111, C=111111: d(A,B)=3, d(B,C)=3, d(A,C)=6 — the
+    # pair join sees only the two adjacent links; groups must close the
+    # chain to one canonical (plus an unrelated singleton)
+    rows = [(10, 0b000000), (11, 0b000111), (12, 0b111111),
+            (99, 0x0F0F0F0F0F0F)]
+    df = spark.createDataFrame(rows, "image_id long, phash long")
+    out = phash_dedup_groups(df, max_hamming=3, bits=48)
+    got = {r.image_id: r.canonical_id for r in out.collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_planted_chain_hash_structure(spark):
+    from proj_spark.operators.imagedup import planted_chain_hash_col
+
+    df = spark.range(0, 90).select(
+        F.col("id").alias("k"),
+        planted_chain_hash_col(F.col("id"), group_size=3).alias("h"),
+    )
+    rows = {r.k: r.h for r in df.collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    for g in range(30):
+        root, m1, m2 = rows[3 * g], rows[3 * g + 1], rows[3 * g + 2]
+        assert ham(root, m1) == 3 and ham(root, m2) == 3
+        assert ham(m1, m2) == 6  # members only connect THROUGH the root
+    out = phash_dedup_groups(
+        df, max_hamming=3, id_col="k", hash_col="h", bits=60)
+    got = {r.k: r.canonical_id for r in out.collect()}
+    assert got == {k: 3 * (k // 3) for k in range(90)}
