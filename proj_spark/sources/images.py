@@ -215,6 +215,11 @@ def verify_images(df: DataFrame) -> DataFrame:
         "phash long, size_ok boolean, phash_ok boolean, psnr double, "
         "psnr_ok boolean, caption_ok boolean"
     )
+    # event-time passthrough: a streaming caller needs ts downstream
+    # for watermarks/windows; batch inputs without ts are unchanged
+    has_ts = "ts" in df.columns
+    if has_ts:
+        schema += ", ts timestamp"
 
     def _verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # regenerate the reference raster per row (pure function of
@@ -247,6 +252,8 @@ def verify_images(df: DataFrame) -> DataFrame:
                 out["fmt"].to_numpy() == "png", np.isinf(psnrs), psnrs >= 40.0
             )
             out["caption_ok"] = caption_ok
+            if has_ts:
+                out["ts"] = pdf["ts"]
             yield out
 
     return df.mapInPandas(_verify, schema=schema)

@@ -17,7 +17,13 @@ from pyspark.sql import functions as F
 from ..operators.cells import cell_col
 from ..operators.tiles import tile_x_col, tile_y_col
 
-__all__ = ["stream_tile_counts", "stream_dedup_first_seen", "run_available_now"]
+__all__ = [
+    "stream_tile_counts",
+    "stream_dedup_first_seen",
+    "stream_verify_images",
+    "stream_image_dedup_first_seen",
+    "run_available_now",
+]
 
 
 def stream_tile_counts(
@@ -116,6 +122,87 @@ def stream_dedup_first_seen(
         )
 
     return hashed.groupBy("__h").applyInPandasWithState(
+        _update, out_ddl, state_ddl, "update", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def stream_verify_images(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming image-ingest verification: the SAME Arrow-batched
+    decode+invariant verifier as the batch path
+    (:func:`proj_spark.sources.images.verify_images` — mapInPandas is
+    stateless, so it composes with readStream unchanged), with the
+    event-time column carried through for downstream windows/dedup.
+
+    Input: streaming frame with the images-table columns + ``ts``.
+    Output: per-image verdict rows (size/phash/psnr/caption) + ts.
+    """
+    from ..sources.images import verify_images
+
+    return verify_images(stream_df.withWatermark(ts_col, watermark))
+
+
+def stream_image_dedup_first_seen(
+    stream_df: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    state_ttl_ms: int = 600_000,
+) -> DataFrame:
+    """Stateful streaming IMAGE dedup: first-seen-wins keyed on the
+    exact perceptual hash, across micro-batches, via
+    ``applyInPandasWithState`` — the ingest-time twin of the batch
+    :func:`operators.imagedup.phash_dedup_groups` exact layer (batch
+    equivalence: ``groupBy(phash).agg(min(image_id), count)``, tested).
+
+    Per phash, state carries (canonical_id = min image id seen, n =
+    running duplicate count); update-mode emissions give the current
+    totals each touched batch.  State bounded by watermark + event-time
+    TTL exactly like :func:`stream_dedup_first_seen`."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(F.col(phash_col).alias("__ph"), id_col, ts_col)
+    )
+    out_ddl = "phash long, canonical_id string, n_dups long"
+    state_ddl = "canonical_id string, n long"
+
+    def _update(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            min_id, n = state.get
+        else:
+            min_id, n = None, 0
+        last_ts_ms = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = str(pdf[id_col].min())
+                min_id = m if min_id is None else min(min_id, m)
+                n += len(pdf)
+                ts_ms = int(pdf[ts_col].max().value // 1_000_000)
+                last_ts_ms = ts_ms if last_ts_ms is None else max(last_ts_ms, ts_ms)
+        if min_id is None:
+            return
+        state.update((str(min_id), int(n)))
+        state.setTimeoutTimestamp(
+            max(last_ts_ms + state_ttl_ms,
+                state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(
+            [{"phash": int(key[0]), "canonical_id": str(min_id),
+              "n_dups": int(n)}]
+        )
+
+    return keyed.groupBy("__ph").applyInPandasWithState(
         _update, out_ddl, state_ddl, "update", GroupStateTimeout.EventTimeTimeout
     )
 
