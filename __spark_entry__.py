@@ -578,6 +578,18 @@ def q44_ann_ivf_trained(spark, sf_dir):
     )
 
 
+def q52_krovak_fwd(spark, sf_dir):
+    # EPSG:5514 S-JTSK / Krovak East North (oblique conformal conic,
+    # EPSG method 9819) over Czech/Slovak-band points; the oracle
+    # replicates the Helmert shift + gauss latitude + oblique rotation
+    # + cone in SQL (oracle.sql_krovak_fwd)
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "czech")
+    out = with_transformed(df, "EPSG:4326", "EPSG:5514", err_col=None)
+    return out.select(
+        "o_orderkey", _round(F.col("x"), 1).alias("xm"), _round(F.col("y"), 1).alias("ym")
+    )
+
+
 def q51_phash_dedup_groups(spark, sf_dir):
     # full image dedup (linear output): banded-Hamming pairs ->
     # transitive closure -> canonical per image.  Planted CHAIN hashes
@@ -885,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_stere_north_fwd": q49_stere_north_fwd,
         "q50_sinu_fwd": q50_sinu_fwd,
         "q51_phash_dedup_groups": q51_phash_dedup_groups,
+        "q52_krovak_fwd": q52_krovak_fwd,
     }
 
 
@@ -1545,6 +1558,14 @@ FROM chase GROUP BY doc_id
     x, y = O.sql_sinu_fwd(lon_w, lat_w, "ESRI:54008")
     out["q50_sinu_fwd"] = (
         f"SELECT o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym FROM orders"
+    )
+    lon_cz, lat_cz = O.lonlat_exprs("o_orderkey", "czech")
+    ch52 = O.Chain(
+        f"SELECT o_orderkey, {lon_cz} AS lon, {lat_cz} AS lat FROM orders"
+    )
+    x, y = O.chain_krovak_fwd(ch52, "lon", "lat", "EPSG:5514")
+    out["q52_krovak_fwd"] = ch52.finish(
+        f"o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym"
     )
 
     # ---- q47: banded-Hamming near-dup join over planted 60-bit hashes

@@ -538,6 +538,13 @@ for _z, _lat0, _lon0, _lat1, _lat2, _bb in _CA_SPCS:
 
 # --- additional geographic + world/continental projected codes
 for entry in [
+    _e("EPSG:4156", "S-JTSK", "geographic", "+proj=longlat +ellps=bessel",
+       towgs84=(589.0, 76.0, 480.0),
+       axis_order="ne", unit="deg", datum_ellps="bessel",
+       area=Area(12.09, 47.73, 22.56, 51.06),
+       area_name="Czechia; Slovakia.",
+       datum_name="System of the Unified Trigonometrical Cadastral Network",
+       datum_code=6156),
     _e("EPSG:4277", "OSGB36", "geographic", "+proj=longlat +ellps=airy",
        towgs84=(446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489),
        axis_order="ne", unit="deg", datum_ellps="airy",
@@ -636,6 +643,16 @@ for entry in [
                  "offshore, including Arctic.",
        datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
        base_geog="EPSG:4326", base_geog_name="WGS 84"),
+    _e("EPSG:5514", "S-JTSK / Krovak East North", "projected",
+       "+proj=krovak +lat_0=49.5 +lon_0=24.833333333333332 "
+       "+alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 "
+       "+ellps=bessel +units=m",
+       towgs84=(589.0, 76.0, 480.0),
+       area=Area(12.09, 47.73, 22.56, 51.06),
+       area_name="Czechia; Slovakia.",
+       datum_name="System of the Unified Trigonometrical Cadastral Network",
+       datum_code=6156, base_geog="EPSG:4156", base_geog_name="S-JTSK",
+       datum_ellps="bessel"),
     _e("ESRI:54008", "World Sinusoidal", "projected",
        "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m",
        towgs84=(0, 0, 0),

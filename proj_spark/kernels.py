@@ -134,6 +134,7 @@ ELLIPSOIDS = {
     "airy": (6377563.396, 299.3249646),
     "krass": (6378245.0, 298.3),
     "clrk66": (6378206.4, 294.9786982),
+    "bessel": (6377397.155, 299.1528128),
     "intl": (6378388.0, 297.0),
     "sphere": (6370997.0, 0.0),
 }
@@ -1329,6 +1330,99 @@ def stere_inv(x, y, P):
 
 
 # ---------------------------------------------------------------------------
+# krovak — Krovak oblique conformal conic (EPSG method 9819; S-JTSK,
+# Czech/Slovak national grid, EPSG:5513/5514).  Gauss conformal sphere
+# at the projection centre, rotation to the oblique pole, then a
+# conformal conic on the pseudo standard parallel (78.5 deg, fixed by
+# the method).  PROJ's axis convention: returned (x, y) are
+# (-westing, -southing) so 'Krovak East North' coordinates are the
+# familiar negative pairs.
+# ---------------------------------------------------------------------------
+_KROVAK_PHI_S = np.radians(78.5)
+
+
+def krovak_setup(params, a, es):
+    e = float(np.sqrt(es))
+    phi0 = np.radians(float(params.get("lat_0", 49.5)))
+    alpha_c = np.radians(float(params.get("alpha", 30.28813972222222)))
+    k0 = float(params.get("k", params.get("k_0", 0.9999)))
+    sp0 = np.sin(phi0)
+    cp0 = np.cos(phi0)
+    B = np.sqrt(1.0 + es * cp0 ** 4 / (1.0 - es))
+    gamma0 = np.arcsin(sp0 / B)
+    t0 = (
+        np.tan(0.25 * np.pi + 0.5 * gamma0)
+        * ((1.0 + e * sp0) / (1.0 - e * sp0)) ** (0.5 * e * B)
+        / np.tan(0.25 * np.pi + 0.5 * phi0) ** B
+    )
+    n = np.sin(_KROVAK_PHI_S)
+    # A/a: radius of the conformal sphere at phi0, in units of a
+    A_over_a = np.sqrt(1.0 - es) / (1.0 - es * sp0 * sp0)
+    r0 = k0 * A_over_a / np.tan(_KROVAK_PHI_S)
+    return {
+        "e": e, "B": float(B), "t0": float(t0), "n": float(n),
+        "r0": float(r0), "alpha_c": float(alpha_c),
+        "tan_ps": float(np.tan(0.25 * np.pi + 0.5 * _KROVAK_PHI_S)),
+    }
+
+
+def _krovak_gauss_lat(phi, P):
+    """Gauss-sphere (conformal) latitude U of geodetic phi."""
+    e, B = P["e"], P["B"]
+    esp = e * fsin(phi)
+    base = ftan(0.25 * np.pi + 0.5 * phi) * np.power(
+        (1.0 - esp) / (1.0 + esp), 0.5 * e)
+    return 2.0 * (np.arctan(P["t0"] * np.power(base, B)) - 0.25 * np.pi)
+
+
+def krovak_fwd(lam, phi, P):
+    U = _krovak_gauss_lat(phi, P)
+    V = -P["B"] * np.asarray(lam, dtype=np.float64)  # positive westward
+    sa, ca = np.sin(P["alpha_c"]), np.cos(P["alpha_c"])
+    sinT = ca * fsin(U) + sa * fcos(U) * fcos(V)
+    T = farcsin(np.clip(sinT, -1.0, 1.0))
+    D = farcsin(np.clip(fcos(U) * fsin(V) / np.maximum(fcos(T), 1e-15),
+                        -1.0, 1.0))
+    theta = P["n"] * D
+    r = P["r0"] * np.power(P["tan_ps"], P["n"]) / np.power(
+        ftan(0.25 * np.pi + 0.5 * T), P["n"])
+    southing = r * fcos(theta)
+    westing = r * fsin(theta)
+    return -westing, -southing
+
+
+def krovak_inv(x, y, P):
+    westing = -np.asarray(x, dtype=np.float64)
+    southing = -np.asarray(y, dtype=np.float64)
+    r = np.hypot(westing, southing)
+    theta = np.arctan2(westing, southing)
+    D = theta / P["n"]
+    T = 2.0 * (np.arctan(np.power(
+        P["r0"] * np.power(P["tan_ps"], P["n"]) / np.maximum(r, 1e-15),
+        1.0 / P["n"])) - 0.25 * np.pi)
+    sa, ca = np.sin(P["alpha_c"]), np.cos(P["alpha_c"])
+    sinU = ca * np.sin(T) - sa * np.cos(T) * np.cos(D)
+    U = farcsin(np.clip(sinU, -1.0, 1.0))
+    V = farcsin(np.clip(np.cos(T) * np.sin(D) / np.maximum(np.cos(U), 1e-15),
+                        -1.0, 1.0))
+    lam = -V / P["B"]
+    # invert the gauss latitude by fixed point on phi
+    e, B = P["e"], P["B"]
+    inner = np.power(np.tan(0.5 * U + 0.25 * np.pi) / P["t0"], 1.0 / B)
+    phi = U.copy() if hasattr(U, "copy") else np.asarray(U, dtype=np.float64)
+    for _ in range(15):
+        esp = e * fsin(phi)
+        phi_new = 2.0 * (np.arctan(
+            inner * np.power((1.0 + esp) / (1.0 - esp), 0.5 * e)
+        ) - 0.25 * np.pi)
+        if np.all(np.abs(phi_new - phi) < 1e-14):
+            phi = phi_new
+            break
+        phi = phi_new
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
 # sinu — Sinusoidal (Snyder ch. 30), ellipsoidal via the meridian-arc
 # series: y = M(phi), x = lam*cos(phi)/sqrt(1 - es*sin^2 phi).
 # Equal-area; the MODIS/ESRI:54008 world grid projection.
@@ -1387,4 +1481,5 @@ PROJECTIONS = {
     "stere": (stere_setup, stere_fwd, stere_inv),
     "ups": (stere_setup, stere_fwd, stere_inv),
     "sinu": (sinu_setup, sinu_fwd, sinu_inv),
+    "krovak": (krovak_setup, krovak_fwd, krovak_inv),
 }

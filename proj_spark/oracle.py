@@ -119,6 +119,11 @@ def lonlat_exprs(key: str, kind: str = "world") -> tuple[str, str]:
             f"(({key}) % 720) / 2.0 - 180.0 + 0.25",
             f"(({key}) % 340) / 2.0 - 85.0 + 0.25",
         )
+    if kind == "czech":
+        return (
+            f"12.2 + (({key}) % 1030) / 100.0",
+            f"47.8 + (({key}) % 320) / 100.0",
+        )
     if kind == "arctic":
         return (
             f"(({key}) % 3600) / 10.0 - 180.0 + 0.05",
@@ -713,6 +718,53 @@ def sql_stere_polar_fwd(lon: str, lat: str,
     r = f"({_f(a * P['akm1'])} * {ts})"
     x = f"({r} * sin({lam}) + {_f(x0)})"
     y = f"({sign}{r} * cos({lam}) + {_f(y0)})"
+    return x, y
+
+
+def chain_krovak_fwd(ch: Chain, lon: str, lat: str,
+                     code: str = "EPSG:5514") -> tuple[str, str]:
+    """4326 -> Krovak East North: WGS84 -> S-JTSK (Bessel) Helmert
+    shift, gauss conformal latitude, rotation to the oblique pole,
+    conformal cone on the pseudo standard parallel (dialect pair:
+    kernels.krovak_fwd).  Chain-CTE form — the nested U/T/D terms
+    would blow up combinatorially as textual substitution."""
+    from . import kernels as K
+    from .crs import EPSG, parse_proj_string
+
+    entry = EPSG[code]
+    params = parse_proj_string(entry.proj)[0]
+    a, es = K.ellipsoid(params)
+    P = K.krovak_setup(params, a, es)
+    lon0 = float(params["lon_0"])
+    x0 = float(params.get("x_0", 0.0))
+    y0 = float(params.get("y_0", 0.0))
+    lam_c, phi_c = chain_datum_shift(
+        ch, lon, lat, "WGS84", entry.datum_ellps, dst_towgs84=entry.towgs84,
+        out=("kvlam", "kvphi"))
+    e, B, t0, n = P["e"], P["B"], P["t0"], P["n"]
+    sa, ca = math.sin(P["alpha_c"]), math.cos(P["alpha_c"])
+    tag = f"kv_{ch.i}"
+    ch.add({f"esp_{tag}": f"({_f(e)} * sin({phi_c}))"})
+    ch.add({f"base_{tag}": (
+        f"(tan({math.pi/4!r} + 0.5*({phi_c}))"
+        f" * pow((1.0 - esp_{tag}) / (1.0 + esp_{tag}), {_f(0.5 * e)}))")})
+    ch.add({
+        f"u_{tag}": (
+            f"(2.0*(atan({_f(t0)} * pow(base_{tag}, {_f(B)}))"
+            f" - {math.pi/4!r}))"),
+        f"v_{tag}": f"(-({_f(B)} * ({lam_c} - {_f(math.radians(lon0))})))",
+    })
+    ch.add({f"t_{tag}": (
+        f"asin({_f(ca)}*sin(u_{tag}) + {_f(sa)}*cos(u_{tag})*cos(v_{tag}))")})
+    ch.add({f"d_{tag}": f"asin(cos(u_{tag})*sin(v_{tag}) / cos(t_{tag}))"})
+    ch.add({
+        f"th_{tag}": f"({_f(n)} * d_{tag})",
+        f"r_{tag}": (
+            f"({_f(P['r0'] * P['tan_ps'] ** n)}"
+            f" / pow(tan({math.pi/4!r} + 0.5*t_{tag}), {_f(n)}))"),
+    })
+    x = f"({_f(a)} * (-(r_{tag} * sin(th_{tag}))) + {_f(x0)})"
+    y = f"({_f(a)} * (-(r_{tag} * cos(th_{tag}))) + {_f(y0)})"
     return x, y
 
 

@@ -47,6 +47,7 @@ _ELLPS = {
     "clrk66": ("Clarke 1866", 7008, 6378206.4, 294.978698213898),
     "airy": ("Airy 1830", 7001, 6377563.396, 299.3249646),
     "krass": ("Krassowsky 1940", 7024, 6378245.0, 298.3),
+    "bessel": ("Bessel 1841", 7004, 6377397.155, 299.1528128),
 }
 
 _UNITS = {
@@ -206,6 +207,20 @@ _METHODS = {
          "scale_factor", "Scale_Factor", _P_SCALE, None),
         ("lon_0", "Longitude of origin", 8833,
          "central_meridian", "Central_Meridian", _P_ANG, 0.0),
+        ("x_0", "False easting", 8806,
+         "false_easting", "False_Easting", _P_LEN, 0.0),
+        ("y_0", "False northing", 8807,
+         "false_northing", "False_Northing", _P_LEN, 0.0),
+    ]),
+    "krovak": ("Krovak (North Orientated)", 1041, "Krovak", "Krovak", [
+        ("lat_0", "Latitude of projection centre", 8811,
+         "latitude_of_center", "Latitude_Of_Center", _P_ANG, 49.5),
+        ("lon_0", "Longitude of origin", 8833,
+         "longitude_of_center", "Longitude_Of_Center", _P_ANG, 0.0),
+        ("alpha", "Co-latitude of cone axis", 1036,
+         "azimuth", "Azimuth", _P_ANG, 30.28813972222222),
+        ("k", "Scale factor on pseudo standard parallel", 8819,
+         "scale_factor", "Scale_Factor", _P_SCALE, 0.9999),
         ("x_0", "False easting", 8806,
          "false_easting", "False_Easting", _P_LEN, 0.0),
         ("y_0", "False northing", 8807,

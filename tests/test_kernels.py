@@ -568,3 +568,64 @@ def test_ups_proj_alias_presets():
     ts = Transform.new("+proj=ups +south +ellps=WGS84 +units=m")
     xs, ys = ts.project(np.radians(44.0), np.radians(-73.0))
     assert np.isfinite(float(xs)) and np.isfinite(float(ys))
+
+
+def test_krovak_epsg_worked_example():
+    """EPSG GN 7-2 worked example, Krovak (method 9819, S-JTSK):
+    50d12'32.4416\"N 16d50'59.1790\"E -> Krovak East North
+    (-568991.00, -1050538.64) on Bessel (no datum shift — the example
+    is in S-JTSK geographic).  Conformality verified numerically."""
+    import numpy as np
+
+    from proj_spark.crs import Transform
+
+    t = Transform.new(
+        "+proj=krovak +lat_0=49.5 +lon_0=24.833333333333332 "
+        "+alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 "
+        "+ellps=bessel +units=m")
+    lat = 50 + 12 / 60 + 32.4416 / 3600
+    lon = 16 + 50 / 60 + 59.1790 / 3600
+    x, y = t.project(np.radians(lon), np.radians(lat))
+    assert abs(float(x) - (-568991.00)) < 0.05
+    assert abs(float(y) - (-1050538.64)) < 0.05
+    lam, phi = t.project(x, y, inverse=True)
+    assert abs(float(np.degrees(lam)) - lon) < 1e-12
+    assert abs(float(np.degrees(phi)) - lat) < 1e-12
+    # conformal: numeric scale along lam == scale along phi to 1e-7
+    a, rf = 6377397.155, 299.1528128
+    f = 1.0 / rf
+    es = 2 * f - f * f
+    for lon_d, lat_d in [(14.4, 50.1), (17.2, 49.2), (21.0, 48.7)]:
+        h = 1e-6
+        lamv = np.radians(np.array([lon_d - h, lon_d + h, lon_d, lon_d]))
+        phv = np.radians(np.array([lat_d, lat_d, lat_d - h, lat_d + h]))
+        X, Y = t.project(lamv, phv)
+        rad = np.radians(h)
+        sp = np.sin(np.radians(lat_d))
+        N = a / np.sqrt(1 - es * sp * sp)
+        M = a * (1 - es) / (1 - es * sp * sp) ** 1.5
+        kl = np.hypot(X[1] - X[0], Y[1] - Y[0]) / (2 * rad * N * np.cos(np.radians(lat_d)))
+        kp = np.hypot(X[3] - X[2], Y[3] - Y[2]) / (2 * rad * M)
+        assert abs(kl / kp - 1.0) < 1e-6, (lon_d, lat_d)
+        assert abs(kl - 0.9999) < 2e-4  # k0 band inside the area of use
+
+
+def test_krovak_registry_roundtrip():
+    """EPSG:5514 via the registry (WGS84 in, towgs84 Helmert applied)
+    roundtrips densely over Czechia/Slovakia."""
+    import numpy as np
+
+    from proj_spark.crs import Transform
+
+    t = Transform.new_known_crs("EPSG:4326", "EPSG:5514")
+    ti = Transform.new_known_crs("EPSG:5514", "EPSG:4326")
+    rng = np.random.default_rng(8)
+    lon = rng.uniform(12.2, 22.5, 200)
+    lat = rng.uniform(47.8, 51.0, 200)
+    x, y = t.convert_array(lon, lat)
+    assert np.all(x < 0) and np.all(y < 0)  # East-North negative quadrant
+    lon2, lat2 = ti.convert_array(x, y)
+    # 5e-8 deg ~ 5 mm: the residual is the ecef_to_geodetic iteration
+    # in the towgs84 Helmert path, not the krovak kernel (1e-14 alone)
+    assert np.abs(lon2 - lon).max() < 5e-8
+    assert np.abs(lat2 - lat).max() < 5e-8

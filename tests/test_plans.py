@@ -165,3 +165,39 @@ def test_pip_join_chunked_plan_unions_broadcasts(spark):
     plan = _plan(chunked)
     assert "Union" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_hamming_neardup_plan_no_cartesian_jvm_verify(spark):
+    """Image near-dup: candidate generation must be an equi-join on
+    (band, key) — never a cross product — and the Hamming verify must
+    be JVM bit_count (codegen), not a Python stage."""
+    from proj_spark.operators.imagedup import hamming_neardup_pairs
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"image_id": np.arange(500),
+                      "phash": np.arange(500) * 2654435761 % (1 << 62)}))
+    out = hamming_neardup_pairs(df, id_col="image_id", hash_col="phash",
+                                max_hamming=3)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bit_count" in plan
+    assert "PythonUDF" not in plan and "mapInPandas" not in plan.lower()
+
+
+def test_ann_norms_computed_prejoin(spark):
+    """ANN brute force: the per-row norm columns must be projected
+    BEFORE the broadcast join (one interpreted pass per row, not one
+    per candidate pair) — the pair-level expression is a single dot."""
+    from proj_spark.operators.ann import ann_bruteforce_topk
+
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(50),
+        "embedding": [np.random.default_rng(i).uniform(-1, 1, 8).tolist()
+                      for i in range(50)],
+    }))
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    plan = _plan(ann_bruteforce_topk(emb, qs, k=3))
+    # __vn / __qn appear as projected columns feeding the join
+    assert "__vn" in plan and "__qn" in plan
