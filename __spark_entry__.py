@@ -578,6 +578,24 @@ def q44_ann_ivf_trained(spark, sf_dir):
     )
 
 
+def q53_geodesic_distance(spark, sf_dir):
+    # ellipsoidal geodesic distance (Vincenty inverse, fixed-iteration
+    # form) from every world point to Paris; oracle unrolls the same 12
+    # iterations as chain CTEs (oracle.chain_vincenty_inverse).
+    # Validated off-line against the published Flinders-Buninyong line
+    # (54972.271 m) and the engine's own meridian-arc series.
+    from proj_spark.operators.geodesic import with_geodesic_distance
+
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "world").select(
+        "o_orderkey", "lon", "lat",
+        F.lit(2.3522).alias("lon2"), F.lit(48.8566).alias("lat2"),
+    )
+    out = with_geodesic_distance(df)
+    return out.select(
+        "o_orderkey", _round(F.col("geodesic_m"), 2).alias("dist_m")
+    )
+
+
 def q52_krovak_fwd(spark, sf_dir):
     # EPSG:5514 S-JTSK / Krovak East North (oblique conformal conic,
     # EPSG method 9819) over Czech/Slovak-band points; the oracle
@@ -898,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_sinu_fwd": q50_sinu_fwd,
         "q51_phash_dedup_groups": q51_phash_dedup_groups,
         "q52_krovak_fwd": q52_krovak_fwd,
+        "q53_geodesic_distance": q53_geodesic_distance,
     }
 
 
@@ -1559,6 +1578,15 @@ FROM chase GROUP BY doc_id
     out["q50_sinu_fwd"] = (
         f"SELECT o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym FROM orders"
     )
+    ch53 = O.Chain(
+        f"SELECT o_orderkey, {lon_w} AS lon, {lat_w} AS lat, "
+        f"2.3522 AS lon2, 48.8566 AS lat2 FROM orders"
+    )
+    dist = O.chain_vincenty_inverse(ch53, "lon", "lat", "lon2", "lat2")
+    out["q53_geodesic_distance"] = ch53.finish(
+        f"o_orderkey, round({dist}, 2) AS dist_m"
+    )
+
     lon_cz, lat_cz = O.lonlat_exprs("o_orderkey", "czech")
     ch52 = O.Chain(
         f"SELECT o_orderkey, {lon_cz} AS lon, {lat_cz} AS lat FROM orders"

@@ -768,6 +768,85 @@ def chain_krovak_fwd(ch: Chain, lon: str, lat: str,
     return x, y
 
 
+def chain_vincenty_inverse(ch: Chain, lon1: str, lat1: str,
+                           lon2: str, lat2: str,
+                           a: float = 6378137.0,
+                           f: float = 1.0 / 298.257223563,
+                           iters: int = 12) -> str:
+    """Vincenty inverse distance, unrolled to the SAME fixed iteration
+    count as kernels-side ``operators.geodesic.vincenty_inverse`` —
+    step-for-step CTE mirror; returns the meters column name."""
+    b = a * (1.0 - f)
+    tag = f"vc_{ch.i}"
+    ch.add({
+        f"Lr_{tag}": f"radians(({lon2}) - ({lon1}))",
+        f"u1_{tag}": f"atan({_f(1.0 - f)} * tan(radians({lat1})))",
+        f"u2_{tag}": f"atan({_f(1.0 - f)} * tan(radians({lat2})))",
+    })
+    ch.add({
+        # same floor-based wrap as the numpy kernel — exact parity
+        f"L_{tag}": (
+            f"(Lr_{tag} - 2.0*pi()"
+            f" * floor((Lr_{tag} + pi()) / (2.0*pi())))"),
+    })
+    ch.add({
+        f"su1_{tag}": f"sin(u1_{tag})", f"cu1_{tag}": f"cos(u1_{tag})",
+        f"su2_{tag}": f"sin(u2_{tag})", f"cu2_{tag}": f"cos(u2_{tag})",
+    })
+    lam = f"L_{tag}"
+    for i in list(range(iters)) + ["fin"]:
+        t = f"{tag}_{i}"
+        ch.add({
+            f"sl_{t}": f"sin({lam})", f"cl_{t}": f"cos({lam})",
+        })
+        ch.add({
+            f"ss_{t}": (
+                f"sqrt(pow(cu2_{tag}*sl_{t}, 2)"
+                f" + pow(cu1_{tag}*su2_{tag} - su1_{tag}*cu2_{tag}*cl_{t}, 2))"),
+            f"cs_{t}": f"(su1_{tag}*su2_{tag} + cu1_{tag}*cu2_{tag}*cl_{t})",
+        })
+        ch.add({f"sg_{t}": f"atan2(ss_{t}, cs_{t})"})
+        ch.add({f"sa_{t}": (
+            f"(CASE WHEN ss_{t} <> 0.0"
+            f" THEN cu1_{tag}*cu2_{tag}*sl_{t} / ss_{t} ELSE 0.0 END)")})
+        ch.add({f"c2a_{t}": f"(1.0 - sa_{t}*sa_{t})"})
+        ch.add({f"c2m_{t}": (
+            f"(CASE WHEN c2a_{t} <> 0.0"
+            f" THEN cs_{t} - 2.0*su1_{tag}*su2_{tag} / c2a_{t}"
+            f" ELSE 0.0 END)")})
+        if i == "fin":
+            break
+        ch.add({f"cc_{t}": (
+            f"({_f(f / 16.0)} * c2a_{t}"
+            f" * (4.0 + {_f(f)} * (4.0 - 3.0 * c2a_{t})))")})
+        nxt = f"lam_{tag}_{i}"
+        ch.add({nxt: (
+            f"(L_{tag} + (1.0 - cc_{t}) * {_f(f)} * sa_{t} * (sg_{t}"
+            f" + cc_{t} * ss_{t} * (c2m_{t}"
+            f" + cc_{t} * cs_{t} * (-1.0 + 2.0*c2m_{t}*c2m_{t}))))")})
+        lam = nxt
+    t = f"{tag}_fin"
+    ch.add({f"usq_{t}": f"(c2a_{t} * {_f((a * a - b * b) / (b * b))})"})
+    ch.add({
+        f"Ab_{t}": (
+            f"(1.0 + usq_{t}/16384.0 * (4096.0 + usq_{t}"
+            f" * (-768.0 + usq_{t} * (320.0 - 175.0*usq_{t}))))"),
+        f"Bb_{t}": (
+            f"(usq_{t}/1024.0 * (256.0 + usq_{t}"
+            f" * (-128.0 + usq_{t} * (74.0 - 47.0*usq_{t}))))"),
+    })
+    ch.add({f"ds_{t}": (
+        f"(Bb_{t} * ss_{t} * (c2m_{t} + Bb_{t}/4.0 * (cs_{t}"
+        f" * (-1.0 + 2.0*c2m_{t}*c2m_{t})"
+        f" - Bb_{t}/6.0 * c2m_{t} * (-3.0 + 4.0*ss_{t}*ss_{t})"
+        f" * (-3.0 + 4.0*c2m_{t}*c2m_{t}))))")})
+    out = f"s_{t}"
+    ch.add({out: (
+        f"(CASE WHEN abs({lam}) > pi() THEN NULL"
+        f" ELSE {_f(b)} * Ab_{t} * (sg_{t} - ds_{t}) END)")})
+    return out
+
+
 def sql_sinu_fwd(lon: str, lat: str,
                  code: str = "ESRI:54008") -> tuple[str, str]:
     """Sinusoidal forward (dialect pair: kernels.sinu_fwd): meridian
