@@ -109,6 +109,20 @@ def bench_queries(spark, sf_dir):
             emb.where(F.col("vec_id") < 20).select(
                 F.col("vec_id").alias("query_id"), "embedding"),
             k=5, n_centroids=8, nprobe=2)))
+    from proj_spark.operators.geodesic import with_geodesic_distance
+    from proj_spark.operators.imagedup import (phash_dedup_groups,
+                                               planted_chain_hash_col)
+    ph = orders.select(
+        F.col("o_orderkey").alias("img_id"),
+        planted_chain_hash_col(F.col("o_orderkey"), group_size=3).alias("ph"))
+    run("phash_dedup", n_orders, lambda: _sink(
+        phash_dedup_groups(ph, max_hamming=3, id_col="img_id",
+                           hash_col="ph", bits=60)))
+    geo = orders.select(
+        "o_orderkey", "lon", "lat",
+        F.lit(2.3522).alias("lon2"), F.lit(48.8566).alias("lat2"))
+    run("geodesic_dist", n_orders, lambda: _sink(
+        with_geodesic_distance(geo)))
     n_img = 2000
     # checkpoint between the two Python stages (chained mapInPandas
     # measured ~9x slower than checkpoint-separated)
@@ -236,6 +250,20 @@ def bench_queries_x10(spark, sf_dir, copies: int = 10):
             emb.where(F.col("vec_id") < 20).select(
                 F.col("vec_id").alias("query_id"), "embedding"),
             k=5, n_centroids=8, nprobe=2)))
+    from proj_spark.operators.geodesic import with_geodesic_distance
+    from proj_spark.operators.imagedup import (phash_dedup_groups,
+                                               planted_chain_hash_col)
+    ph = orders.select(
+        F.col("o_orderkey").alias("img_id"),
+        planted_chain_hash_col(F.col("o_orderkey"), group_size=3).alias("ph"))
+    run("phash_dedup", n_orders, lambda: _sink(
+        phash_dedup_groups(ph, max_hamming=3, id_col="img_id",
+                           hash_col="ph", bits=60)))
+    geo = orders.select(
+        "o_orderkey", "lon", "lat",
+        F.lit(2.3522).alias("lon2"), F.lit(48.8566).alias("lat2"))
+    run("geodesic_dist", n_orders, lambda: _sink(
+        with_geodesic_distance(geo)))
     n_img = 2000 * copies
     run("images_verify", n_img, lambda: _sink(
         verify_images(synthesize_images(spark, n_img).localCheckpoint())))
@@ -356,23 +384,32 @@ def run_scaling(sf_dir):
     levels = [c.strip() for c in
               os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8,32").split(",")]
     out = {}
-    for cores in levels:
-        spark = make_spark(cores)
-        try:
-            # warm at FULL size TWICE: JIT, codegen, python workers AND
-            # the sandbox's slow first-touch pages stabilize only after
-            # several passes (measured 133s -> 15s -> 9s -> 8.5s);
-            # report steady state = best of three measured runs
-            scaling_job(spark, sf_dir, n_rows, partitions=128)
-            scaling_job(spark, sf_dir, n_rows, partitions=128)
-            dt = float("inf")
-            for _ in range(3):
-                t0 = time.time()
-                scaling_job(spark, sf_dir, n_rows, partitions=128)
-                dt = min(dt, time.time() - t0)
-            out[cores] = {"sec": dt, "rows_per_sec": n_rows / dt, "rows": n_rows}
-        finally:
-            spark.stop()
+    # Two VISITS per level, levels interleaved: the host's effective
+    # silicon drifts minute to minute (identical jobs measured 4.9-70 s
+    # across episodes; the raw-numpy hardware control itself swings
+    # 2.6x-4.8x between runs), so sampling each level in two separate
+    # time windows and keeping the steady-state best is the only way a
+    # level doesn't eat a whole degraded episode alone.
+    for visit in range(2):
+        for cores in levels:
+            spark = make_spark(cores)
+            try:
+                # warm at FULL size: JIT, codegen, python workers AND
+                # the sandbox's slow first-touch pages stabilize only
+                # after several passes (measured 133s -> 15s -> 9s ->
+                # 8.5s); steady state = best measured run
+                warms = 2 if visit == 0 else 1
+                for _ in range(warms):
+                    scaling_job(spark, sf_dir, n_rows, partitions=128)
+                dt = out.get(cores, {}).get("sec", float("inf"))
+                for _ in range(2):
+                    t0 = time.time()
+                    scaling_job(spark, sf_dir, n_rows, partitions=128)
+                    dt = min(dt, time.time() - t0)
+                out[cores] = {"sec": dt, "rows_per_sec": n_rows / dt,
+                              "rows": n_rows}
+            finally:
+                spark.stop()
     if len(out) < 2:
         return out, None
     ordered = sorted(out, key=int)
@@ -389,6 +426,16 @@ def run_scaling(sf_dir):
             "efficiency_vs_hardware": speedup / hw_speedup,
         })
     os.makedirs("BENCH", exist_ok=True)
+    # everything after the scale-runs marker (one-off large-scale
+    # evidence sections, maintained by hand) survives the rewrite
+    marker = "<!-- scale-runs:"
+    tail = ""
+    try:
+        prev = open("BENCH/BASELINE.md").read()
+        if marker in prev:
+            tail = prev[prev.index(marker):]
+    except OSError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH/BASELINE — throughput vs parallelism\n\n"
@@ -397,8 +444,10 @@ def run_scaling(sf_dir):
             "(two projection transforms -> cell index -> tile assign ->\n"
             "broadcast PIP join -> rollup) over the same deterministic\n"
             f"{n_rows}-row generated input (128 partitions at EVERY level, so\n"
-            "the work is identical), steady-state best-of-3 after two full\n"
-            "warm passes per level.\n\n"
+            "the work is identical).  Each level is visited twice with the\n"
+            "levels interleaved (no level eats a whole degraded host episode\n"
+            "alone); kept number = steady-state best across visits, with\n"
+            "full-size warm passes before every measurement.\n\n"
             "| parallelism | wall sec | rows/sec |\n|---|---|---|\n"
         )
         for c in ordered:
@@ -424,8 +473,11 @@ def run_scaling(sf_dir):
             "sandbox's ~12-effective-core ceiling.  Target: >= 0.8 on the\n"
             "clean range.  Wall-clock noise between identical runs on this\n"
             "host is extreme (same job measured 4.9 s to 70 s across\n"
-            "episodes); every number above is steady-state best-of-3.\n"
+            "episodes); every number above is a steady-state best across\n"
+            "two interleaved visits.\n"
         )
+        if tail:
+            f.write("\n" + tail)
     return out, {"ranges": ranges}
 
 
