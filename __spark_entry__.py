@@ -578,6 +578,27 @@ def q44_ann_ivf_trained(spark, sf_dir):
     )
 
 
+def q54_geohash_rollup(spark, sf_dir):
+    # geohash encode (pure JVM bit math over the Morton spread kernel)
+    # + prefix rollup — the nesting-prefix property that makes geohash
+    # the string-keyed twin of the engine's cell ids.  Oracle
+    # recomputes the base-32 interleave bit-for-bit in SQL.
+    from proj_spark.operators.geohash import geohash_col
+
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "world")
+    gh = df.select(
+        "o_orderkey",
+        geohash_col(F.col("lon"), F.col("lat"), 7).alias("gh7"),
+    )
+    return (
+        gh.withColumn("gh3", F.substring("gh7", 1, 3))
+        .groupBy("gh3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.min("o_orderkey").alias("min_key"),
+             F.max("gh7").alias("max_gh7"))
+    )
+
+
 def q53_geodesic_distance(spark, sf_dir):
     # ellipsoidal geodesic distance (Vincenty inverse, fixed-iteration
     # form) from every world point to Paris; oracle unrolls the same 12
@@ -917,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_phash_dedup_groups": q51_phash_dedup_groups,
         "q52_krovak_fwd": q52_krovak_fwd,
         "q53_geodesic_distance": q53_geodesic_distance,
+        "q54_geohash_rollup": q54_geohash_rollup,
     }
 
 
@@ -1578,6 +1600,14 @@ FROM chase GROUP BY doc_id
     out["q50_sinu_fwd"] = (
         f"SELECT o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym FROM orders"
     )
+    gh7 = O.sql_geohash(lon_w, lat_w, 7)
+    out["q54_geohash_rollup"] = f"""
+WITH g AS (SELECT o_orderkey, {gh7} AS gh7 FROM orders)
+SELECT substr(gh7, 1, 3) AS gh3, count(*)::BIGINT AS n,
+       min(o_orderkey) AS min_key, max(gh7) AS max_gh7
+FROM g GROUP BY gh3
+"""
+
     ch53 = O.Chain(
         f"SELECT o_orderkey, {lon_w} AS lon, {lat_w} AS lat, "
         f"2.3522 AS lon2, 48.8566 AS lat2 FROM orders"

@@ -641,6 +641,32 @@ def sql_cell(lon: str, lat: str, level: int) -> str:
             f" | {level})::BIGINT")
 
 
+def sql_geohash(lon: str, lat: str, precision: int = 8) -> str:
+    """Base-32 geohash — bit-identical to operators.geohash.geohash_col."""
+    bits = 5 * precision
+    n_lon = (bits + 1) // 2
+    n_lat = bits // 2
+    nx, ny = 1 << n_lon, 1 << n_lat
+    ix = (f"least({nx - 1}, greatest(0, "
+          f"floor((({lon}) + 180.0) / 360.0 * {nx}.0)))::BIGINT")
+    iy = (f"least({ny - 1}, greatest(0, "
+          f"floor((({lat}) + 90.0) / 180.0 * {ny}.0)))::BIGINT")
+    spread = ("list_sum(list_transform(range(0, {n}), "
+              "i -> ((({v} >> i) & 1) << (2*i))))")
+    sx = spread.format(v=ix, n=n_lon)
+    sy = spread.format(v=iy, n=n_lat)
+    if bits % 2 == 0:
+        v = f"(({sy}) | (({sx}) << 1))"
+    else:
+        v = f"(({sx}) | (({sy}) << 1))"
+    parts = [
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"((({v}) >> {5 * (precision - 1 - i)}) & 31)::INT + 1, 1)"
+        for i in range(precision)
+    ]
+    return "(" + " || ".join(parts) + ")"
+
+
 def sql_tile_x(lon: str, zoom: int) -> str:
     n = 1 << zoom
     return (f"least({n - 1}, greatest(0, "
