@@ -578,6 +578,20 @@ def q44_ann_ivf_trained(spark, sf_dir):
     )
 
 
+def q55_decontaminate(spark, sf_dir):
+    # benchmark decontamination: training docs sharing >= 2 distinct
+    # word 5-grams with the (small, broadcast) benchmark set — here the
+    # first 20 documents stand in as the eval set.  Linear output.
+    bench = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    out = TX.decontaminate_flags(
+        _t(spark, sf_dir, "documents"), bench, k=5, min_overlap=2)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_contaminated_grams").cast("long").alias("n_grams"),
+        F.col("contaminated"),
+    )
+
+
 def q54_geohash_rollup(spark, sf_dir):
     # geohash encode (pure JVM bit math over the Morton spread kernel)
     # + prefix rollup — the nesting-prefix property that makes geohash
@@ -939,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_krovak_fwd": q52_krovak_fwd,
         "q53_geodesic_distance": q53_geodesic_distance,
         "q54_geohash_rollup": q54_geohash_rollup,
+        "q55_decontaminate": q55_decontaminate,
     }
 
 
@@ -1600,6 +1615,22 @@ FROM chase GROUP BY doc_id
     out["q50_sinu_fwd"] = (
         f"SELECT o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym FROM orders"
     )
+    sh5 = O.sql_shingles("text", 5)
+    out["q55_decontaminate"] = f"""
+WITH d AS (
+  SELECT doc_id, unnest(list_distinct({sh5})) AS sh FROM documents),
+b AS (
+  SELECT DISTINCT unnest(list_distinct({sh5})) AS sh
+  FROM documents WHERE doc_id < 20),
+hits AS (
+  SELECT d.doc_id, count(*) AS n FROM d JOIN b USING (sh)
+  GROUP BY d.doc_id)
+SELECT documents.doc_id::BIGINT AS doc_id,
+       coalesce(hits.n, 0)::BIGINT AS n_grams,
+       (coalesce(hits.n, 0) >= 2) AS contaminated
+FROM documents LEFT JOIN hits ON documents.doc_id = hits.doc_id
+"""
+
     gh7 = O.sql_geohash(lon_w, lat_w, 7)
     out["q54_geohash_rollup"] = f"""
 WITH g AS (SELECT o_orderkey, {gh7} AS gh7 FROM orders)

@@ -399,6 +399,51 @@ def dedup_connected_components(
     return labels.select(F.col("node"), F.col("label").alias("component_id"))
 
 
+def decontaminate_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    k: int = 8,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination — the standard pretraining hygiene
+    pass: flag every training document sharing at least ``min_overlap``
+    distinct word ``k``-grams with ANY benchmark document.
+
+    Shape at 100 TB: the benchmark side is small by definition (eval
+    sets are thousands of rows), so its exploded shingle set broadcasts
+    and the training table is never shuffled — one scan, one broadcast
+    semi-ish join, one per-doc aggregate.  Output: one row per training
+    doc, (id_col, n_contaminated_grams, contaminated) — linear output,
+    never doc-pair-shaped.
+    """
+    d = _spread_small_input(docs).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), k)))
+        .alias("__sh"),
+    )
+    b = benchmark.select(
+        F.explode(F.array_distinct(
+            shingles_col(F.col(bench_text_col), k))).alias("__sh")
+    ).distinct()
+    hits = d.join(F.broadcast(b), "__sh").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_contaminated_grams"))
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_contaminated_grams"), F.lit(0))
+            .cast("long").alias("n_contaminated_grams"),
+            (F.coalesce(F.col("n_contaminated_grams"), F.lit(0))
+             >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
 def simhash_col(text: Column, bits: int = 48, k: int = 1) -> Column:
     """SimHash: per bit position, sign of the sum over tokens of
     (+1/-1) from the token's md5 bit.  Expressed as JVM aggregate over

@@ -281,3 +281,40 @@ def test_dedup_full_closure_vs_union_find(spark):
              for _, r in groups.iterrows()}
     assert any(got[d] != g_map[d] for d in got), \
         "corpus produced no chain; closure untested"
+
+
+def test_decontaminate_flags(spark):
+    """Planted contamination: doc sharing >= min_overlap distinct
+    k-grams with the benchmark flags; partial overlap below the
+    threshold does not; the output is one row per doc."""
+    import pandas as pd
+
+    from proj_spark.operators.textops import decontaminate_flags
+
+    bench = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0],
+        "text": ["the quick brown fox jumps over the lazy dog tonight"],
+    }))
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            # full copy -> many shared 5-grams
+            "the quick brown fox jumps over the lazy dog tonight",
+            # exactly one shared 5-gram window
+            "prefix words the quick brown fox jumps nothing else here",
+            # disjoint
+            "completely different content with no overlap at all okay",
+        ],
+    }))
+    out = decontaminate_flags(docs, bench, k=5, min_overlap=2)
+    got = {r.doc_id: (r.n_contaminated_grams, r.contaminated)
+           for r in out.collect()}
+    assert got[1][0] >= 2 and got[1][1] is True
+    assert got[2] == (1, False)
+    assert got[3] == (0, False)
+    assert len(got) == 3
+
+    # plan: benchmark side broadcast, training side not shuffled pre-agg
+    plan = decontaminate_flags(docs, bench, k=5, min_overlap=2) \
+        ._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
