@@ -94,6 +94,38 @@ RETURN 2.0d * 6371008.8d * asin(least(1.0d, sqrt(
     * pow(sin((radians(lon2) - radians(lon1)) / 2.0d), 2))))
 """)
 
+    # geohash: compute the FULL 12-char (60-bit) hash inline, then
+    # take the prefix — geohash prefixes nest, so substr(gh12, 1, p)
+    # is exactly the precision-p hash (parity-tested vs geohash_col)
+    ghx = _sql_ij("lon", 180.0, 360.0).replace(
+        "shiftleft(1L, level)", "1073741824L")  # 2^30
+    ghy = _sql_ij("lat", 90.0, 180.0).replace(
+        "shiftleft(1L, level)", "1073741824L")
+    gh_v = f"({_sql_spread(ghy)} | shiftleft({_sql_spread(ghx)}, 1))"
+    gh_chars = " || ".join(
+        "substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST(shiftrightunsigned({gh_v}, {5 * (12 - 1 - i)}) & 31L AS INT)"
+        " + 1, 1)"
+        for i in range(12)
+    )
+    spark.sql(f"""
+CREATE OR REPLACE TEMPORARY FUNCTION geohash(
+    lon DOUBLE, lat DOUBLE, precision INT)
+RETURNS STRING
+RETURN substr({gh_chars}, 1, precision)
+""")
+
+    @pandas_udf("double")
+    def _geodesic_m(lon1: pd.Series, lat1: pd.Series,
+                    lon2: pd.Series, lat2: pd.Series) -> pd.Series:
+        from ..operators.geodesic import vincenty_inverse
+
+        return pd.Series(vincenty_inverse(
+            lon1.to_numpy(), lat1.to_numpy(),
+            lon2.to_numpy(), lat2.to_numpy()))
+
+    spark.udf.register("geodesic_m", _geodesic_m)
+
     @pandas_udf("x double, y double, err string")
     def _proj_transform(x: pd.Series, y: pd.Series, src: pd.Series,
                         dst: pd.Series) -> pd.DataFrame:

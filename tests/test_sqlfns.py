@@ -77,3 +77,49 @@ def test_sql_proj_transform_mixed_pairs_and_errors(spark):
     assert out["err"][0] is None and out["err"][3] is None
     # mixed dst within one batch: K3 known answer (4326 -> 2230)
     assert abs(out["x"][3] - 6693625.67217475) < 1e-5
+
+
+def test_sql_geohash_matches_column_api(spark):
+    """spark.sql geohash(...) is the inlined 12-char hash prefixed —
+    bit-parity with geohash_col at several precisions, and no Python
+    eval node in the plan."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from proj_spark.functions.sqlfns import register_sql_functions
+    from proj_spark.operators.geohash import geohash_col
+
+    register_sql_functions(spark)
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    pdf = pd.DataFrame({"lon": rng.uniform(-179.9, 179.9, 60),
+                        "lat": rng.uniform(-89.9, 89.9, 60)})
+    spark.createDataFrame(pdf).createOrReplaceTempView("ghpts")
+    for p in (1, 4, 7, 12):
+        sql = spark.sql(
+            f"SELECT lon, lat, geohash(lon, lat, {p}) AS g FROM ghpts")
+        col = spark.table("ghpts").select(
+            "lon", "lat", geohash_col(F.col("lon"), F.col("lat"), p).alias("g"))
+        a = {(r.lon, r.lat): r.g for r in sql.collect()}
+        b = {(r.lon, r.lat): r.g for r in col.collect()}
+        assert a == b, f"precision {p}"
+    plan = spark.sql(
+        "SELECT geohash(lon, lat, 7) FROM ghpts")._jdf.queryExecution().toString()
+    assert "PythonUDF" not in plan
+
+
+def test_sql_geodesic_matches_kernel(spark):
+    from proj_spark.functions.sqlfns import register_sql_functions
+    from proj_spark.operators.geodesic import vincenty_inverse
+    import numpy as np
+
+    register_sql_functions(spark)
+    r = spark.sql(
+        "SELECT geodesic_m(2.3522d, 48.8566d, -0.1278d, 51.5074d) AS d"
+    ).collect()[0]
+    ref = vincenty_inverse(np.array([2.3522]), np.array([48.8566]),
+                           np.array([-0.1278]), np.array([51.5074]))
+    assert abs(r.d - float(ref[0])) < 1e-9
+    # Paris-London is ~343.5 km on the ellipsoid
+    assert 340_000 < r.d < 348_000
