@@ -613,6 +613,44 @@ def q54_geohash_rollup(spark, sf_dir):
     )
 
 
+_AEQD_PARIS = "+proj=aeqd +lat_0=48.8566 +lon_0=2.3522 +ellps=WGS84 +units=m"
+_ORTHO_CA = "+proj=ortho +lat_0=37.0 +lon_0=-120.0 +ellps=WGS84 +units=m"
+
+
+def q57_ortho_fwd(spark, sf_dir):
+    # full-ellipsoidal Orthographic (EPSG method 9840) centred over
+    # California; the kernel carries the GN7-2 worked-example KAT in
+    # tests/test_kernels.py, and the oracle replicates the closed form
+    # in SQL (oracle.sql_ortho_fwd).  California-domain points keep the
+    # whole input inside the visible hemisphere (the far side is a
+    # domain error by contract).
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "california")
+    udf = projstring_udf(_ORTHO_CA)
+    t = udf(F.col("lon"), F.col("lat"))
+    return df.select("o_orderkey", t.alias("t")).select(
+        "o_orderkey",
+        _round(F.col("t.x"), 1).alias("xm"),
+        _round(F.col("t.y"), 1).alias("ym"),
+    )
+
+
+def q56_aeqd_fwd(spark, sf_dir):
+    # azimuthal equidistant centred on Paris (ESRI:54032 family,
+    # kernels.aeqd_*): x,y decompose q53's geodesic distance by the
+    # forward azimuth — by construction hypot(x,y) IS the Vincenty
+    # distance, so this gates the direct/inverse geodesic pair and the
+    # projection plumbing together.  Oracle: oracle.chain_aeqd_fwd
+    # (unrolled fixed-iteration Vincenty + azimuth as chain CTEs).
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "world")
+    udf = projstring_udf(_AEQD_PARIS)
+    t = udf(F.col("lon"), F.col("lat"))
+    return df.select("o_orderkey", t.alias("t")).select(
+        "o_orderkey",
+        _round(F.col("t.x"), 1).alias("xm"),
+        _round(F.col("t.y"), 1).alias("ym"),
+    )
+
+
 def q53_geodesic_distance(spark, sf_dir):
     # ellipsoidal geodesic distance (Vincenty inverse, fixed-iteration
     # form) from every world point to Paris; oracle unrolls the same 12
@@ -954,6 +992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_geodesic_distance": q53_geodesic_distance,
         "q54_geohash_rollup": q54_geohash_rollup,
         "q55_decontaminate": q55_decontaminate,
+        "q56_aeqd_fwd": q56_aeqd_fwd,
+        "q57_ortho_fwd": q57_ortho_fwd,
     }
 
 
@@ -1646,6 +1686,19 @@ FROM g GROUP BY gh3
     dist = O.chain_vincenty_inverse(ch53, "lon", "lat", "lon2", "lat2")
     out["q53_geodesic_distance"] = ch53.finish(
         f"o_orderkey, round({dist}, 2) AS dist_m"
+    )
+
+    ch56 = O.Chain(
+        f"SELECT o_orderkey, {lon_w} AS lon, {lat_w} AS lat FROM orders"
+    )
+    x, y = O.chain_aeqd_fwd(ch56, "lon", "lat", _AEQD_PARIS)
+    out["q56_aeqd_fwd"] = ch56.finish(
+        f"o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym"
+    )
+
+    x, y = O.sql_ortho_fwd(lon_ca, lat_ca, _ORTHO_CA)
+    out["q57_ortho_fwd"] = (
+        f"SELECT o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym FROM orders"
     )
 
     lon_cz, lat_cz = O.lonlat_exprs("o_orderkey", "czech")

@@ -35,6 +35,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from proj_spark import geodesy as _geodesy
+
 __all__ = [
     "ELLIPSOIDS",
     "PROJECTIONS",
@@ -141,7 +143,10 @@ ELLIPSOIDS = {
 
 
 def ellipsoid(params: dict) -> tuple[float, float]:
-    """Resolve (a, es) from step params: ellps name, a/b, a/rf or a/f."""
+    """Resolve (a, es) from step params: ellps name, R sphere radius,
+    a/b, a/rf or a/f (PROJ ellipsoid parameter grammar)."""
+    if "R" in params:
+        return float(params["R"]), 0.0
     if "a" in params:
         a = float(params["a"])
         if "b" in params:
@@ -1459,6 +1464,123 @@ def sinu_inv(x, y, P):
 
 
 # ---------------------------------------------------------------------------
+# aeqd — Azimuthal Equidistant (EPSG method 1125 family; ESRI:54032
+# World Azimuthal Equidistant).  Ellipsoidal form by construction:
+# x = s*sin(az), y = s*cos(az) where (s, az) are the GEODESIC distance
+# and forward azimuth from the projection centre (libproj computes the
+# same via its geodesic module; we use the shared fixed-iteration
+# Vincenty core in proj_spark.geodesy, which the q53 oracle validated
+# against the published Flinders-Buninyong line).  The inverse is the
+# geodesic DIRECT problem from the centre.  With f=0 (+R= spheres) the
+# core degrades exactly to the great-circle closed form, matching
+# PROJ's spherical aeqd branch.  Near-antipodal points (the Vincenty
+# non-convergence region, ~0.5 deg around the centre's antipode) map
+# to NaN — a maskable error, per the engine's error model.
+# ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# ortho — Orthographic (EPSG method 9840), full ellipsoidal form per
+# EPSG Guidance Note 7-2: nu-scaled direction cosines plus the
+# es*(nu0 sin phi0 - nu sin phi) cos phi0 northing correction.  The
+# far hemisphere (cos c < 0 on the auxiliary sphere) is outside the
+# projection's domain and maps to NaN, matching PROJ's error there.
+# Verified against the GN7-2 worked example (55N 5E centre ->
+# E -189011.711 / N -128640.567) in tests/test_kernels.py.
+# Inverse: spherical closed-form seed + fixed 8-step 2D Newton with a
+# finite-difference Jacobian (deterministic, no data-dependent exit).
+# ---------------------------------------------------------------------------
+def ortho_setup(params, a, es):
+    phi0 = np.radians(float(params.get("lat_0", 0.0)))
+    sp0, cp0 = np.sin(phi0), np.cos(phi0)
+    nu0 = 1.0 / np.sqrt(1.0 - es * sp0 * sp0)
+    return {"es": es, "phi0": float(phi0), "sp0": float(sp0),
+            "cp0": float(cp0), "nu0": float(nu0)}
+
+
+def ortho_fwd(lam, phi, P):
+    es, sp0, cp0 = P["es"], P["sp0"], P["cp0"]
+    sp, cp = fsin(phi), fcos(phi)
+    sl, cl = fsin(lam), fcos(lam)
+    nu = 1.0 / np.sqrt(1.0 - es * sp * sp)
+    x = nu * cp * sl
+    y = nu * (sp * cp0 - cp * sp0 * cl) + es * (P["nu0"] * sp0 - nu * sp) * cp0
+    cosc = sp0 * sp + cp0 * cp * cl
+    far = cosc < -1e-12
+    return np.where(far, np.nan, x), np.where(far, np.nan, y)
+
+
+def ortho_inv(x, y, P, iters: int = 8):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    sp0, cp0 = P["sp0"], P["cp0"]
+    # spherical closed-form seed
+    rho = np.hypot(x, y)
+    c = farcsin(np.clip(rho, -1.0, 1.0))
+    sinc, cosc = np.sin(c), np.cos(c)
+    safe_rho = np.where(rho > 1e-12, rho, 1.0)
+    phi = np.where(
+        rho > 1e-12,
+        farcsin(np.clip(cosc * sp0 + y * sinc * cp0 / safe_rho, -1.0, 1.0)),
+        P["phi0"])
+    lam = np.where(
+        rho > 1e-12,
+        np.arctan2(x * sinc, safe_rho * cp0 * cosc - y * sp0 * sinc),
+        0.0)
+    # fixed-count 2D Newton against the ellipsoidal forward
+    h = 1e-8
+    for _ in range(iters):
+        fx, fy = ortho_fwd(lam, phi, P)
+        rx, ry = fx - x, fy - y
+        fxl, fyl = ortho_fwd(lam + h, phi, P)
+        fxp, fyp = ortho_fwd(lam, phi + h, P)
+        j11 = (fxl - fx) / h
+        j12 = (fxp - fx) / h
+        j21 = (fyl - fy) / h
+        j22 = (fyp - fy) / h
+        det = j11 * j22 - j12 * j21
+        det = np.where(np.abs(det) > 1e-20, det, 1.0)
+        dlam = (j22 * rx - j12 * ry) / det
+        dphi = (-j21 * rx + j11 * ry) / det
+        # damping: the seed is within ~es of the solution, so genuine
+        # steps are tiny; the clip stops a near-limb overshoot from
+        # crossing into the far-side NaN domain and destroying the row
+        dlam = np.clip(np.nan_to_num(dlam, nan=0.0), -0.05, 0.05)
+        dphi = np.clip(np.nan_to_num(dphi, nan=0.0), -0.05, 0.05)
+        lam = lam - dlam
+        phi = np.clip(phi - dphi, -HALFPI + 1e-12, HALFPI - 1e-12)
+    # residual acceptance: near the limb the Jacobian degenerates and
+    # Newton may not land; report those rows as domain errors (NaN)
+    # rather than a silently-wrong coordinate.  1e-9 units of a ~ 6 mm.
+    fx, fy = ortho_fwd(lam, phi, P)
+    bad = ~(np.abs(fx - x) + np.abs(fy - y) < 1e-9)
+    return np.where(bad, np.nan, lam), np.where(bad, np.nan, phi)
+
+
+def aeqd_setup(params, a, es):
+    return {
+        "a": a,
+        "f": 1.0 - float(np.sqrt(1.0 - es)),
+        "phi0": np.radians(float(params.get("lat_0", 0.0))),
+    }
+
+
+def aeqd_fwd(lam, phi, P):
+    s, az = _geodesy.inverse_core(lam, P["phi0"], phi, a=P["a"], f=P["f"])
+    r = s / P["a"]
+    return r * np.sin(az), r * np.cos(az)
+
+
+def aeqd_inv(x, y, P):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    s = np.hypot(x, y) * P["a"]
+    az = np.arctan2(x, y)
+    dlam, phi = _geodesy.direct_core(P["phi0"], az, s, a=P["a"], f=P["f"])
+    # coincident-with-centre rows: direct() is exact there already
+    # (sigma = 0 -> phi2 = phi0, dlam = 0), no special case needed
+    return dlam, phi
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 PROJECTIONS = {
@@ -1481,5 +1603,7 @@ PROJECTIONS = {
     "stere": (stere_setup, stere_fwd, stere_inv),
     "ups": (stere_setup, stere_fwd, stere_inv),
     "sinu": (sinu_setup, sinu_fwd, sinu_inv),
+    "aeqd": (aeqd_setup, aeqd_fwd, aeqd_inv),
+    "ortho": (ortho_setup, ortho_fwd, ortho_inv),
     "krovak": (krovak_setup, krovak_fwd, krovak_inv),
 }

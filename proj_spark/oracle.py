@@ -802,12 +802,27 @@ def chain_vincenty_inverse(ch: Chain, lon1: str, lat1: str,
     """Vincenty inverse distance, unrolled to the SAME fixed iteration
     count as kernels-side ``operators.geodesic.vincenty_inverse`` —
     step-for-step CTE mirror; returns the meters column name."""
+    s_col, _az = chain_vincenty_inverse_rad(
+        ch, f"radians(({lon2}) - ({lon1}))",
+        f"radians({lat1})", f"radians({lat2})", a=a, f=f, iters=iters)
+    return s_col
+
+
+def chain_vincenty_inverse_rad(ch: Chain, Lr: str, phi1: str, phi2: str,
+                               a: float = 6378137.0,
+                               f: float = 1.0 / 298.257223563,
+                               iters: int = 12) -> tuple[str, str]:
+    """Radian-expression form of the Vincenty inverse chain (dialect
+    pair: ``geodesy.inverse_core``): raw longitude difference ``Lr``
+    and latitudes ``phi1``/``phi2`` as radian SQL expressions ->
+    ``(s_meters_col, alpha1_col)`` where alpha1 is the forward azimuth
+    at point 1 — the pair the aeqd projection kernel consumes."""
     b = a * (1.0 - f)
     tag = f"vc_{ch.i}"
     ch.add({
-        f"Lr_{tag}": f"radians(({lon2}) - ({lon1}))",
-        f"u1_{tag}": f"atan({_f(1.0 - f)} * tan(radians({lat1})))",
-        f"u2_{tag}": f"atan({_f(1.0 - f)} * tan(radians({lat2})))",
+        f"Lr_{tag}": Lr,
+        f"u1_{tag}": f"atan({_f(1.0 - f)} * tan({phi1}))",
+        f"u2_{tag}": f"atan({_f(1.0 - f)} * tan({phi2}))",
     })
     ch.add({
         # same floor-based wrap as the numpy kernel — exact parity
@@ -867,10 +882,74 @@ def chain_vincenty_inverse(ch: Chain, lon1: str, lat1: str,
         f" - Bb_{t}/6.0 * c2m_{t} * (-3.0 + 4.0*ss_{t}*ss_{t})"
         f" * (-3.0 + 4.0*c2m_{t}*c2m_{t}))))")})
     out = f"s_{t}"
-    ch.add({out: (
-        f"(CASE WHEN abs({lam}) > pi() THEN NULL"
-        f" ELSE {_f(b)} * Ab_{t} * (sg_{t} - ds_{t}) END)")})
-    return out
+    az = f"az_{t}"
+    ch.add({
+        out: (
+            f"(CASE WHEN abs({lam}) > pi() THEN NULL"
+            f" ELSE {_f(b)} * Ab_{t} * (sg_{t} - ds_{t}) END)"),
+        az: (
+            f"atan2(cu2_{tag}*sl_{t},"
+            f" cu1_{tag}*su2_{tag} - su1_{tag}*cu2_{tag}*cl_{t})"),
+    })
+    return out, az
+
+
+def sql_ortho_fwd(lon: str, lat: str, proj: str) -> tuple[str, str]:
+    """Orthographic forward, full EPSG method 9840 ellipsoidal form
+    (dialect pair: kernels.ortho_fwd).  Caller's point domain must be
+    inside the visible hemisphere — the far side is a NaN/NULL domain
+    error, not a value."""
+    import math
+
+    from . import kernels as K
+    from .crs import parse_proj_string
+
+    params = parse_proj_string(proj)[0]
+    a, es = K.ellipsoid(params)
+    P = K.ortho_setup(params, a, es)
+    lam0 = math.radians(float(params.get("lon_0", 0.0)))
+    sp0, cp0, nu0 = P["sp0"], P["cp0"], P["nu0"]
+    lam = f"(radians({lon}) - {_f(lam0)})"
+    phi = f"radians({lat})"
+    sp = f"sin({phi})"
+    cp = f"cos({phi})"
+    nu = f"(1.0 / sqrt(1.0 - {_f(es)} * {sp} * {sp}))"
+    x = f"({_f(a)} * ({nu} * {cp} * sin({lam})))"
+    y = (f"({_f(a)} * ({nu} * ({sp} * {_f(cp0)} - {cp} * {_f(sp0)}"
+         f" * cos({lam})) + {_f(es)} * ({_f(nu0)} * {_f(sp0)}"
+         f" - {nu} * {sp}) * {_f(cp0)}))")
+    return x, y
+
+
+def chain_aeqd_fwd(ch: Chain, lon: str, lat: str,
+                   proj: str) -> tuple[str, str]:
+    """Azimuthal-equidistant forward (dialect pair: kernels.aeqd_fwd):
+    unrolled-Vincenty geodesic distance + forward azimuth from the
+    projection centre, then x = s*sin(az), y = s*cos(az).  Mirrors the
+    kernel step for step: lam is first wrapped by the engine's adjlon
+    (floor form), then the Vincenty chain wraps its L again (no-op on
+    wrapped input, kept for parity)."""
+    import math
+
+    from . import kernels as K
+    from .crs import parse_proj_string
+
+    params = parse_proj_string(proj)[0]
+    a, es = K.ellipsoid(params)
+    P = K.aeqd_setup(params, a, es)
+    lam0 = math.radians(float(params.get("lon_0", 0.0)))
+    x0 = float(params.get("x_0", 0.0))
+    y0 = float(params.get("y_0", 0.0))
+    tag = f"ae_{ch.i}"
+    ch.add({f"lr_{tag}": f"(radians({lon}) - {_f(lam0)})"})
+    ch.add({f"lam_{tag}": (
+        f"(lr_{tag} - 2.0*pi() * floor((lr_{tag} + pi()) / (2.0*pi())))")})
+    s_col, az_col = chain_vincenty_inverse_rad(
+        ch, f"lam_{tag}", _f(P["phi0"]), f"radians({lat})",
+        a=a, f=P["f"])
+    x = f"({_f(a)} * (({s_col} / {_f(a)}) * sin({az_col})) + {_f(x0)})"
+    y = f"({_f(a)} * (({s_col} / {_f(a)}) * cos({az_col})) + {_f(y0)})"
+    return x, y
 
 
 def sql_sinu_fwd(lon: str, lat: str,

@@ -235,6 +235,17 @@ _METHODS = {
         ("y_0", "False northing", 8807,
          "false_northing", "False_Northing", _P_LEN, 0.0),
     ]),
+    "aeqd": ("Modified Azimuthal Equidistant", 9832,
+             "Azimuthal_Equidistant", "Azimuthal_Equidistant", [
+        ("lat_0", "Latitude of natural origin", 8801,
+         "latitude_of_center", "Latitude_Of_Center", _P_ANG, 0.0),
+        ("lon_0", "Longitude of natural origin", 8802,
+         "longitude_of_center", "Longitude_Of_Center", _P_ANG, 0.0),
+        ("x_0", "False easting", 8806,
+         "false_easting", "False_Easting", _P_LEN, 0.0),
+        ("y_0", "False northing", 8807,
+         "false_northing", "False_Northing", _P_LEN, 0.0),
+    ]),
     "moll": ("Mollweide", 0,  # no EPSG method code (ESRI/IOGP informal)
              "Mollweide", "Mollweide", [
         ("lon_0", "Longitude of natural origin", 8802,

@@ -629,3 +629,145 @@ def test_krovak_registry_roundtrip():
     # in the towgs84 Helmert path, not the krovak kernel (1e-14 alone)
     assert np.abs(lon2 - lon).max() < 5e-8
     assert np.abs(lat2 - lat).max() < 5e-8
+
+
+def test_aeqd_kernel_properties():
+    """Azimuthal equidistant (kernels.aeqd_*): radial distance from the
+    centre IS the geodesic distance (the projection's defining
+    property), checked against two independent implementations —
+    (a) the meridian-arc series _mlfn for due-north points, and
+    (b) the closed-form great-circle solution on a sphere."""
+    import numpy as np
+
+    from proj_spark import kernels as K
+    from proj_spark.crs import Transform
+
+    # (a) ellipsoid, Paris centre: due-north points -> x = 0 and
+    # y = meridian arc between the latitudes (independent series)
+    t = Transform.new("+proj=aeqd +lat_0=48.8566 +lon_0=2.3522 "
+                      "+ellps=WGS84 +units=m")
+    a, es = K.ellipsoid({"ellps": "WGS84"})
+    en = K._enfn(es)
+    lat0 = 48.8566
+    for dlat in (0.5, 2.0, 10.0, 25.0):
+        lat = lat0 + dlat
+        x, y = t.project(np.radians(2.3522), np.radians(lat))
+        phi0, phi1 = np.radians(lat0), np.radians(lat)
+        arc = float(
+            K._mlfn(phi1, np.sin(phi1), np.cos(phi1), en)
+            - K._mlfn(phi0, np.sin(phi0), np.cos(phi0), en)) * a
+        assert abs(x) < 1e-6
+        # Vincenty vs the meridian series: both sub-mm on WGS84
+        assert abs(y - arc) < 1e-3, (lat, y, arc)
+
+    # (b) sphere: matches the closed-form great-circle aeqd
+    R = 6371000.0
+    ts = Transform.new(f"+proj=aeqd +lat_0=40 +lon_0=-100 +R={R}")
+    rng = np.random.default_rng(56)
+    lon = rng.uniform(-180, 180, 400)
+    lat = rng.uniform(-85, 85, 400)
+    x, y = ts.project_array(np.radians(lon), np.radians(lat))
+    lam = np.radians(lon + 100.0)
+    lam = (lam + np.pi) % (2 * np.pi) - np.pi
+    phi = np.radians(lat)
+    phi0 = np.radians(40.0)
+    cosc = np.sin(phi0) * np.sin(phi) + np.cos(phi0) * np.cos(phi) * np.cos(lam)
+    c = np.arccos(np.clip(cosc, -1.0, 1.0))
+    az = np.arctan2(
+        np.cos(phi) * np.sin(lam),
+        np.cos(phi0) * np.sin(phi) - np.sin(phi0) * np.cos(phi) * np.cos(lam))
+    xs = R * c * np.sin(az)
+    ys = R * c * np.cos(az)
+    ok = c < np.pi - 0.02  # exclude the Vincenty antipodal region
+    assert np.abs(x[ok] - xs[ok]).max() < 1e-5
+    assert np.abs(y[ok] - ys[ok]).max() < 1e-5
+
+    # roundtrip on the ellipsoid (fwd -> inv), world grid
+    glon = np.linspace(-170, 170, 35)
+    glat = np.linspace(-80, 80, 33)
+    LO, LA = np.meshgrid(glon, glat)
+    X, Y = t.project_array(np.radians(LO.ravel()), np.radians(LA.ravel()))
+    lam2, phi2 = t.project_array(X.copy(), Y.copy(), inverse=True)
+    good = ~np.isnan(X)
+    assert good.mean() > 0.99  # only the antipodal sliver may be NaN
+    assert np.abs(np.degrees(lam2[good]) - LO.ravel()[good]).max() < 1e-8
+    assert np.abs(np.degrees(phi2[good]) - LA.ravel()[good]).max() < 1e-8
+
+
+def test_aeqd_registry_esri_54032():
+    """ESRI:54032 World Azimuthal Equidistant via the registry: centre
+    maps to the origin, radial distance equals the geodesic."""
+    import numpy as np
+
+    from proj_spark.crs import Transform
+    from proj_spark.operators.geodesic import vincenty_inverse
+
+    t = Transform.new_known_crs("EPSG:4326", "ESRI:54032")
+    x0, y0 = t.convert(0.0, 0.0)
+    assert abs(x0) < 1e-9 and abs(y0) < 1e-9
+    lon = np.array([10.0, -120.0, 60.0, 150.0])
+    lat = np.array([50.0, -30.0, -70.0, 20.0])
+    x, y = t.convert_array(lon.copy(), lat.copy())
+    d = vincenty_inverse(0.0, 0.0, lon, lat)
+    assert np.abs(np.hypot(x, y) - d).max() < 1e-6
+
+
+def test_ortho_epsg_worked_example():
+    """Orthographic (EPSG method 9840) against the GN7-2 worked
+    example: WGS84, centre 55N 5E, point 53d48'33.82"N 2d07'46.38"E
+    -> E = -189011.711, N = -128640.567 (mm agreement)."""
+    import numpy as np
+
+    from proj_spark.crs import Transform
+
+    t = Transform.new("+proj=ortho +lat_0=55 +lon_0=5 +ellps=WGS84")
+    phi = np.radians(53 + 48 / 60 + 33.82 / 3600)
+    lam = np.radians(2 + 7 / 60 + 46.38 / 3600)
+    x, y = t.project(lam, phi)
+    assert abs(x - (-189011.711)) < 1e-3
+    assert abs(y - (-128640.567)) < 1e-3
+
+
+def test_ortho_kernel_properties():
+    """Ortho: spherical reduction matches the classic closed form, the
+    far hemisphere is a masked domain error, and the Newton inverse
+    roundtrips the visible disc."""
+    import numpy as np
+
+    from proj_spark.crs import Transform
+
+    rng = np.random.default_rng(57)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-85, 85, 500)
+
+    R = 6371000.0
+    ts = Transform.new(f"+proj=ortho +lat_0=40 +lon_0=-100 +R={R}")
+    X, Y, _ = ts.project_array(np.radians(lon), np.radians(lat),
+                               errors="mask")
+    lam = np.radians(lon + 100.0)
+    lam = (lam + np.pi) % (2 * np.pi) - np.pi
+    phi = np.radians(lat)
+    p0 = np.radians(40.0)
+    cosc = np.sin(p0) * np.sin(phi) + np.cos(p0) * np.cos(phi) * np.cos(lam)
+    xs = R * np.cos(phi) * np.sin(lam)
+    ys = R * (np.cos(p0) * np.sin(phi) - np.sin(p0) * np.cos(phi) * np.cos(lam))
+    vis = ~np.isnan(X)
+    # NaN exactly on the far hemisphere
+    assert np.array_equal(vis, cosc >= -1e-12)
+    assert np.abs(X[vis] - xs[vis]).max() < 1e-6
+    assert np.abs(Y[vis] - ys[vis]).max() < 1e-6
+
+    # ellipsoidal roundtrip over the well-conditioned inner disc (the
+    # limb itself is a residual-guarded NaN domain by contract)
+    t = Transform.new("+proj=ortho +lat_0=55 +lon_0=5 +ellps=WGS84")
+    p0e = np.radians(55.0)
+    lame = np.radians(lon - 5.0)
+    cosce = (np.sin(p0e) * np.sin(np.radians(lat))
+             + np.cos(p0e) * np.cos(np.radians(lat)) * np.cos(lame))
+    inner = cosce > 0.05
+    X, Y, _ = t.project_array(np.radians(lon[inner]),
+                              np.radians(lat[inner]), errors="mask")
+    assert not np.isnan(X).any()
+    l2, p2 = t.project_array(X, Y, inverse=True)
+    assert np.abs(np.degrees(l2) - lon[inner]).max() < 1e-9
+    assert np.abs(np.degrees(p2) - lat[inner]).max() < 1e-9
