@@ -578,6 +578,66 @@ def q44_ann_ivf_trained(spark, sf_dir):
     )
 
 
+def _planted_pii_text(did):
+    # deterministic email/phone plants (the synthetic documents carry
+    # no real PII); the oracle rebuilds the identical string in SQL
+    return F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" reach user"), did.cast("string"),
+                        F.lit("@mail"), (did % 7).cast("string"),
+                        F.lit(".example.com now")))
+        .when(did % 3 == 1,
+              F.concat(F.lit(" dial +1 206 555 "),
+                       (F.lit(1000) + did % 9000).cast("string"),
+                       F.lit(" asap")))
+        .otherwise(F.lit("")),
+    )
+
+
+def q58_pii_scrub(spark, sf_dir):
+    # PII redaction pass (textops.pii_scrub): mask emails/phones, count
+    # masks.  Whole-stage-codegen regex; oracle = same regex in DuckDB
+    # (patterns restricted to the shared Java/RE2 subset).
+    from proj_spark.operators.textops import pii_scrub
+
+    df = _t(spark, sf_dir, "documents")
+    planted = df.select("doc_id",
+                        _planted_pii_text(F.col("doc_id")).alias("text"))
+    return pii_scrub(planted)
+
+
+def q59_repetition(spark, sf_dir):
+    # within-document repetition quality filter
+    from proj_spark.operators.textops import repetition_score
+
+    return repetition_score(_t(spark, sf_dir, "documents"))
+
+
+def q60_url_domains(spark, sf_dir):
+    # per-domain URL inventory over planted http(s) links
+    from proj_spark.operators.textops import url_domain_stats
+
+    df = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = df.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 4 == 0,
+                   F.concat(F.lit(" see https://site"),
+                            (did % 5).cast("string"),
+                            F.lit(".example.org/page")))
+            .when(did % 4 == 1,
+                  F.concat(F.lit(" src http://cdn"),
+                           (did % 3).cast("string"),
+                           F.lit(".example.net/i.png")))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return url_domain_stats(planted)
+
+
 def q55_decontaminate(spark, sf_dir):
     # benchmark decontamination: training docs sharing >= 2 distinct
     # word 5-grams with the (small, broadcast) benchmark set — here the
@@ -994,6 +1054,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_decontaminate": q55_decontaminate,
         "q56_aeqd_fwd": q56_aeqd_fwd,
         "q57_ortho_fwd": q57_ortho_fwd,
+        "q58_pii_scrub": q58_pii_scrub,
+        "q59_repetition": q59_repetition,
+        "q60_url_domains": q60_url_domains,
     }
 
 
@@ -1700,6 +1763,58 @@ FROM g GROUP BY gh3
     out["q57_ortho_fwd"] = (
         f"SELECT o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym FROM orders"
     )
+
+    # ---- q58/q59/q60: corpus hygiene (PII scrub, repetition, URLs)
+    from proj_spark.operators.textops import EMAIL_RE, PHONE_RE, URL_RE
+
+    pii_text = (
+        "text || CASE"
+        " WHEN doc_id % 3 = 0 THEN ' reach user' || doc_id || '@mail'"
+        " || (doc_id % 7) || '.example.com now'"
+        " WHEN doc_id % 3 = 1 THEN ' dial +1 206 555 '"
+        " || (1000 + doc_id % 9000) || ' asap'"
+        " ELSE '' END"
+    )
+    out["q58_pii_scrub"] = f"""
+WITH p AS (SELECT doc_id, {pii_text} AS t FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(t, '{PHONE_RE}'))::BIGINT AS n_phones,
+       regexp_replace(regexp_replace(t, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                      '{PHONE_RE}', '[PHONE]', 'g') AS clean_text
+FROM p
+"""
+    toks = O.sql_tokens("text")
+    sh2 = O.sql_shingles("text", 2)
+    out["q59_repetition"] = f"""
+WITH r AS (
+  SELECT doc_id, len({toks}) AS n_tok,
+         len(list_distinct({toks})) AS u_tok,
+         len({sh2}) AS n2, len(list_distinct({sh2})) AS u2
+  FROM documents)
+SELECT doc_id, n_tok::BIGINT AS n_tokens,
+       round(CASE WHEN n_tok > 0 THEN 1.0 - u_tok / n_tok ELSE 0.0 END, 6)
+         AS dup_token_ratio,
+       round(CASE WHEN n2 > 0 THEN 1.0 - u2 / n2 ELSE 0.0 END, 6)
+         AS dup_bigram_ratio
+FROM r
+"""
+    url_text = (
+        "text || CASE"
+        " WHEN doc_id % 4 = 0 THEN ' see https://site' || (doc_id % 5)"
+        " || '.example.org/page'"
+        " WHEN doc_id % 4 = 1 THEN ' src http://cdn' || (doc_id % 3)"
+        " || '.example.net/i.png'"
+        " ELSE '' END"
+    )
+    out["q60_url_domains"] = f"""
+WITH p AS (SELECT doc_id, {url_text} AS t FROM documents),
+e AS (SELECT doc_id, lower(unnest(regexp_extract_all(t, '{URL_RE}', 1)))
+        AS domain FROM p)
+SELECT domain, count(*)::BIGINT AS n_urls,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM e GROUP BY domain
+"""
 
     lon_cz, lat_cz = O.lonlat_exprs("o_orderkey", "czech")
     ch52 = O.Chain(

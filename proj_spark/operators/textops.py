@@ -619,3 +619,76 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
         F.array_min(F.transform(sh, md5_long_col)).alias("min_shingle_hash"),
         F.md5(normalize_text_col(F.col(text_col))).alias("text_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus hygiene: PII scrubbing, URL/domain stats, repetition scoring
+# ---------------------------------------------------------------------------
+# Patterns are written in the common Java-regex/RE2 subset so the Spark
+# expression and the DuckDB oracle compile the SAME automaton: no
+# backreferences, no lookaround, classes and bounded repeats only.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d[\d() -]{7,}\d"
+URL_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Mask emails/phone numbers and count what was masked — the
+    standard pre-training PII redaction pass.  Pure JVM regex (counts
+    from the original text, then two regexp_replace passes), so the
+    scan stays inside whole-stage codegen: no shuffle, no Python."""
+    c = F.col(text_col)
+    n_em = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+    n_ph = F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0)))
+    clean = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]")
+    return df.select(
+        F.col(id_col),
+        n_em.cast("long").alias("n_emails"),
+        n_ph.cast("long").alias("n_phones"),
+        clean.alias("clean_text"),
+    )
+
+
+def url_domain_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-domain URL inventory (the C4-style URL-filter precursor):
+    extract every http(s) host, explode, aggregate.  Linear explode +
+    one partial-combining aggregate; hot domains are exactly the AQE
+    skew-join/salting case the partitioning module documents, but a
+    count aggregate partial-combines map-side so no salting is needed."""
+    doms = F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), F.lit(1))
+    e = df.select(F.col(id_col), F.explode(doms).alias("domain"))
+    return (
+        e.groupBy(F.lower(F.col("domain")).alias("domain"))
+        .agg(F.count(F.lit(1)).alias("n_urls"),
+             F.countDistinct(id_col).alias("n_docs"))
+    )
+
+
+def repetition_score(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition: duplicate-token ratio and duplicate
+    word-bigram ratio (the 'repeated paragraph/ngram' quality filter).
+    Array ops over the tokenizer this module already uses — JVM-side,
+    verifiable in SQL via list_distinct."""
+    c = F.col(text_col)
+    toks = tokens_col(c)
+    sh2 = shingles_col(c, 2)
+    n_tok = F.size(toks)
+    n2 = F.size(sh2)
+    dup_tok = F.when(
+        n_tok > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tok
+    ).otherwise(F.lit(0.0))
+    dup_bi = F.when(
+        n2 > 0,
+        F.lit(1.0) - F.size(F.array_distinct(sh2)) / n2
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(dup_tok, 6).alias("dup_token_ratio"),
+        F.round(dup_bi, 6).alias("dup_bigram_ratio"),
+    )

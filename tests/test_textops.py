@@ -318,3 +318,60 @@ def test_decontaminate_flags(spark):
     plan = decontaminate_flags(docs, bench, k=5, min_overlap=2) \
         ._jdf.queryExecution().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    from proj_spark.operators.textops import pii_scrub
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "write a.b-c_9@sub.example.co or x@y.io today",
+            "call +1 (206) 555-0199 or +44 20 7946 0958 now",
+            "no pii here at all",
+        ],
+    }))
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert out[0]["n_emails"] == 2 and out[0]["n_phones"] == 0
+    assert out[0]["clean_text"] == "write [EMAIL] or [EMAIL] today"
+    assert out[1]["n_phones"] == 2 and out[1]["n_emails"] == 0
+    assert out[1]["clean_text"] == "call [PHONE] or [PHONE] now"
+    assert out[2]["n_emails"] == 0 and out[2]["n_phones"] == 0
+    assert out[2]["clean_text"] == "no pii here at all"
+
+
+def test_repetition_score_detects_repeats(spark):
+    from proj_spark.operators.textops import repetition_score
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [
+            "spam spam spam spam",           # 1 distinct token of 4
+            "all words fully distinct here",  # no repetition
+        ],
+    }))
+    out = {r["doc_id"]: r for r in repetition_score(df).collect()}
+    assert out[0]["n_tokens"] == 4
+    assert out[0]["dup_token_ratio"] == 0.75
+    assert out[0]["dup_bigram_ratio"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[1]["dup_token_ratio"] == 0.0
+    assert out[1]["dup_bigram_ratio"] == 0.0
+
+
+def test_url_domain_stats(spark):
+    from proj_spark.operators.textops import url_domain_stats
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "see https://A.example.org/x and https://a.example.org/y",
+            "fetch http://cdn.example.net/img.png",
+            "plain text only",
+        ],
+    }))
+    out = {r["domain"]: r for r in url_domain_stats(df).collect()}
+    # case-folded dedup: both forms of a.example.org collapse
+    assert out["a.example.org"]["n_urls"] == 2
+    assert out["a.example.org"]["n_docs"] == 1
+    assert out["cdn.example.net"]["n_urls"] == 1
+    assert len(out) == 2
