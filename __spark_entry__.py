@@ -595,6 +595,26 @@ def _planted_pii_text(did):
     )
 
 
+_CASS_CA = "+proj=cass +lat_0=36.0 +lon_0=-116.5 +ellps=GRS80 +units=m"
+
+
+def q61_cass_fwd(spark, sf_dir):
+    # Cassini-Soldner (EPSG method 9806) on a California-meridian grid:
+    # the cadastral-grid projection family.  Series domain is a few
+    # degrees of the central meridian — the california point band sits
+    # within 2.1 deg.  Defining-property test (x == perpendicular
+    # geodesic distance) lives in tests/test_kernels.py; the oracle
+    # replicates the Snyder series in SQL (oracle.sql_cass_fwd).
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "california")
+    udf = projstring_udf(_CASS_CA)
+    t = udf(F.col("lon"), F.col("lat"))
+    return df.select("o_orderkey", t.alias("t")).select(
+        "o_orderkey",
+        _round(F.col("t.x"), 1).alias("xm"),
+        _round(F.col("t.y"), 1).alias("ym"),
+    )
+
+
 def q58_pii_scrub(spark, sf_dir):
     # PII redaction pass (textops.pii_scrub): mask emails/phones, count
     # masks.  Whole-stage-codegen regex; oracle = same regex in DuckDB
@@ -1057,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_pii_scrub": q58_pii_scrub,
         "q59_repetition": q59_repetition,
         "q60_url_domains": q60_url_domains,
+        "q61_cass_fwd": q61_cass_fwd,
     }
 
 
@@ -1761,6 +1782,11 @@ FROM g GROUP BY gh3
 
     x, y = O.sql_ortho_fwd(lon_ca, lat_ca, _ORTHO_CA)
     out["q57_ortho_fwd"] = (
+        f"SELECT o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym FROM orders"
+    )
+
+    x, y = O.sql_cass_fwd(lon_ca, lat_ca, _CASS_CA)
+    out["q61_cass_fwd"] = (
         f"SELECT o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym FROM orders"
     )
 

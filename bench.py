@@ -81,6 +81,8 @@ def bench_queries(spark, sf_dir):
         E.q05_utm_fwd(spark, sf_dir)))
     run("transform_lcc_pipeline", n_orders, lambda: _sink(
         E.q04_lcc_pipeline(spark, sf_dir)))
+    run("transform_aeqd", n_orders, lambda: _sink(
+        E.q56_aeqd_fwd(spark, sf_dir)))
     run("cell_index", n_orders, lambda: _sink(
         orders.select(C.cell_col(F.col("lon"), F.col("lat"), 12).alias("cell"))))
     run("tile_assign_rollup", n_orders, lambda: _sink(
@@ -93,6 +95,8 @@ def bench_queries(spark, sf_dir):
                  point_id_col="c_custkey", n_points=n_cust)))
     run("minhash_lsh_dedup", n_docs, lambda: _sink(
         minhash_lsh_pairs(docs, num_hashes=16, bands=4, jaccard_threshold=0.4)))
+    from proj_spark.operators.textops import pii_scrub
+    run("pii_scrub", n_docs, lambda: _sink(pii_scrub(docs)))
     from proj_spark.operators.textops import minhash_lsh_groups
     run("minhash_groups", n_docs, lambda: _sink(
         minhash_lsh_groups(docs, num_hashes=16, bands=4, jaccard_threshold=0.4)))

@@ -1555,6 +1555,71 @@ def ortho_inv(x, y, P, iters: int = 8):
     return np.where(bad, np.nan, lam), np.where(bad, np.nan, phi)
 
 
+# ---------------------------------------------------------------------------
+# cass — Cassini-Soldner (EPSG method 9806; Snyder ch. 13 series).
+# Defining property: x is the perpendicular geodesic distance to the
+# central meridian, y the meridian arc to the foot point — the test
+# suite checks exactly that against the independent Vincenty core
+# (tests/test_kernels.py::test_cass_kernel_properties), plus the exact
+# y = M(phi) - M(phi0) invariant on the meridian itself.  Series are
+# valid within a few degrees of the central meridian (the projection's
+# actual domain of use; national cadastral grids).
+# ---------------------------------------------------------------------------
+def cass_setup(params, a, es):
+    phi0 = np.radians(float(params.get("lat_0", 0.0)))
+    P = {"es": es, "phi0": float(phi0)}
+    if es > 0.0:
+        P["en"] = _enfn(es)
+        P["m0"] = float(_mlfn(np.array(phi0), np.sin(phi0), np.cos(phi0),
+                              P["en"]))
+    return P
+
+
+def cass_fwd(lam, phi, P):
+    es = P["es"]
+    s, c = fsin(phi), fcos(phi)
+    if es == 0.0:
+        x = farcsin(np.clip(c * fsin(lam), -1.0, 1.0))
+        y = np.arctan2(ftan(phi), fcos(lam)) - P["phi0"]
+        return x, y
+    n = 1.0 / np.sqrt(1.0 - es * s * s)
+    tn = ftan(phi)
+    T = tn * tn
+    A = np.asarray(lam, dtype=np.float64) * c
+    C = es * c * c / (1.0 - es)
+    A2 = A * A
+    x = n * (A - T * A * A2 / 6.0
+             - (8.0 - T + 8.0 * C) * T * A * A2 * A2 / 120.0)
+    y = (_mlfn(phi, s, c, P["en"]) - P["m0"]
+         + n * tn * (A2 / 2.0 + (5.0 - T + 6.0 * C) * A2 * A2 / 24.0))
+    return x, y
+
+
+def cass_inv(x, y, P):
+    es = P["es"]
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if es == 0.0:
+        D = y + P["phi0"]
+        phi = farcsin(np.clip(np.sin(D) * np.cos(x), -1.0, 1.0))
+        lam = np.arctan2(np.tan(x), np.cos(D))
+        return lam, phi
+    phi1 = _inv_mlfn(P["m0"] + y, es, P["en"])
+    s1, c1 = fsin(phi1), fcos(phi1)
+    tn1 = ftan(phi1)
+    T1 = tn1 * tn1
+    N1 = 1.0 / np.sqrt(1.0 - es * s1 * s1)
+    R1 = (1.0 - es) * N1 * N1 * N1
+    D = x / N1
+    D2 = D * D
+    phi = phi1 - (N1 * tn1 / R1) * (D2 / 2.0
+                                    - (1.0 + 3.0 * T1) * D2 * D2 / 24.0)
+    lam = (D - T1 * D * D2 / 3.0
+           + (1.0 + 3.0 * T1) * T1 * D * D2 * D2 / 15.0) / np.where(
+               np.abs(c1) > 1e-15, c1, 1.0)
+    return lam, phi
+
+
 def aeqd_setup(params, a, es):
     return {
         "a": a,
@@ -1605,5 +1670,6 @@ PROJECTIONS = {
     "sinu": (sinu_setup, sinu_fwd, sinu_inv),
     "aeqd": (aeqd_setup, aeqd_fwd, aeqd_inv),
     "ortho": (ortho_setup, ortho_fwd, ortho_inv),
+    "cass": (cass_setup, cass_fwd, cass_inv),
     "krovak": (krovak_setup, krovak_fwd, krovak_inv),
 }

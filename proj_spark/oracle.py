@@ -921,6 +921,43 @@ def sql_ortho_fwd(lon: str, lat: str, proj: str) -> tuple[str, str]:
     return x, y
 
 
+def sql_cass_fwd(lon: str, lat: str, proj: str) -> tuple[str, str]:
+    """Cassini-Soldner forward (dialect pair: kernels.cass_fwd):
+    Snyder ch. 13 series over the en meridian-arc coefficients."""
+    import math
+
+    from . import kernels as K
+    from .crs import parse_proj_string
+
+    params = parse_proj_string(proj)[0]
+    a, es = K.ellipsoid(params)
+    P = K.cass_setup(params, a, es)
+    en = P["en"]
+    lam0 = math.radians(float(params.get("lon_0", 0.0)))
+    x0 = float(params.get("x_0", 0.0))
+    y0 = float(params.get("y_0", 0.0))
+    phi = f"radians({lat})"
+    s = f"sin({phi})"
+    c = f"cos({phi})"
+    s2 = f"({s}*{s})"
+    ml = (
+        f"({_f(en[0])}*{phi} - ({c}*{s})*({_f(en[1])} + {s2}*({_f(en[2])}"
+        f" + {s2}*({_f(en[3])} + {s2}*{_f(en[4])}))))"
+    )
+    lam = f"(radians({lon}) - {_f(lam0)})"
+    n = f"(1.0 / sqrt(1.0 - {_f(es)}*{s2}))"
+    T = f"(tan({phi})*tan({phi}))"
+    A = f"({lam} * {c})"
+    C = f"({_f(es)} * {c} * {c} / {_f(1.0 - es)})"
+    A2 = f"({A}*{A})"
+    x = (f"({_f(a)} * ({n} * ({A} - {T}*{A}*{A2}/6.0"
+         f" - (8.0 - {T} + 8.0*{C})*{T}*{A}*{A2}*{A2}/120.0)) + {_f(x0)})")
+    y = (f"({_f(a)} * ({ml} - {_f(P['m0'])}"
+         f" + {n}*tan({phi})*({A2}/2.0"
+         f" + (5.0 - {T} + 6.0*{C})*{A2}*{A2}/24.0)) + {_f(y0)})")
+    return x, y
+
+
 def chain_aeqd_fwd(ch: Chain, lon: str, lat: str,
                    proj: str) -> tuple[str, str]:
     """Azimuthal-equidistant forward (dialect pair: kernels.aeqd_fwd):

@@ -771,3 +771,64 @@ def test_ortho_kernel_properties():
     l2, p2 = t.project_array(X, Y, inverse=True)
     assert np.abs(np.degrees(l2) - lon[inner]).max() < 1e-9
     assert np.abs(np.degrees(p2) - lat[inner]).max() < 1e-9
+
+
+def test_cass_kernel_properties():
+    """Cassini-Soldner (kernels.cass_*): the DEFINING property — x is
+    the perpendicular geodesic distance to the central meridian and y
+    the meridian arc to the foot point — checked against the
+    independent Vincenty core by scanning foot latitudes; exact
+    y = M(phi) - M(phi0) on the meridian itself; series roundtrip."""
+    import numpy as np
+
+    from proj_spark import kernels as K
+    from proj_spark.geodesy import inverse_core
+
+    a, es = K.ellipsoid({"ellps": "GRS80"})
+    f = 1.0 - float(np.sqrt(1.0 - es))
+    P = K.cass_setup({"lat_0": 36.0}, a, es)
+
+    rng = np.random.default_rng(61)
+    lam = np.radians(rng.uniform(-2.5, 2.5, 120))
+    phi = np.radians(rng.uniform(31.0, 41.0, 120))
+    x, y = K.cass_fwd(lam, phi, P)
+    l2, p2 = K.cass_inv(x, y, P)
+    assert np.abs(l2 - lam).max() < 1e-10
+    assert np.abs(p2 - phi).max() < 1e-8
+
+    # defining property on a handful of points: minimize the geodesic
+    # distance to the central meridian — coarse foot-latitude scan then
+    # a fine refinement around the minimum
+    for i in (0, 17, 55, 99):
+        cands = np.linspace(phi[i] - 0.1, phi[i] + 0.1, 4001)
+        d, _ = inverse_core(np.full_like(cands, -lam[i]),
+                            np.full_like(cands, phi[i]), cands, a=a, f=f)
+        j = int(np.argmin(d))
+        fine = np.linspace(cands[max(j - 2, 0)],
+                           cands[min(j + 2, len(cands) - 1)], 4001)
+        df_, _ = inverse_core(np.full_like(fine, -lam[i]),
+                              np.full_like(fine, phi[i]), fine, a=a, f=f)
+        k = int(np.argmin(df_))
+        assert abs(abs(x[i]) * a - df_[k]) < 0.05, i
+        # y equals the meridian arc to the foot latitude (series-order tol)
+        en = K._enfn(es)
+        foot = fine[k]
+        arc = float(K._mlfn(np.array(foot), np.sin(foot), np.cos(foot), en)
+                    - P["m0"])
+        assert abs(y[i] - arc) * a < 1.0, i
+
+    # exact meridian invariant
+    xm, ym = K.cass_fwd(np.zeros(5), phi[:5], P)
+    en = K._enfn(es)
+    arc = K._mlfn(phi[:5], np.sin(phi[:5]), np.cos(phi[:5]), en) - P["m0"]
+    assert np.abs(xm).max() == 0.0
+    assert np.abs(ym - arc).max() == 0.0
+
+    # sphere branch reduces to the closed form
+    Ps = K.cass_setup({"lat_0": 10.0}, 6371000.0, 0.0)
+    lams = np.radians(np.linspace(-30, 30, 31))
+    phis = np.radians(np.linspace(-60, 75, 31))
+    xs, ys = K.cass_fwd(lams, phis, Ps)
+    ls, ps = K.cass_inv(xs, ys, Ps)
+    assert np.abs(ls - lams).max() < 1e-12
+    assert np.abs(ps - phis).max() < 1e-12
