@@ -596,6 +596,21 @@ def _planted_pii_text(did):
 
 
 _CASS_CA = "+proj=cass +lat_0=36.0 +lon_0=-116.5 +ellps=GRS80 +units=m"
+_GNOM_CA = "+proj=gnom +lat_0=36.0 +lon_0=-116.5 +R=6371000 +units=m"
+
+
+def q62_gnom_fwd(spark, sf_dir):
+    # Gnomonic centred over California (great-circle-to-straight-line
+    # projection; the collinearity invariant is pinned in
+    # tests/test_kernels.py, the oracle replicates the closed form)
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "california")
+    udf = projstring_udf(_GNOM_CA)
+    t = udf(F.col("lon"), F.col("lat"))
+    return df.select("o_orderkey", t.alias("t")).select(
+        "o_orderkey",
+        _round(F.col("t.x"), 1).alias("xm"),
+        _round(F.col("t.y"), 1).alias("ym"),
+    )
 
 
 def q61_cass_fwd(spark, sf_dir):
@@ -612,6 +627,30 @@ def q61_cass_fwd(spark, sf_dir):
         "o_orderkey",
         _round(F.col("t.x"), 1).alias("xm"),
         _round(F.col("t.y"), 1).alias("ym"),
+    )
+
+
+def q63_tile_pyramid(spark, sf_dir):
+    # raster tile pyramid: every image sliced into zoom 0..2 tiles
+    # (level z = bilinear 2^z downscale, 16px tiles, ragged edges).
+    # The metadata fan-out (which tiles exist, their exact ragged
+    # dimensions) is a pure function of (w, h), which the generator
+    # derives from splitmix64 — so the oracle rebuilds the ENTIRE
+    # expected tile inventory in SQL (chain_splitmix64 + correlated
+    # unnest ranges).  Pixel-level invariants (level-0 reassembly is
+    # exact, per-tile phash parity) are pinned in tests/test_raster.py.
+    from proj_spark.operators.raster import tile_pyramid
+    from proj_spark.sources.datagen import synthesize_images
+
+    imgs = synthesize_images(spark, 200, partitions=8)
+    out = tile_pyramid(imgs, zooms=(0, 1, 2), tile=16)
+    return out.select(
+        "image_id",
+        F.col("zoom").cast("long").alias("zoom"),
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.col("tile_w").cast("long").alias("tile_w"),
+        F.col("tile_h").cast("long").alias("tile_h"),
     )
 
 
@@ -1078,6 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_repetition": q59_repetition,
         "q60_url_domains": q60_url_domains,
         "q61_cass_fwd": q61_cass_fwd,
+        "q62_gnom_fwd": q62_gnom_fwd,
+        "q63_tile_pyramid": q63_tile_pyramid,
     }
 
 
@@ -1788,6 +1829,31 @@ FROM g GROUP BY gh3
     x, y = O.sql_cass_fwd(lon_ca, lat_ca, _CASS_CA)
     out["q61_cass_fwd"] = (
         f"SELECT o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym FROM orders"
+    )
+
+    x, y = O.sql_gnom_fwd(lon_ca, lat_ca, _GNOM_CA)
+    out["q62_gnom_fwd"] = (
+        f"SELECT o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym FROM orders"
+    )
+
+    # ---- q63: tile-pyramid inventory — w/h from splitmix64, then the
+    # exact ragged tile grid per zoom via correlated unnest ranges
+    ch = O.Chain("SELECT i FROM unnest(range(0, 200)) AS t(i)")
+    h63 = O.chain_splitmix64(ch, "i", "h63")
+    ch.add({
+        "im_w": f"(16 + (({h63}) & 47) % 49)",
+        "im_h": f"(16 + ((({h63}) >> 8) & 63) % 49)",
+    })
+    tz = 16
+    wz = "((im_w + (1 << zoom) - 1) // (1 << zoom))"
+    hz = "((im_h + (1 << zoom) - 1) // (1 << zoom))"
+    out["q63_tile_pyramid"] = ch.finish(
+        f"printf('img%012d', i) AS image_id, zoom, tile_x, tile_y, "
+        f"least({tz}, {wz} - tile_x * {tz})::BIGINT AS tile_w, "
+        f"least({tz}, {hz} - tile_y * {tz})::BIGINT AS tile_h",
+        f", unnest(range(0, 3)) AS z_(zoom), "
+        f"unnest(range(0, (({wz} + {tz - 1}) // {tz})::BIGINT)) AS tx_(tile_x), "
+        f"unnest(range(0, (({hz} + {tz - 1}) // {tz})::BIGINT)) AS ty_(tile_y)",
     )
 
     # ---- q58/q59/q60: corpus hygiene (PII scrub, repetition, URLs)

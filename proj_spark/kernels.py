@@ -1556,6 +1556,54 @@ def ortho_inv(x, y, P, iters: int = 8):
 
 
 # ---------------------------------------------------------------------------
+# gnom — Gnomonic (Snyder ch. 22), spherical as in PROJ (the ellipsoid
+# parameter contributes only the radius; es is ignored by contract,
+# matching PROJ's spherical-projection convention).  The projection's
+# defining property — every great circle maps to a straight line — is
+# the independent correctness gate (tests/test_kernels.py).  Domain is
+# the open near hemisphere; cos c <= eps maps to NaN.
+# ---------------------------------------------------------------------------
+_GNOM_EPS = 1e-10
+
+
+def gnom_setup(params, a, es):
+    phi0 = np.radians(float(params.get("lat_0", 0.0)))
+    return {"sp0": float(np.sin(phi0)), "cp0": float(np.cos(phi0)),
+            "phi0": float(phi0)}
+
+
+def gnom_fwd(lam, phi, P):
+    sp0, cp0 = P["sp0"], P["cp0"]
+    sp, cp = fsin(phi), fcos(phi)
+    sl, cl = fsin(lam), fcos(lam)
+    cosc = sp0 * sp + cp0 * cp * cl
+    bad = cosc <= _GNOM_EPS
+    safe = np.where(bad, 1.0, cosc)
+    x = cp * sl / safe
+    y = (cp0 * sp - sp0 * cp * cl) / safe
+    return np.where(bad, np.nan, x), np.where(bad, np.nan, y)
+
+
+def gnom_inv(x, y, P):
+    sp0, cp0 = P["sp0"], P["cp0"]
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    rho = np.hypot(x, y)
+    c = np.arctan(rho)
+    sinc, cosc = np.sin(c), np.cos(c)
+    safe_rho = np.where(rho > 1e-12, rho, 1.0)
+    phi = np.where(
+        rho > 1e-12,
+        farcsin(np.clip(cosc * sp0 + y * sinc * cp0 / safe_rho, -1.0, 1.0)),
+        P["phi0"])
+    lam = np.where(
+        rho > 1e-12,
+        np.arctan2(x * sinc, safe_rho * cp0 * cosc - y * sp0 * sinc),
+        0.0)
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
 # cass — Cassini-Soldner (EPSG method 9806; Snyder ch. 13 series).
 # Defining property: x is the perpendicular geodesic distance to the
 # central meridian, y the meridian arc to the foot point — the test
@@ -1671,5 +1719,6 @@ PROJECTIONS = {
     "aeqd": (aeqd_setup, aeqd_fwd, aeqd_inv),
     "ortho": (ortho_setup, ortho_fwd, ortho_inv),
     "cass": (cass_setup, cass_fwd, cass_inv),
+    "gnom": (gnom_setup, gnom_fwd, gnom_inv),
     "krovak": (krovak_setup, krovak_fwd, krovak_inv),
 }

@@ -921,6 +921,29 @@ def sql_ortho_fwd(lon: str, lat: str, proj: str) -> tuple[str, str]:
     return x, y
 
 
+def sql_gnom_fwd(lon: str, lat: str, proj: str) -> tuple[str, str]:
+    """Gnomonic forward (dialect pair: kernels.gnom_fwd), spherical.
+    Caller's domain must stay inside the near hemisphere."""
+    import math
+
+    from . import kernels as K
+    from .crs import parse_proj_string
+
+    params = parse_proj_string(proj)[0]
+    a, _es = K.ellipsoid(params)
+    P = K.gnom_setup(params, a, 0.0)
+    lam0 = math.radians(float(params.get("lon_0", 0.0)))
+    sp0, cp0 = P["sp0"], P["cp0"]
+    lam = f"(radians({lon}) - {_f(lam0)})"
+    phi = f"radians({lat})"
+    sp = f"sin({phi})"
+    cp = f"cos({phi})"
+    cosc = f"({_f(sp0)}*{sp} + {_f(cp0)}*{cp}*cos({lam}))"
+    x = f"({_f(a)} * ({cp}*sin({lam}) / {cosc}))"
+    y = f"({_f(a)} * (({_f(cp0)}*{sp} - {_f(sp0)}*{cp}*cos({lam})) / {cosc}))"
+    return x, y
+
+
 def sql_cass_fwd(lon: str, lat: str, proj: str) -> tuple[str, str]:
     """Cassini-Soldner forward (dialect pair: kernels.cass_fwd):
     Snyder ch. 13 series over the en meridian-arc coefficients."""

@@ -832,3 +832,50 @@ def test_cass_kernel_properties():
     ls, ps = K.cass_inv(xs, ys, Ps)
     assert np.abs(ls - lams).max() < 1e-12
     assert np.abs(ps - phis).max() < 1e-12
+
+
+def test_gnom_kernel_properties():
+    """Gnomonic: the DEFINING property — every great circle projects to
+    a straight line — plus exact roundtrip and far-hemisphere NaN."""
+    import numpy as np
+
+    from proj_spark import kernels as K
+    from proj_spark.crs import Transform
+
+    P = K.gnom_setup({"lat_0": 40.0}, 6371000.0, 0.0)
+    rng = np.random.default_rng(62)
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    for _ in range(8):
+        a = unit(rng.normal(size=3))
+        b = unit(rng.normal(size=3))
+        ts = np.linspace(0.05, 0.95, 19)
+        pts = np.array([unit((1 - t) * a + t * b) for t in ts])
+        lat = np.arcsin(pts[:, 2])
+        lon = np.arctan2(pts[:, 1], pts[:, 0])
+        x, y = K.gnom_fwd(lon, lat, P)
+        m = ~np.isnan(x)
+        if m.sum() < 3:
+            continue
+        xv, yv = x[m], y[m]
+        dx, dy = xv[-1] - xv[0], yv[-1] - yv[0]
+        dev = np.abs((xv - xv[0]) * dy - (yv - yv[0]) * dx) / np.hypot(dx, dy)
+        assert dev.max() < 1e-9
+
+    lon = np.radians(rng.uniform(-60, 60, 300))
+    lat = np.radians(rng.uniform(-20, 80, 300))
+    x, y = K.gnom_fwd(lon, lat, P)
+    g = ~np.isnan(x)
+    l2, p2 = K.gnom_inv(x[g], y[g], P)
+    assert np.abs(l2 - lon[g]).max() < 1e-12
+    assert np.abs(p2 - lat[g]).max() < 1e-12
+
+    # far hemisphere is a masked domain error through the Transform API
+    t = Transform.new("+proj=gnom +lat_0=40 +lon_0=-100 +R=6371000")
+    X, Y, err = t.project_array(
+        np.radians(np.array([80.0, -100.0])),
+        np.radians(np.array([-40.0, 40.0])), errors="mask")
+    assert np.isnan(X[0]) and err[0] is not None   # antipodal side
+    assert np.isfinite(X[1]) and abs(X[1]) < 1e-6  # the centre itself
