@@ -654,6 +654,15 @@ def q63_tile_pyramid(spark, sf_dir):
     )
 
 
+def q64_top_ngrams(spark, sf_dir):
+    # corpus-wide boilerplate phrases: top-20 word bigrams by document
+    # frequency, deterministic tie-break on the gram text
+    from proj_spark.operators.textops import top_ngrams
+
+    out = top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
+    return out.select("gram", F.col("n_docs").cast("long").alias("n_docs"))
+
+
 def q58_pii_scrub(spark, sf_dir):
     # PII redaction pass (textops.pii_scrub): mask emails/phones, count
     # masks.  Whole-stage-codegen regex; oracle = same regex in DuckDB
@@ -1119,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_cass_fwd": q61_cass_fwd,
         "q62_gnom_fwd": q62_gnom_fwd,
         "q63_tile_pyramid": q63_tile_pyramid,
+        "q64_top_ngrams": q64_top_ngrams,
     }
 
 
@@ -1878,6 +1888,13 @@ FROM p
 """
     toks = O.sql_tokens("text")
     sh2 = O.sql_shingles("text", 2)
+    out["q64_top_ngrams"] = f"""
+WITH e AS (
+  SELECT doc_id, unnest(list_distinct({sh2})) AS gram FROM documents)
+SELECT gram, count(*)::BIGINT AS n_docs
+FROM e GROUP BY gram
+ORDER BY n_docs DESC, gram ASC LIMIT 20
+"""
     out["q59_repetition"] = f"""
 WITH r AS (
   SELECT doc_id, len({toks}) AS n_tok,

@@ -692,3 +692,20 @@ def repetition_score(df: DataFrame, text_col: str = "text",
         F.round(dup_tok, 6).alias("dup_token_ratio"),
         F.round(dup_bi, 6).alias("dup_bigram_ratio"),
     )
+
+
+def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide top-k word n-grams by document frequency — the
+    boilerplate-phrase detector (grams that appear in an outsized share
+    of documents are template text).  Distinct-per-doc explode, one
+    partial-combining count aggregate, then a global top-k sort that
+    only ever sees one row per distinct gram.  Ties are broken by gram
+    text so the result is deterministic (and oracle-comparable)."""
+    grams = F.array_distinct(shingles_col(F.col(text_col), n))
+    e = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    counts = e.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        counts.orderBy(F.col("n_docs").desc(), F.col("gram").asc())
+        .limit(k)
+    )

@@ -375,3 +375,28 @@ def test_url_domain_stats(spark):
     assert out["a.example.org"]["n_docs"] == 1
     assert out["cdn.example.net"]["n_urls"] == 1
     assert len(out) == 2
+
+
+def test_top_ngrams_doc_frequency_and_ties(spark):
+    from proj_spark.operators.textops import top_ngrams
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "click here to subscribe now",
+            "click here to unsubscribe",
+            "click here again and again again and",  # dup grams count once
+            "totally unrelated content",
+        ],
+    }))
+    out = top_ngrams(df, n=2, k=3).collect()
+    assert [r["gram"] for r in out[:2]] == ["click here", "here to"]
+    assert out[0]["n_docs"] == 3 and out[1]["n_docs"] == 2
+    # deterministic tie-break: among 1-doc grams the lexicographically
+    # smallest fills the last slot
+    assert out[2]["n_docs"] == 1
+    one_doc_grams = sorted(
+        g for t in df.collect() for g in set(
+            " ".join(p) for p in zip(t["text"].split(), t["text"].split()[1:]))
+        if g not in ("click here", "here to"))
+    assert out[2]["gram"] == min(one_doc_grams)
