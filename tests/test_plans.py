@@ -201,3 +201,53 @@ def test_ann_norms_computed_prejoin(spark):
     plan = _plan(ann_bruteforce_topk(emb, qs, k=3))
     # __vn / __qn appear as projected columns feeding the join
     assert "__vn" in plan and "__qn" in plan
+
+
+def test_corpus_hygiene_plans_stay_jvm_side(spark):
+    """pii_scrub must be a pure whole-stage-codegen scan (no Python, no
+    Exchange); url_domain_stats the standard two-phase distinct
+    aggregate (no Python); repetition_score no Python.  These plans are
+    the 100-TB contract for the corpus-hygiene pass — a regression that
+    drops a Python eval node into them is a 10-100x slowdown."""
+    import pandas as pd
+
+    from proj_spark.operators.textops import (pii_scrub, repetition_score,
+                                              url_domain_stats)
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(100),
+        "text": [f"doc {i} mail a@b.co https://x{i % 5}.org/p" for i in range(100)],
+    }))
+    p = _plan(pii_scrub(df))
+    assert "Python" not in p
+    assert "Exchange" not in p
+    p = _plan(url_domain_stats(df))
+    assert "Python" not in p
+    p = _plan(repetition_score(df))
+    assert "Python" not in p
+
+
+def test_aeqd_transform_plan_single_arrow_stage(spark):
+    """The aeqd projection rides the same one-ArrowEvalPython-no-shuffle
+    shape as every other transform (O7 batching contract)."""
+    from proj_spark.functions.transform import projstring_udf
+
+    df = _pts(spark, 500)
+    udf = projstring_udf(
+        "+proj=aeqd +lat_0=48.8566 +lon_0=2.3522 +ellps=WGS84 +units=m")
+    out = df.select("point_id", udf(F.col("lon"), F.col("lat")).alias("t"))
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("ArrowEvalPython") == 1
+    assert "Exchange" not in phys
+
+
+def test_tile_pyramid_plan_no_shuffle(spark):
+    """tile_pyramid is mapInPandas over the scan — fan-out happens
+    inside the Python stage, never through a shuffle."""
+    from proj_spark.operators.raster import tile_pyramid
+    from proj_spark.sources.datagen import synthesize_images
+
+    out = tile_pyramid(synthesize_images(spark, 16, partitions=2),
+                       zooms=(0, 1), tile=16)
+    p = _plan(out)
+    assert "Exchange" not in p
