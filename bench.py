@@ -473,13 +473,18 @@ def run_scaling(sf_dir):
             "independent numpy worker processes (no Spark, no IPC) actually\n"
             "get from the same core-count change, and the last column\n"
             "normalizes the engine to that.  The 2->8 range is the clean\n"
-            "read (real silicon available); 8->32 exists to document the\n"
-            "sandbox's ~12-effective-core ceiling.  Target: >= 0.8 on the\n"
+            "read (real silicon available).  Target: >= 0.8 on the\n"
             "clean range.  Wall-clock noise between identical runs on this\n"
             "host is extreme (same job measured 4.9 s to 70 s across\n"
             "episodes); every number above is a steady-state best across\n"
             "two interleaved visits.\n"
         )
+        if "32" in ordered:
+            f.write(
+                "The 8->32 range exists only to document the sandbox's\n"
+                "~12-effective-core ceiling (its hardware control shows the\n"
+                "same collapse).\n"
+            )
         if tail:
             f.write("\n" + tail)
     return out, {"ranges": ranges}

@@ -1464,7 +1464,9 @@ def sinu_inv(x, y, P):
 
 
 # ---------------------------------------------------------------------------
-# aeqd — Azimuthal Equidistant (EPSG method 1125 family; ESRI:54032
+# aeqd — Azimuthal Equidistant (EPSG method 9832 "Modified Azimuthal
+# Equidistant" is the WKT mapping used by wkt.py; the geodesic-based
+# form below also covers the generic EPSG 1125 variants; ESRI:54032
 # World Azimuthal Equidistant).  Ellipsoidal form by construction:
 # x = s*sin(az), y = s*cos(az) where (s, az) are the GEODESIC distance
 # and forward azimuth from the projection centre (libproj computes the
@@ -1687,10 +1689,15 @@ def aeqd_inv(x, y, P):
     y = np.asarray(y, dtype=np.float64)
     s = np.hypot(x, y) * P["a"]
     az = np.arctan2(x, y)
-    dlam, phi = _geodesy.direct_core(P["phi0"], az, s, a=P["a"], f=P["f"])
+    # outside the projection disc (geodesic distance past the antipode,
+    # s > pi*a): domain error -> NaN, mirroring the forward path's
+    # antipodal NaN contract (PROJ raises coord-domain there)
+    bad = s > np.pi * P["a"]
+    dlam, phi = _geodesy.direct_core(P["phi0"], az, np.where(bad, 0.0, s),
+                                     a=P["a"], f=P["f"])
     # coincident-with-centre rows: direct() is exact there already
     # (sigma = 0 -> phi2 = phi0, dlam = 0), no special case needed
-    return dlam, phi
+    return np.where(bad, np.nan, dlam), np.where(bad, np.nan, phi)
 
 
 # ---------------------------------------------------------------------------

@@ -879,3 +879,37 @@ def test_gnom_kernel_properties():
         np.radians(np.array([-40.0, 40.0])), errors="mask")
     assert np.isnan(X[0]) and err[0] is not None   # antipodal side
     assert np.isfinite(X[1]) and abs(X[1]) < 1e-6  # the centre itself
+
+
+def test_aeqd_inv_out_of_disc_is_nan():
+    """Points beyond the projection disc (radial distance past the
+    antipode, s > pi*a) are a domain error: aeqd_inv must report NaN
+    instead of silently wrapping past the antipode via the direct
+    geodesic problem (PROJ raises a coord-domain error there)."""
+    import numpy as np
+
+    from proj_spark.crs import Transform
+
+    import pytest
+
+    from proj_spark.crs import ProjError
+
+    t = Transform.new("+proj=aeqd +lat_0=10 +lon_0=20 +ellps=WGS84")
+    a = 6378137.0
+    # one in-disc point, two out-of-disc points (1.05 and 2 half-turns)
+    x = np.array([1.0e6, np.pi * a * 1.05, 0.0])
+    y = np.array([2.0e6, 0.0, -2.0 * np.pi * a])
+    # row-wise mode: bad rows -> NaN + error message, good rows survive
+    lam, phi, err = t.project_array(x.copy(), y.copy(), inverse=True,
+                                    errors="mask")
+    assert np.isfinite(lam[0]) and np.isfinite(phi[0]) and err[0] is None
+    assert np.isnan(lam[1:]).all() and np.isnan(phi[1:]).all()
+    assert all(e is not None for e in err[1:])
+    # strict mode: all-or-nothing, matching reference array semantics
+    with pytest.raises(ProjError):
+        t.project_array(x.copy(), y.copy(), inverse=True)
+    # the transform stays usable after the domain error (error-recovery
+    # contract, reference src/proj.rs:1921-1944)
+    lam2, phi2 = t.project_array(np.array([1.0e6]), np.array([2.0e6]),
+                                 inverse=True)
+    assert np.isfinite(lam2[0]) and np.isfinite(phi2[0])
