@@ -144,8 +144,9 @@ def phash_dedup_groups(
     singletons map to themselves).
 
     Scale shape: pairs are band-bucketed (never all-pairs), closure is
-    min-label propagation over the (sparse) edge list only — the full
-    images table contributes one left join at the end."""
+    min-label propagation + pointer doubling (O(log diameter) rounds)
+    over the (sparse) edge list only — the full images table
+    contributes one left join at the end."""
     from .textops import dedup_connected_components
 
     pairs = hamming_neardup_pairs(images, id_col=id_col, hash_col=hash_col,
