@@ -106,13 +106,23 @@ def bench_queries(spark, sf_dir):
             emb.where(F.col("vec_id") < 20).select(
                 F.col("vec_id").alias("query_id"), "embedding"),
             k=5)))
-    from proj_spark.operators.ann import ann_ivf_topk
+    from proj_spark.operators.ann import ann_ivf_topk, train_ivf_centroids
     run("ann_ivf", n_emb, lambda: _sink(
         ann_ivf_topk(
             emb,
             emb.where(F.col("vec_id") < 20).select(
                 F.col("vec_id").alias("query_id"), "embedding"),
             k=5, n_centroids=8, nprobe=2)))
+    # the PRODUCTION quantizer path (round-3 verdict ask #3): k-means
+    # centroids trained once (driver-bounded, deterministic) and reused
+    # across reps — the timed part is list assignment + probe + re-rank
+    trained = train_ivf_centroids(emb, k=8)
+    run("ann_ivf_trained", n_emb, lambda: _sink(
+        ann_ivf_topk(
+            emb,
+            emb.where(F.col("vec_id") < 20).select(
+                F.col("vec_id").alias("query_id"), "embedding"),
+            k=5, n_centroids=8, nprobe=2, centroids=trained)))
     from proj_spark.operators.geodesic import with_geodesic_distance
     from proj_spark.operators.imagedup import (phash_dedup_groups,
                                                planted_chain_hash_col)
@@ -132,6 +142,10 @@ def bench_queries(spark, sf_dir):
     # measured ~9x slower than checkpoint-separated)
     run("images_verify", n_img, lambda: _sink(
         verify_images(synthesize_images(spark, n_img).localCheckpoint())))
+    from proj_spark.operators.raster import tile_pyramid
+    imgs_pyr = synthesize_images(spark, n_img).localCheckpoint()
+    run("tile_pyramid", n_img, lambda: _sink(
+        tile_pyramid(imgs_pyr, zooms=(0, 1, 2), tile=16)))
 
     # this sandbox's first-touch page allocation is pathologically slow
     # (200x variance on identical numpy ops until pages are warm) and

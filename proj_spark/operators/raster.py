@@ -43,13 +43,24 @@ def tile_pyramid(images: DataFrame, zooms: tuple[int, ...] = (0, 1, 2),
     zs = tuple(sorted(set(int(z) for z in zooms)))
 
     def _tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..sources.images import decode_image, encode_png, phash64
+        import numpy as np
+
+        from ..sources.images import decode_image, encode_png, phash64_batch
         from ..sources.media import np_resize_bilinear
 
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                arr = decode_image(r["bytes"], r["fmt"])
+            # column lists, not per-row dicts (pandas row-dict assembly
+            # was the old hot spot alongside per-tile phash calls)
+            ids, zoom_c, tx_c, ty_c = [], [], [], []
+            tw_c, th_c, bytes_c = [], [], []
+            # tiles grouped by pixel shape (interior TxT bulk + at most
+            # 3 ragged edge shapes per level) -> one vectorized
+            # phash64_batch call per shape instead of one per tile
+            by_shape: dict[tuple, list] = {}
+            slot_by_shape: dict[tuple, list] = {}
+            for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                           pdf["fmt"]):
+                arr = decode_image(data, fmt)
                 h, w = arr.shape[:2]
                 for z in zs:
                     f = 1 << z
@@ -59,16 +70,29 @@ def tile_pyramid(images: DataFrame, zooms: tuple[int, ...] = (0, 1, 2),
                         for tx in range((wz + tile - 1) // tile):
                             blk = lvl[ty * tile:(ty + 1) * tile,
                                       tx * tile:(tx + 1) * tile]
-                            rows.append({
-                                "image_id": r["image_id"],
-                                "zoom": z, "tile_x": tx, "tile_y": ty,
-                                "tile_w": blk.shape[1],
-                                "tile_h": blk.shape[0],
-                                "tile_bytes": encode_png(blk),
-                                "tile_phash": phash64(blk),
-                            })
-            yield pd.DataFrame(rows, columns=[
-                "image_id", "zoom", "tile_x", "tile_y", "tile_w",
-                "tile_h", "tile_bytes", "tile_phash"])
+                            slot = len(ids)
+                            ids.append(image_id)
+                            zoom_c.append(z)
+                            tx_c.append(tx)
+                            ty_c.append(ty)
+                            tw_c.append(blk.shape[1])
+                            th_c.append(blk.shape[0])
+                            bytes_c.append(encode_png(blk))
+                            sh = blk.shape[:2]
+                            by_shape.setdefault(sh, []).append(blk)
+                            slot_by_shape.setdefault(sh, []).append(slot)
+            phash_c = np.zeros(len(ids), dtype=np.int64)
+            for sh, blks in by_shape.items():
+                phash_c[slot_by_shape[sh]] = phash64_batch(np.stack(blks))
+            yield pd.DataFrame({
+                "image_id": ids,
+                "zoom": pd.array(zoom_c, dtype="int32"),
+                "tile_x": pd.array(tx_c, dtype="int32"),
+                "tile_y": pd.array(ty_c, dtype="int32"),
+                "tile_w": pd.array(tw_c, dtype="int32"),
+                "tile_h": pd.array(th_c, dtype="int32"),
+                "tile_bytes": bytes_c,
+                "tile_phash": phash_c,
+            })
 
     return images.mapInPandas(_tiles, TILE_PYRAMID_SCHEMA)

@@ -187,6 +187,44 @@ def phash64(arr: np.ndarray) -> int:
     return int(np.int64(val.astype(np.uint64)))
 
 
+def phash64_batch(arrs: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`phash64` over a same-shape (n, h, w, 3) uint8
+    stack -> int64[n].  Bit-identical to the scalar path: every
+    floating step (gray weights, cumulative sums, block-mean order of
+    operations, per-slice BLAS DCT, axis median) runs in the same order
+    per item, only batched across the leading axis.  This is the
+    tile-pyramid hot path — hashing a level's tiles in one call instead
+    of one Python call per tile."""
+    n, h, w = arrs.shape[:3]
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    # per-item 2-D matmul: the batched (n,h,w,3)@(3,) gufunc takes a
+    # different summation path than the scalar (h,w,3)@(3,) call and
+    # drifts by ulps, which can flip bits at the median threshold
+    wvec = np.array([0.299, 0.587, 0.114])
+    gray = np.stack([a.astype(np.float64) @ wvec for a in arrs])
+    ys = (np.arange(32) * h // 32)
+    xs = (np.arange(32) * w // 32)
+    ye = np.maximum(((np.arange(32) + 1) * h + 31) // 32, ys + 1)
+    xe = np.maximum(((np.arange(32) + 1) * w + 31) // 32, xs + 1)
+    csum = np.zeros((n, h + 1, w + 1))
+    csum[:, 1:, 1:] = gray.cumsum(1).cumsum(2)
+    small = np.empty((n, 32, 32))
+    for r in range(32):
+        a, b = ys[r], ye[r]
+        block = (csum[:, b][:, xe] - csum[:, a][:, xe]
+                 - csum[:, b][:, xs] + csum[:, a][:, xs])
+        small[:, r] = block / ((b - a) * (xe - xs))
+    dct = np.empty((n, 32, 32))
+    for i in range(n):  # per-slice 2-D BLAS, same calls as the scalar
+        dct[i] = _DCT32 @ small[i] @ _DCT32.T
+    low = dct[:, :8, :8].reshape(n, 64)
+    med = np.median(low[:, 1:], axis=1)  # skip DC
+    bits = (low > med[:, None]).astype(np.uint64)
+    weights = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+    return (bits * weights).sum(axis=1, dtype=np.uint64).astype(np.int64)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
     if mse == 0:

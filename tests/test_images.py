@@ -128,3 +128,31 @@ def test_jpeg_decode_image_dispatch_and_errors():
         decode_image(bytes(prog), "jpg")
     with pytest.raises(NotImplementedError):
         decode_image(data, "webp")  # still-stubbed formats
+
+
+def test_phash64_batch_bit_identical():
+    """tile_pyramid hashes a level's tiles in one phash64_batch call;
+    the batch path must be BIT-identical to the scalar phash64 (q63's
+    tile_phash values and every downstream Hamming join depend on it),
+    across square, ragged, and degenerate tile shapes."""
+    import numpy as np
+
+    from proj_spark.sources.images import phash64, phash64_batch
+
+    rng = np.random.default_rng(11)
+    for h, w in [(16, 16), (16, 7), (5, 16), (5, 7), (1, 1), (1, 7),
+                 (2, 3), (32, 32), (64, 48)]:
+        arrs = rng.integers(0, 256, size=(13, h, w, 3), dtype=np.uint8)
+        got = phash64_batch(arrs)
+        want = np.array([phash64(a) for a in arrs], dtype=np.int64)
+        assert (got == want).all(), (h, w)
+    # smooth gradients (many near-median DCT coefficients — the case
+    # that catches ulp drift between batched and scalar float paths)
+    yy, xx = np.mgrid[0:24, 0:18]
+    base = ((yy * 3 + xx * 5) % 256).astype(np.uint8)
+    arrs = np.stack([np.stack([(base + i * 11) % 256] * 3, axis=-1)
+                     for i in range(9)]).astype(np.uint8)
+    got = phash64_batch(arrs)
+    want = np.array([phash64(a) for a in arrs], dtype=np.int64)
+    assert (got == want).all()
+    assert phash64_batch(np.empty((0, 8, 8, 3), dtype=np.uint8)).shape == (0,)
