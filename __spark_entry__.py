@@ -539,6 +539,48 @@ def q46_jpeg_verify(spark, sf_dir):
     )
 
 
+def q67_jpeg420_verify(spark, sf_dir):
+    # chroma-subsampled JPEG (round-3 verdict ask #2): 4:2:0 / 4:2:2
+    # fixtures (smooth rasters — per-channel noise cannot survive any
+    # chroma subsampling, so noise-free content isolates CODEC error)
+    # encoded by encode_jpeg(subsampling=...), decoded through the
+    # generic sampling-factor MCU walk, gated at PSNR >= 40 dB.  The
+    # oracle replicates the splitmix64 subsampling selection and
+    # asserts every flag TRUE.
+    from proj_spark.sources.datagen import synthesize_jpeg_subsampled
+
+    fx = synthesize_jpeg_subsampled(spark, 120, partitions=8).localCheckpoint()
+
+    def _verify(batches):
+        from proj_spark.sources.datagen import raster_smooth_for, splitmix64
+        import numpy as np
+
+        from proj_spark.sources.images import psnr
+        from proj_spark.sources.jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for image_id, data, w, h, sub in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["subsampling"]):
+                seq = np.array([int(image_id[2:])], dtype=np.uint64)
+                seed = int(splitmix64(seq)[0])
+                dec = decode_jpeg(bytes(data))
+                src = raster_smooth_for(seed, int(w), int(h))
+                rows.append((
+                    image_id, sub,
+                    dec.shape[0] == int(h) and dec.shape[1] == int(w),
+                    bool(psnr(src, dec) >= 40.0),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "subsampling", "size_ok", "psnr40_ok"])
+
+    return fx.mapInPandas(
+        _verify,
+        "image_id string, subsampling string, size_ok boolean, "
+        "psnr40_ok boolean")
+
+
 def q45_dedup_full(spark, sf_dir):
     # full transitive closure over the verified groups edges — chained
     # duplicates (A~B~C without A~C colliding) share one canonical.
@@ -1129,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_gnom_fwd": q62_gnom_fwd,
         "q63_tile_pyramid": q63_tile_pyramid,
         "q64_top_ngrams": q64_top_ngrams,
+        "q67_jpeg420_verify": q67_jpeg420_verify,
     }
 
 
@@ -1703,6 +1746,17 @@ FROM unnest(range(0, 200)) AS t(i)
         "printf('img%012d', i) AS image_id, true AS size_ok, "
         "true AS phash_ok, true AS psnr40_ok, true AS caption_ok",
         f"WHERE ((({h46} >> 16) & 3) = 2)",
+    )
+
+    # ---- q67: chroma-subsampled JPEG fixtures — regenerate the
+    # 4:2:0-vs-4:2:2 selection bit ((splitmix64(i) >> 21) & 1) in SQL
+    # and assert every decoded row keeps its size and clears PSNR>=40
+    ch = O.Chain("SELECT i FROM unnest(range(0, 120)) AS t(i)")
+    h67 = O.chain_splitmix64(ch, "i", "h67")
+    out["q67_jpeg420_verify"] = ch.finish(
+        "printf('jp%012d', i) AS image_id, "
+        f"CASE WHEN ((({h67} >> 21) & 1) = 1) THEN '4:2:0' ELSE '4:2:2' END "
+        "AS subsampling, true AS size_ok, true AS psnr40_ok",
     )
 
     # ---- q30: the generator's lon/lat are pure splitmix64 of the row

@@ -4,13 +4,16 @@ Round-2 verdict ask #5: the environment ships no image libraries, so
 the engine's lossy path used a quantized-PNG stand-in.  This module is
 a REAL baseline JPEG implementation of the public ITU-T T.81 spec:
 
-  * encoder: JFIF container, 8-bit 3-component 4:4:4 (no chroma
-    subsampling), Annex K quantization tables scaled by the standard
-    IJG quality curve, Annex K Huffman tables, interleaved MCU scan
-    with byte stuffing;
+  * encoder: JFIF container, 8-bit 3-component with selectable chroma
+    subsampling (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 — the last is what
+    nearly every real-world web JPEG uses), Annex K quantization
+    tables scaled by the standard IJG quality curve, Annex K Huffman
+    tables, interleaved MCU scan (T.81 A.2.3 block order) with byte
+    stuffing;
   * decoder: marker parser (DQT/DHT/SOF0/SOS), canonical Huffman
-    decode, dequantize + inverse zigzag + IDCT, YCbCr->RGB.  Baseline
-    sequential only; progressive (SOF2) and subsampled streams raise
+    decode over the generic sampling-factor MCU walk, dequantize +
+    inverse zigzag + IDCT, triangular ("fancy") 2x chroma upsampling,
+    YCbCr->RGB.  Baseline sequential only; progressive (SOF2) raises
     ``NotImplementedError`` with a clear message.
 
 The DCT/IDCT, color transforms, quantization and block (de)packing are
@@ -244,20 +247,58 @@ def _encode_block(w: _BitWriter, zz: np.ndarray, pred: int,
     return dc
 
 
-def encode_jpeg(rgb: np.ndarray, quality: int = 90) -> bytes:
-    """8-bit RGB HxWx3 -> baseline JFIF bytes (4:4:4)."""
+# sampling-factor tables: (h_i, v_i) per component Y, Cb, Cr.
+# 4:2:0 is what nearly every real-world web JPEG uses.
+_SUBSAMPLING = {
+    "4:4:4": ((1, 1), (1, 1), (1, 1)),
+    "4:2:2": ((2, 1), (1, 1), (1, 1)),
+    "4:4:0": ((1, 2), (1, 1), (1, 1)),
+    "4:2:0": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def _downsample_box(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
+    """Chroma downsample by box mean over fh x fv cells (edge-padded to
+    a full grid first) — the standard JFIF encoder practice."""
+    if fh == 1 and fv == 1:
+        return plane
+    h, w = plane.shape
+    H, W = -(-h // fv) * fv, -(-w // fh) * fh
+    p = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+    return p.reshape(H // fv, fv, W // fh, fh).mean(axis=(1, 3))
+
+
+def encode_jpeg(rgb: np.ndarray, quality: int = 90,
+                subsampling: str = "4:4:4") -> bytes:
+    """8-bit RGB HxWx3 -> baseline JFIF bytes.
+
+    ``subsampling`` picks the chroma layout: "4:4:4" (default, MCU =
+    one block per component — byte-identical to the pre-subsampling
+    encoder), "4:2:2" (chroma halved horizontally, 16x8 MCU) or
+    "4:2:0" (chroma halved both ways, 16x16 MCU with 4 Y blocks)."""
     assert rgb.ndim == 3 and rgb.shape[2] == 3 and rgb.dtype == np.uint8
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"unknown subsampling {subsampling!r}; "
+                         f"one of {sorted(_SUBSAMPLING)}")
+    samp = _SUBSAMPLING[subsampling]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
     h, w = rgb.shape[:2]
     qt = (_quality_scale(_Q_LUM, quality), _quality_scale(_Q_CHR, quality))
 
     ycc = _rgb_to_ycbcr(rgb.astype(np.float64))
-    h8, w8 = -(-h // 8) * 8, -(-w // 8) * 8
-    pad = np.pad(ycc, ((0, h8 - h), (0, w8 - w), (0, 0)), mode="edge")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
 
-    # all planes -> blocks -> DCT -> quantize, fully vectorized
+    # per component: downsample -> pad to its MCU grid -> blocks ->
+    # DCT -> quantize, fully vectorized per plane
     comp_zz = []
-    for c in range(3):
-        blocks = _to_blocks(pad[..., c]) - 128.0
+    for c, (hi, vi) in enumerate(samp):
+        plane = _downsample_box(ycc[..., c], hmax // hi, vmax // vi)
+        hc, wc = mcuy * vi * 8, mcux * hi * 8
+        p = np.pad(plane, ((0, hc - plane.shape[0]), (0, wc - plane.shape[1])),
+                   mode="edge")
+        blocks = _to_blocks(p) - 128.0
         coef = np.einsum("ij,njk,lk->nil", _DCT8, blocks, _DCT8)
         q = np.round(coef / qt[0 if c == 0 else 1][None]).astype(np.int32)
         comp_zz.append(q.reshape(-1, 64)[:, _ZIGZAG])
@@ -268,10 +309,11 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90) -> bytes:
     for tid, t in enumerate(qt):  # DQT
         zz = t.reshape(-1)[_ZIGZAG].astype(np.uint8)
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz.tobytes()
-    # SOF0: 3 components, all 1x1 sampling
+    # SOF0: 3 components with their sampling factors
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        out += struct.pack(">BBB", cid, 0x11, tq)
+    for c, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
+        hi, vi = samp[c]
+        out += struct.pack(">BBB", cid, (hi << 4) | vi, tq)
     # DHT x4
     for cls, tid, (bits, vals) in ((0, 0, _DC_LUM), (0, 1, _DC_CHR),
                                    (1, 0, _AC_LUM), (1, 1, _AC_CHR)):
@@ -284,13 +326,20 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90) -> bytes:
         out += struct.pack(">BB", cid, t)
     out += b"\x00\x3f\x00"
 
+    # interleaved scan: per MCU, each component contributes its
+    # vi x hi raster of blocks (T.81 A.2.3 interleaved order)
     bw = _BitWriter()
     preds = [0, 0, 0]
-    for b in range(comp_zz[0].shape[0]):  # interleaved MCUs (1x1 -> 1 block each)
-        for c in range(3):
-            t = 0 if c == 0 else 1
-            preds[c] = _encode_block(bw, comp_zz[c][b], preds[c],
-                                     _ENC_DC[t], _ENC_AC[t])
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c, (hi, vi) in enumerate(samp):
+                t = 0 if c == 0 else 1
+                bpl = mcux * hi  # blocks per line in this component
+                for by in range(vi):
+                    for bx in range(hi):
+                        b = (my * vi + by) * bpl + (mx * hi + bx)
+                        preds[c] = _encode_block(bw, comp_zz[c][b], preds[c],
+                                                 _ENC_DC[t], _ENC_AC[t])
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -415,10 +464,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise NotImplementedError("only 8-bit precision")
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i:9 + 3 * i]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling not supported (4:4:4 only)")
-                comps.append({"id": cid, "tq": tq})
+                hi, vi = samp >> 4, samp & 15
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(f"invalid sampling factors {hi}x{vi}")
+                comps.append({"id": cid, "tq": tq, "hi": hi, "vi": vi})
             frame = (h, w, nc)
         elif marker == 0xC2:
             raise NotImplementedError("progressive JPEG (SOF2)")
@@ -438,42 +487,87 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("JPEG without SOF/SOS")
 
     h, w, nc = frame
-    h8, w8 = -(-h // 8) * 8, -(-w // 8) * 8
-    n_blocks = (h8 // 8) * (w8 // 8)
-    coeffs = [np.zeros((n_blocks, 64), dtype=np.float64) for _ in range(nc)]
+    hmax = max(sc["hi"] for sc in scan_order)
+    vmax = max(sc["vi"] for sc in scan_order)
+    for sc in scan_order:
+        if hmax % sc["hi"] or vmax % sc["vi"]:
+            raise NotImplementedError(
+                f"non-integer sampling ratio {sc['hi']}x{sc['vi']} "
+                f"vs max {hmax}x{vmax}")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coeffs = [np.zeros((mcuy * sc["vi"] * mcux * sc["hi"], 64),
+                       dtype=np.float64) for sc in scan_order]
     br = _BitReader(data, pos)
     preds = [0] * nc
-    for b in range(n_blocks):
-        for ci, sc in enumerate(scan_order):
-            dct = huff[(0, sc["dc"])]
-            act = huff[(1, sc["ac"])]
-            s = _read_symbol(br, dct)
-            diff = _extend(br.bits(s), s) if s else 0
-            preds[ci] += diff
-            zz = coeffs[ci][b]
-            zz[0] = preds[ci]
-            k = 1
-            while k < 64:
-                rs = _read_symbol(br, act)
-                r, s = rs >> 4, rs & 15
-                if s == 0:
-                    if r == 15:
-                        k += 16  # ZRL
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC coefficient index overflow")
-                zz[k] = _extend(br.bits(s), s)
-                k += 1
+    # interleaved MCU walk mirroring the encoder (T.81 A.2.3): each
+    # component contributes its vi x hi raster of blocks per MCU
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, sc in enumerate(scan_order):
+                dct = huff[(0, sc["dc"])]
+                act = huff[(1, sc["ac"])]
+                hi, vi = sc["hi"], sc["vi"]
+                bpl = mcux * hi
+                for by in range(vi):
+                    for bx in range(hi):
+                        b = (my * vi + by) * bpl + (mx * hi + bx)
+                        s = _read_symbol(br, dct)
+                        diff = _extend(br.bits(s), s) if s else 0
+                        preds[ci] += diff
+                        zz = coeffs[ci][b]
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(br, act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "AC coefficient index overflow")
+                            zz[k] = _extend(br.bits(s), s)
+                            k += 1
 
     planes = []
     for ci, sc in enumerate(scan_order):
         qt = qts[sc["tq"]]
+        hi, vi = sc["hi"], sc["vi"]
+        hp, wp = mcuy * vi * 8, mcux * hi * 8
         blocks = (coeffs[ci][:, _UNZIGZAG].reshape(-1, 8, 8)
                   * qt[None])
         pix = np.einsum("ji,njk,kl->nil", _DCT8, blocks, _DCT8) + 128.0
-        planes.append(_from_blocks(pix, h8, w8)[:h, :w])
+        plane = _from_blocks(pix, hp, wp)
+        # crop to the component's true size, then upsample to (h, w)
+        hc = -(-h * vi // vmax)
+        wc = -(-w * hi // hmax)
+        plane = plane[:hc, :wc]
+        for axis, f in ((0, vmax // vi), (1, hmax // hi)):
+            if f in (2, 4):
+                plane = _upsample2(plane, axis)
+                if f == 4:
+                    plane = _upsample2(plane, axis)
+            elif f != 1:  # 3x — nearest-neighbour replication
+                plane = np.repeat(plane, f, axis=axis)
+        planes.append(plane[:h, :w])
     ycc = np.stack(planes, axis=-1)
     rgb = _ycbcr_to_rgb(ycc)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _upsample2(plane: np.ndarray, axis: int) -> np.ndarray:
+    """Centered 2x linear chroma upsample along ``axis`` (the
+    triangular 3/4-1/4 filter libjpeg calls "fancy upsampling"):
+    out[2i] = 3/4*c[i] + 1/4*c[i-1], out[2i+1] = 3/4*c[i] + 1/4*c[i+1],
+    edges replicated."""
+    c = np.moveaxis(plane, axis, 0)
+    prev = np.concatenate([c[:1], c[:-1]], axis=0)
+    nxt = np.concatenate([c[1:], c[-1:]], axis=0)
+    out = np.empty((2 * c.shape[0],) + c.shape[1:], dtype=np.float64)
+    out[0::2] = 0.75 * c + 0.25 * prev
+    out[1::2] = 0.75 * c + 0.25 * nxt
+    return np.moveaxis(out, 0, axis)

@@ -156,3 +156,49 @@ def test_phash64_batch_bit_identical():
     want = np.array([phash64(a) for a in arrs], dtype=np.int64)
     assert (got == want).all()
     assert phash64_batch(np.empty((0, 8, 8, 3), dtype=np.uint8)).shape == (0,)
+
+
+def test_jpeg_chroma_subsampling_roundtrip():
+    """Round-3 verdict ask #2: real-world JPEGs are 4:2:0 — the codec
+    must encode and decode subsampled MCU layouts (4:2:0 16x16 MCUs
+    with 4 Y blocks, 4:2:2, 4:4:0) at every ragged size, and smooth-
+    chroma content must survive at PSNR >= 40 dB."""
+    import numpy as np
+
+    import pytest
+
+    from proj_spark.sources.datagen import raster_smooth_for
+    from proj_spark.sources.images import psnr
+    from proj_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    for sub in ("4:2:0", "4:2:2", "4:4:0"):
+        for (h, w) in [(48, 64), (17, 23), (16, 16), (9, 7), (1, 1),
+                       (33, 31), (8, 40)]:
+            arr = raster_smooth_for(h * 1000 + w, w, h)
+            dec = decode_jpeg(encode_jpeg(arr, 95, subsampling=sub))
+            assert dec.shape == arr.shape, (sub, h, w)
+            if h * w >= 64:  # tiny tiles: PSNR is dominated by padding
+                assert psnr(arr, dec) >= 40.0, (sub, h, w)
+    # subsampling="4:4:4" stays byte-identical to the default call
+    arr = raster_smooth_for(77, 40, 24)
+    assert encode_jpeg(arr, 90) == encode_jpeg(arr, 90, subsampling="4:4:4")
+    with pytest.raises(ValueError):
+        encode_jpeg(arr, 90, subsampling="4:1:1?")
+
+
+def test_jpeg_420_sof_declares_sampling_factors():
+    """The 4:2:0 stream must actually BE 4:2:0 on the wire: SOF0
+    declares Y at 2x2 and chroma at 1x1, and the entropy segment is
+    smaller than the 4:4:4 encoding of the same pixels."""
+    from proj_spark.sources.datagen import raster_smooth_for
+    from proj_spark.sources.jpeg import encode_jpeg
+
+    arr = raster_smooth_for(5, 64, 48)
+    data = encode_jpeg(arr, 90, subsampling="4:2:0")
+    i = data.find(b"\xff\xc0")
+    assert i > 0
+    # after FFC0: len(2) prec(1) h(2) w(2) nc(1), then 3x (id, hv, tq)
+    comps = data[i + 10:i + 19]
+    assert comps[1] == 0x22  # Y: 2x2
+    assert comps[4] == 0x11 and comps[7] == 0x11  # Cb, Cr: 1x1
+    assert len(data) < len(encode_jpeg(arr, 90, subsampling="4:4:4"))
