@@ -539,6 +539,50 @@ def q46_jpeg_verify(spark, sf_dir):
     )
 
 
+def q66_stream_phash_dedup(spark, sf_dir):
+    # STREAMING in the driver gate (round-3 verdict ask #5): the
+    # stateful first-seen pHash dedup (applyInPandasWithState, event-
+    # time TTL) run as a REAL streaming query — parquet stream source,
+    # AvailableNow trigger, checkpointed memory sink — then the drained
+    # state (per key: min image id, total count; order-independent, so
+    # deterministic) value-checked against a plain GROUP BY oracle over
+    # the same planted hashes.  Multi-micro-batch state evolution is
+    # pinned separately in tests/test_streaming.py.
+    import os
+    import tempfile
+
+    from proj_spark.operators.imagedup import planted_hash_col
+    from proj_spark.streaming.stream_ops import (
+        run_available_now, stream_image_dedup_first_seen)
+
+    base = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < 3000
+    ).select(
+        F.concat(F.lit("img"),
+                 F.lpad(F.col("o_orderkey").cast("string"), 9, "0")
+                 ).alias("image_id"),
+        planted_hash_col(F.col("o_orderkey").cast("long")).alias("phash"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.pmod(F.col("o_orderkey"), F.lit(300))
+        ).alias("ts"),
+    )
+    tmp = tempfile.mkdtemp(prefix="q66_stream_")
+    inp = os.path.join(tmp, "in")
+    ckpt = os.path.join(tmp, "ckpt")
+    base.coalesce(1).write.mode("overwrite").parquet(inp)
+    sdf = spark.readStream.schema(spark.read.parquet(inp).schema).parquet(inp)
+    result = stream_image_dedup_first_seen(sdf)
+    name = "q66_out_" + os.path.basename(tmp).split("_")[-1]
+    run_available_now(result, ckpt, table_name=name, output_mode="update")
+    # update-mode emissions accumulate; final state per key = max count
+    # (monotone) + min canonical (monotone) — independent of batch order
+    return (
+        spark.table(name).groupBy("phash")
+        .agg(F.min("canonical_id").alias("canonical_id"),
+             F.max("n_dups").cast("long").alias("n_dups"))
+    )
+
+
 def q67_jpeg420_verify(spark, sf_dir):
     # chroma-subsampled JPEG (round-3 verdict ask #2): 4:2:0 / 4:2:2
     # fixtures (smooth rasters — per-channel noise cannot survive any
@@ -849,6 +893,20 @@ def q52_krovak_fwd(spark, sf_dir):
     return out.select(
         "o_orderkey", _round(F.col("x"), 1).alias("xm"), _round(F.col("y"), 1).alias("ym")
     )
+
+
+def q65_omerc_fwd(spark, sf_dir):
+    # EPSG:29873 Timbalai 1948 / RSO Borneo (m): Hotine Oblique
+    # Mercator variant B (EPSG method 9815) over Borneo-band points,
+    # including the WGS84 -> Timbalai Helmert shift; the oracle mirrors
+    # the GN 7-2 forward chain in SQL (oracle.chain_omerc_fwd).  KATs:
+    # GN 7-2 worked example + Swiss rigorous cross-check in
+    # tests/test_kernels.py.
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "borneo")
+    out = with_transformed(df, "EPSG:4326", "EPSG:29873", err_col=None)
+    return out.select(
+        "o_orderkey", _round(F.col("x"), 1).alias("xm"),
+        _round(F.col("y"), 1).alias("ym"))
 
 
 def q51_phash_dedup_groups(spark, sf_dir):
@@ -1171,6 +1229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_gnom_fwd": q62_gnom_fwd,
         "q63_tile_pyramid": q63_tile_pyramid,
         "q64_top_ngrams": q64_top_ngrams,
+        "q65_omerc_fwd": q65_omerc_fwd,
+        "q66_stream_phash_dedup": q66_stream_phash_dedup,
         "q67_jpeg420_verify": q67_jpeg420_verify,
     }
 
@@ -1985,6 +2045,28 @@ FROM e GROUP BY domain
     )
     x, y = O.chain_krovak_fwd(ch52, "lon", "lat", "EPSG:5514")
     out["q52_krovak_fwd"] = ch52.finish(
+        f"o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym"
+    )
+
+    # ---- q66: drained streaming first-seen pHash dedup state == the
+    # batch GROUP BY over the same planted hashes (first-seen-wins
+    # state is order-independent: min id + total count per key)
+    ph66 = O.sql_planted_hash("o_orderkey", bits=60, flips=3)
+    out["q66_stream_phash_dedup"] = f"""
+WITH base AS (
+  SELECT printf('img%09d', o_orderkey) AS image_id,
+         {ph66}::BIGINT AS phash
+  FROM orders WHERE o_orderkey < 3000)
+SELECT phash, min(image_id) AS canonical_id, count(*)::BIGINT AS n_dups
+FROM base GROUP BY phash
+"""
+
+    lon_bo, lat_bo = O.lonlat_exprs("o_orderkey", "borneo")
+    ch65 = O.Chain(
+        f"SELECT o_orderkey, {lon_bo} AS lon, {lat_bo} AS lat FROM orders"
+    )
+    x, y = O.chain_omerc_fwd(ch65, "lon", "lat", "EPSG:29873")
+    out["q65_omerc_fwd"] = ch65.finish(
         f"o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym"
     )
 

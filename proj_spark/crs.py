@@ -679,6 +679,69 @@ for entry in [
        area_name="United States (USA) - California.",
        datum_name="North American Datum 1983", datum_code=6269,
        base_geog="EPSG:4269", base_geog_name="NAD83"),
+    # --- Hotine Oblique Mercator family (EPSG 9812/9815) ------------
+    _e("EPSG:4298", "Timbalai 1948", "geographic",
+       "+proj=longlat +ellps=evrstSS",
+       towgs84=(-679.0, 669.0, -48.0), axis_order="ne", unit="deg",
+       area=Area(109.31, 0.85, 119.61, 7.66),
+       area_name="Brunei; Malaysia - East Malaysia (Sabah; Sarawak).",
+       datum_ellps="evrstSS", datum_name="Timbalai 1948", datum_code=6298),
+    _e("EPSG:29873", "Timbalai 1948 / RSO Borneo (m)", "projected",
+       "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582047222222 "
+       "+gamma=53.13010236111111 +k=0.99984 +x_0=590476.87 "
+       "+y_0=442857.65 +ellps=evrstSS +units=m",
+       towgs84=(-679.0, 669.0, -48.0), datum_ellps="evrstSS",
+       area=Area(109.31, 0.85, 119.61, 7.66),
+       area_name="Brunei; Malaysia - East Malaysia (Sabah; Sarawak).",
+       datum_name="Timbalai 1948", datum_code=6298,
+       base_geog="EPSG:4298", base_geog_name="Timbalai 1948"),
+    _e("EPSG:4742", "GDM2000", "geographic",
+       "+proj=longlat +ellps=GRS80",
+       towgs84=(0, 0, 0), axis_order="ne", unit="deg",
+       area=Area(98.02, 0.85, 119.61, 7.81),
+       area_name="Malaysia onshore and offshore.",
+       datum_ellps="GRS80",
+       datum_name="Geodetic Datum of Malaysia 2000", datum_code=6742),
+    _e("EPSG:3375", "GDM2000 / Peninsular RSO", "projected",
+       "+proj=omerc +no_uoff +lat_0=4 +lonc=102.25 "
+       "+alpha=323.0257964666666 +gamma=323.1301023611111 +k=0.99984 "
+       "+x_0=804671 +y_0=0 +ellps=GRS80 +units=m",
+       towgs84=(0, 0, 0), datum_ellps="GRS80",
+       area=Area(98.02, 1.13, 105.82, 6.92),
+       area_name="Malaysia - West Malaysia onshore and offshore.",
+       datum_name="Geodetic Datum of Malaysia 2000", datum_code=6742,
+       base_geog="EPSG:4742", base_geog_name="GDM2000"),
+    # --- Swiss grids: EPSG publishes these as Hotine variant B with a
+    # 90 deg azimuth (conversion 19950); +proj=somerc is the PROJ
+    # spelling of the same parameterization ------------------------
+    _e("EPSG:4150", "CH1903+", "geographic",
+       "+proj=longlat +ellps=bessel",
+       towgs84=(674.374, 15.056, 405.346), axis_order="ne", unit="deg",
+       area=Area(5.96, 45.82, 10.49, 47.81),
+       area_name="Europe - Liechtenstein and Switzerland.",
+       datum_ellps="bessel", datum_name="CH1903+", datum_code=6150),
+    _e("EPSG:2056", "CH1903+ / LV95", "projected",
+       "+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 "
+       "+k=1 +x_0=2600000 +y_0=1200000 +ellps=bessel +units=m",
+       towgs84=(674.374, 15.056, 405.346), datum_ellps="bessel",
+       area=Area(5.96, 45.82, 10.49, 47.81),
+       area_name="Europe - Liechtenstein and Switzerland.",
+       datum_name="CH1903+", datum_code=6150,
+       base_geog="EPSG:4150", base_geog_name="CH1903+"),
+    _e("EPSG:4149", "CH1903", "geographic",
+       "+proj=longlat +ellps=bessel",
+       towgs84=(674.4, 15.1, 405.3), axis_order="ne", unit="deg",
+       area=Area(5.96, 45.82, 10.49, 47.81),
+       area_name="Europe - Liechtenstein and Switzerland.",
+       datum_ellps="bessel", datum_name="CH1903", datum_code=6149),
+    _e("EPSG:21781", "CH1903 / LV03", "projected",
+       "+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 "
+       "+k=1 +x_0=600000 +y_0=200000 +ellps=bessel +units=m",
+       towgs84=(674.4, 15.1, 405.3), datum_ellps="bessel",
+       area=Area(5.96, 45.82, 10.49, 47.81),
+       area_name="Europe - Liechtenstein and Switzerland.",
+       datum_name="CH1903", datum_code=6149,
+       base_geog="EPSG:4149", base_geog_name="CH1903"),
 ]:
     EPSG[entry.code] = entry
 

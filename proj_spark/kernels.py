@@ -138,6 +138,7 @@ ELLIPSOIDS = {
     "clrk66": (6378206.4, 294.9786982),
     "bessel": (6377397.155, 299.1528128),
     "intl": (6378388.0, 297.0),
+    "evrstSS": (6377298.556, 300.8017),  # Everest 1830 (1967 Definition)
     "sphere": (6370997.0, 0.0),
 }
 
@@ -1701,6 +1702,111 @@ def aeqd_inv(x, y, P):
 
 
 # ---------------------------------------------------------------------------
+# omerc — Hotine Oblique Mercator (EPSG methods 9812 "variant A" /
+# 9815 "variant B"), EPSG Guidance Note 7-2 formulas (Snyder PP-1395
+# ch. 9 is the same development).  The projection of record for
+# Malaysia RSO (EPSG:3375 Peninsular, variant A via +no_uoff;
+# EPSG:29873 Borneo, variant B), Alaska zone 1, and — with
+# alpha = gamma = 90 deg — the Swiss grids (PROJ's somerc; EPSG
+# conversion 19950 "Swiss Oblique Mercator 1995" is method 9815 with
+# a 90 deg azimuth, agreeing with the rigorous Swiss double
+# projection below the millimetre inside its area of use).
+#
+# Centre longitude is +lonc (PROJ convention): the wrapper's lon_0
+# reduction still runs (0 for omerc proper, lon_0 for somerc), so the
+# kernel folds the derived natural-origin longitude lambda_0 minus
+# that already-subtracted amount into "dlam0".
+# ---------------------------------------------------------------------------
+def omerc_setup(params, a, es):
+    e = float(np.sqrt(es))
+    one_es = 1.0 - es
+    phic = np.radians(float(params.get("lat_0", 0.0)))
+    lamc = np.radians(float(params.get("lonc", params.get("lon_0", 0.0))))
+    alphac = np.radians(float(params.get("alpha", 0.0)))
+    gammac = np.radians(float(params["gamma"])) if "gamma" in params \
+        else alphac
+    k0 = float(params.get("k", params.get("k_0", 1.0)))
+    no_uoff = bool(params.get("no_uoff", params.get("no_off", False)))
+    sp, cp = np.sin(phic), np.cos(phic)
+    B = np.sqrt(1.0 + es * cp ** 4 / one_es)
+    A_over_a = B * k0 * np.sqrt(one_es) / (1.0 - es * sp * sp)
+    t0 = np.tan(0.25 * np.pi - 0.5 * phic) / (
+        (1.0 - e * sp) / (1.0 + e * sp)) ** (0.5 * e)
+    D = B * np.sqrt(one_es) / (cp * np.sqrt(1.0 - es * sp * sp))
+    D2 = max(float(D * D), 1.0)
+    sign = 1.0 if phic >= 0.0 else -1.0
+    F = D + np.sqrt(D2 - 1.0) * sign
+    H = F * t0 ** B
+    G = 0.5 * (F - 1.0 / F)
+    gamma0 = np.arcsin(np.clip(np.sin(alphac) / D, -1.0, 1.0))
+    lam0 = lamc - np.arcsin(np.clip(G * np.tan(gamma0), -1.0, 1.0)) / B
+    if no_uoff:
+        uc = 0.0  # variant A: no centre offset along the initial line
+    elif abs(abs(float(alphac)) - 0.5 * np.pi) < 1e-12:
+        uc = float(A_over_a * (lamc - lam0))
+    else:
+        uc = float((A_over_a / B)
+                   * np.arctan2(np.sqrt(D2 - 1.0), np.cos(alphac)) * sign)
+    lam0_already = np.radians(float(params.get("lon_0", 0.0)))
+    return {
+        "e": e, "es": es, "B": float(B), "A": float(A_over_a),
+        "H": float(H), "dlam0": float(lam0 - lam0_already),
+        "cg": float(np.cos(gammac)), "sg": float(np.sin(gammac)),
+        "cg0": float(np.cos(gamma0)), "sg0": float(np.sin(gamma0)),
+        "uc": uc,
+    }
+
+
+def omerc_fwd(lam, phi, P):
+    lam = adjlon(np.asarray(lam, dtype=np.float64) - P["dlam0"])
+    t = _tsfn(phi, fsin(phi), P["e"])
+    Q = P["H"] / np.power(np.maximum(t, 1e-300), P["B"])
+    S = 0.5 * (Q - 1.0 / Q)
+    T = 0.5 * (Q + 1.0 / Q)
+    Bl = P["B"] * lam
+    V = np.sin(Bl)
+    U = (-V * P["cg0"] + S * P["sg0"]) / T
+    v = P["A"] * np.log(
+        np.maximum((1.0 - U) / (1.0 + U), 1e-300)) / (2.0 * P["B"])
+    u = P["A"] * np.arctan2(S * P["cg0"] + V * P["sg0"],
+                            np.cos(Bl)) / P["B"] - P["uc"]
+    x = v * P["cg"] + u * P["sg"]
+    y = u * P["cg"] - v * P["sg"]
+    return x, y
+
+
+def omerc_inv(x, y, P):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    v = x * P["cg"] - y * P["sg"]
+    u = y * P["cg"] + x * P["sg"] + P["uc"]
+    Qp = np.exp(-P["B"] * v / P["A"])
+    Sp = 0.5 * (Qp - 1.0 / Qp)
+    Tp = 0.5 * (Qp + 1.0 / Qp)
+    Bu = P["B"] * u / P["A"]
+    Vp = np.sin(Bu)
+    Up = (Vp * P["cg0"] + Sp * P["sg0"]) / Tp
+    tp = np.power(
+        P["H"] / np.sqrt(np.maximum((1.0 + Up) / (1.0 - Up), 1e-300)),
+        1.0 / P["B"])
+    phi = _phi2(tp, P["e"])
+    lam = P["dlam0"] - np.arctan2(Sp * P["cg0"] - Vp * P["sg0"],
+                                  np.cos(Bu)) / P["B"]
+    return lam, phi
+
+
+def somerc_setup(params, a, es):
+    """PROJ's somerc (Swiss Oblique Mercator) parameterization: centre
+    at (+lat_0, +lon_0), azimuth fixed at 90 deg — EPSG method 9815
+    with alpha = gamma = 90 (EPSG conversion 19950)."""
+    p = dict(params)
+    p.setdefault("alpha", 90.0)
+    p.setdefault("gamma", 90.0)
+    p.setdefault("lonc", float(p.get("lon_0", 0.0)))
+    return omerc_setup(p, a, es)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 PROJECTIONS = {
@@ -1728,4 +1834,6 @@ PROJECTIONS = {
     "cass": (cass_setup, cass_fwd, cass_inv),
     "gnom": (gnom_setup, gnom_fwd, gnom_inv),
     "krovak": (krovak_setup, krovak_fwd, krovak_inv),
+    "omerc": (omerc_setup, omerc_fwd, omerc_inv),
+    "somerc": (somerc_setup, omerc_fwd, omerc_inv),
 }

@@ -124,6 +124,11 @@ def lonlat_exprs(key: str, kind: str = "world") -> tuple[str, str]:
             f"12.2 + (({key}) % 1030) / 100.0",
             f"47.8 + (({key}) % 320) / 100.0",
         )
+    if kind == "borneo":
+        return (
+            f"110.0 + (({key}) % 900) / 100.0",
+            f"1.0 + (({key}) % 600) / 100.0",
+        )
     if kind == "arctic":
         return (
             f"(({key}) % 3600) / 10.0 - 180.0 + 0.05",
@@ -791,6 +796,58 @@ def chain_krovak_fwd(ch: Chain, lon: str, lat: str,
     })
     x = f"({_f(a)} * (-(r_{tag} * sin(th_{tag}))) + {_f(x0)})"
     y = f"({_f(a)} * (-(r_{tag} * cos(th_{tag}))) + {_f(y0)})"
+    return x, y
+
+
+def chain_omerc_fwd(ch: Chain, lon: str, lat: str,
+                    code: str = "EPSG:29873") -> tuple[str, str]:
+    """4326 -> Hotine Oblique Mercator (EPSG 9812/9815 incl. the Swiss
+    somerc spelling): Helmert shift to the local datum, then the EPSG
+    GN 7-2 forward chain — t, Q, S, T, V, U, v, u and the rectified-
+    grid rotation — with the setup constants embedded as float64
+    literals (dialect pair: kernels.omerc_fwd)."""
+    from . import kernels as K
+    from .crs import EPSG, parse_proj_string
+
+    entry = EPSG[code]
+    params = parse_proj_string(entry.proj)[0]
+    a, es = K.ellipsoid(params)
+    setup = K.somerc_setup if params["proj"] == "somerc" else K.omerc_setup
+    P = setup(params, a, es)
+    x0 = float(params.get("x_0", 0.0))
+    y0 = float(params.get("y_0", 0.0))
+    lam_c, phi_c = chain_datum_shift(
+        ch, lon, lat, "WGS84", entry.datum_ellps, dst_towgs84=entry.towgs84,
+        out=("omlam", "omphi"))
+    # the kernel sees wrapper-reduced lam (lon_0 subtracted); the chain
+    # works in absolute radians, so fold lon_0 back into lambda_0
+    lam0_abs = P["dlam0"] + math.radians(float(params.get("lon_0", 0.0)))
+    e, B, A, H = P["e"], P["B"], P["A"], P["H"]
+    tag = f"om_{ch.i}"
+    ch.add({f"esp_{tag}": f"({_f(e)} * sin({phi_c}))"})
+    ch.add({f"t_{tag}": (
+        f"(tan({math.pi/4!r} - 0.5*({phi_c}))"
+        f" / pow((1.0 - esp_{tag})/(1.0 + esp_{tag}), {_f(0.5 * e)}))")})
+    ch.add({f"q_{tag}": f"({_f(H)} / pow(t_{tag}, {_f(B)}))"})
+    ch.add({
+        f"s_{tag}": f"(0.5*(q_{tag} - 1.0/q_{tag}))",
+        f"tt_{tag}": f"(0.5*(q_{tag} + 1.0/q_{tag}))",
+        f"bl_{tag}": f"({_f(B)} * (({lam_c}) - {_f(lam0_abs)}))",
+    })
+    ch.add({f"v_{tag}": f"sin(bl_{tag})"})
+    ch.add({f"u_{tag}": (
+        f"((-v_{tag}*{_f(P['cg0'])} + s_{tag}*{_f(P['sg0'])}) / tt_{tag})")})
+    ch.add({
+        f"vv_{tag}": (
+            f"({_f(A)} * ln((1.0 - u_{tag})/(1.0 + u_{tag}))"
+            f" / {_f(2.0 * B)})"),
+        f"uu_{tag}": (
+            f"({_f(A)} * atan2(s_{tag}*{_f(P['cg0'])}"
+            f" + v_{tag}*{_f(P['sg0'])}, cos(bl_{tag})) / {_f(B)}"
+            f" - {_f(P['uc'])})"),
+    })
+    x = f"({_f(a)} * (vv_{tag}*{_f(P['cg'])} + uu_{tag}*{_f(P['sg'])}) + {_f(x0)})"
+    y = f"({_f(a)} * (uu_{tag}*{_f(P['cg'])} - vv_{tag}*{_f(P['sg'])}) + {_f(y0)})"
     return x, y
 
 

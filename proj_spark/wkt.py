@@ -48,6 +48,8 @@ _ELLPS = {
     "airy": ("Airy 1830", 7001, 6377563.396, 299.3249646),
     "krass": ("Krassowsky 1940", 7024, 6378245.0, 298.3),
     "bessel": ("Bessel 1841", 7004, 6377397.155, 299.1528128),
+    "evrstSS": ("Everest 1830 (1967 Definition)", 7016,
+                6377298.556, 300.8017),
 }
 
 _UNITS = {
@@ -263,6 +265,48 @@ _METHODS = {
         ("y_0", "False northing", 8807,
          "false_northing", "False_Northing", _P_LEN, 0.0),
     ]),
+    # Hotine Oblique Mercator.  Two EPSG methods share the kernel:
+    # variant B (9815, false grid offsets at the projection centre) is
+    # the "omerc" key; variant A (9812, offsets at the natural origin,
+    # proj-string +no_uoff) the synthetic "omerc_a" key mapped in
+    # _model / wkt_parse.  somerc (Swiss) is re-expressed as 9815 with
+    # a 90 deg azimuth (EPSG conversion 19950's own definition).
+    "omerc": ("Hotine Oblique Mercator (variant B)", 9815,
+              "Hotine_Oblique_Mercator_Azimuth_Center",
+              "Hotine_Oblique_Mercator_Azimuth_Center", [
+        ("lat_0", "Latitude of projection centre", 8811,
+         "latitude_of_center", "Latitude_Of_Center", _P_ANG, 0.0),
+        ("lonc", "Longitude of projection centre", 8812,
+         "longitude_of_center", "Longitude_Of_Center", _P_ANG, 0.0),
+        ("alpha", "Azimuth of initial line", 8813,
+         "azimuth", "Azimuth", _P_ANG, 0.0),
+        ("gamma", "Angle from Rectified to Skew Grid", 8814,
+         "rectified_grid_angle", "Rectified_Grid_Angle", _P_ANG, None),
+        ("k", "Scale factor on initial line", 8815,
+         "scale_factor", "Scale_Factor", _P_SCALE, 1.0),
+        ("x_0", "Easting at projection centre", 8816,
+         "false_easting", "False_Easting", _P_LEN, 0.0),
+        ("y_0", "Northing at projection centre", 8817,
+         "false_northing", "False_Northing", _P_LEN, 0.0),
+    ]),
+    "omerc_a": ("Hotine Oblique Mercator (variant A)", 9812,
+                "Hotine_Oblique_Mercator",
+                "Hotine_Oblique_Mercator_Azimuth_Natural_Origin", [
+        ("lat_0", "Latitude of projection centre", 8811,
+         "latitude_of_center", "Latitude_Of_Center", _P_ANG, 0.0),
+        ("lonc", "Longitude of projection centre", 8812,
+         "longitude_of_center", "Longitude_Of_Center", _P_ANG, 0.0),
+        ("alpha", "Azimuth of initial line", 8813,
+         "azimuth", "Azimuth", _P_ANG, 0.0),
+        ("gamma", "Angle from Rectified to Skew Grid", 8814,
+         "rectified_grid_angle", "Rectified_Grid_Angle", _P_ANG, None),
+        ("k", "Scale factor on initial line", 8815,
+         "scale_factor", "Scale_Factor", _P_SCALE, 1.0),
+        ("x_0", "False easting", 8806,
+         "false_easting", "False_Easting", _P_LEN, 0.0),
+        ("y_0", "False northing", 8807,
+         "false_northing", "False_Northing", _P_LEN, 0.0),
+    ]),
 }
 
 
@@ -337,6 +381,19 @@ def _model(entry):
             "y_0": 10000000.0 if south else 0.0,
         }
         proj = "tmerc"
+    if proj == "somerc":
+        # Swiss Oblique Mercator is published by EPSG as Hotine
+        # variant B (9815) with a 90 deg azimuth (conversion 19950)
+        params = dict(params)
+        params["proj"] = "omerc"
+        params.setdefault("lonc", params.get("lon_0", 0.0))
+        params.setdefault("alpha", 90.0)
+        params.setdefault("gamma", 90.0)
+        if "k_0" in params and "k" not in params:
+            params["k"] = params["k_0"]
+        proj = "omerc"
+    if proj == "omerc" and (params.get("no_uoff") or params.get("no_off")):
+        proj = "omerc_a"  # EPSG 9812: offsets at the natural origin
     unit = _UNITS[entry.unit if entry.kind == "projected" else "deg"]
     datum_name = entry.datum_name or f"Unknown datum based upon the {ell_name} ellipsoid"
     is_ensemble = datum_name.endswith("ensemble")

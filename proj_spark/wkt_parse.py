@@ -330,7 +330,10 @@ def _entry_from_node(node: WktNode):
     ufac = _UNITS[unit][1] if unit in _UNITS else 1.0
 
     pmap = param_maps[pk]
-    parts = [f"+proj={pk}"]
+    # synthetic writer keys -> real proj strings (Hotine variant A is
+    # +proj=omerc +no_uoff, EPSG method 9812)
+    parts = (["+proj=omerc", "+no_uoff"] if pk == "omerc_a"
+             else [f"+proj={pk}"])
     for p in param_nodes:
         pname = (p.strs() or [""])[0]
         hit = pmap.get(pname.lower())

@@ -913,3 +913,160 @@ def test_aeqd_inv_out_of_disc_is_nan():
     lam2, phi2 = t.project_array(np.array([1.0e6]), np.array([2.0e6]),
                                  inverse=True)
     assert np.isfinite(lam2[0]) and np.isfinite(phi2[0])
+
+
+def test_omerc_timbalai_kat():
+    """Hotine Oblique Mercator variant B (EPSG 9815): the EPSG
+    Guidance Note 7-2 worked example — Timbalai 1948 / RSO Borneo (m),
+    EPSG:29873.  Published E/N are rounded to the cm; we require
+    agreement within 5 mm, and exact fwd/inv roundtrip."""
+    import numpy as np
+
+    from proj_spark.crs import Transform
+
+    t = Transform.new_known_crs("EPSG:4298", "EPSG:29873")
+    lon = 115 + 48 / 60 + 19.8196 / 3600
+    lat = 5 + 23 / 60 + 14.1129 / 3600
+    x, y = t.convert(lon, lat)
+    assert abs(x - 679245.73) < 5e-3, x
+    assert abs(y - 596562.78) < 5e-3, y
+    lon2, lat2 = Transform.new_known_crs("EPSG:29873", "EPSG:4298").convert(
+        float(x), float(y))
+    assert abs(lon2 - lon) < 1e-9 and abs(lat2 - lat) < 1e-9
+    # the projection centre maps exactly to the false grid coordinates
+    # (variant B's defining property: u = v = 0 at the centre)
+    xc, yc = t.convert(115.0, 4.0)
+    assert abs(xc - 590476.87) < 1e-6 and abs(yc - 442857.65) < 1e-6
+
+
+def test_omerc_variant_a_equals_b_shifted():
+    """EPSG 9812 (variant A, +no_uoff) differs from 9815 (variant B)
+    by the CONSTANT grid offset (uc sin(gamma_c), uc cos(gamma_c)) —
+    GN7-2 defines variant B's Ec/Nc as exactly that pair for the
+    Borneo RSO (590476.87 / 442857.65, published to the cm).  Checking
+    the offset against those published values independently validates
+    the variant-A branch and the uc formula."""
+    import numpy as np
+
+    from proj_spark.crs import Transform
+
+    common = ("+lat_0=4 +lonc=115 +alpha=53.31582047222222 "
+              "+gamma=53.13010236111111 +k=0.99984 +x_0=0 +y_0=0 "
+              "+ellps=evrstSS")
+    tA = Transform.new(f"+proj=omerc +no_uoff {common}")
+    tB = Transform.new(f"+proj=omerc {common}")
+    lons = np.radians(np.array([114.0, 115.5, 116.8, 113.2, 117.9]))
+    lats = np.radians(np.array([2.0, 4.5, 6.0, 5.2, 1.1]))
+    xA, yA = tA.project_array(lons.copy(), lats.copy())
+    xB, yB = tB.project_array(lons.copy(), lats.copy())
+    dx, dy = xA - xB, yA - yB
+    assert np.ptp(dx) < 1e-6 and np.ptp(dy) < 1e-6  # constant offset
+    assert abs(dx[0] - 590476.87) < 1e-2
+    assert abs(dy[0] - 442857.65) < 1e-2
+
+
+def test_omerc_conformal_and_initial_line_scale():
+    """Defining properties: (a) Cauchy-Riemann holds (the projection
+    is conformal), (b) the point-scale factor along the initial line
+    equals k_c, measured against the independent Vincenty geodesic
+    core."""
+    import numpy as np
+
+    from proj_spark import geodesy
+    from proj_spark.crs import Transform
+
+    t = Transform.new(
+        "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582047222222 "
+        "+gamma=53.13010236111111 +k=0.99984 +x_0=0 +y_0=0 +ellps=evrstSS")
+    # (a) conformality: dx/dlon == dy/dlat * cos-scaling and
+    # dx/dlat == -dy/dlon * ... — check via complex-derivative ratio
+    for lon0, lat0 in [(115.0, 4.0), (116.5, 6.0), (113.0, 2.0)]:
+        hdeg = 1e-6
+        x0, y0 = t.project(np.radians(lon0), np.radians(lat0))
+        xE, yE = t.project(np.radians(lon0 + hdeg), np.radians(lat0))
+        xN, yN = t.project(np.radians(lon0), np.radians(lat0 + hdeg))
+        # d(iso-lat)/d(lat) = (1-e^2) / ((1-e^2 sin^2) cos); dividing
+        # the lat-derivatives by it gives derivatives in iso-lat
+        es = 1.0 - (1.0 - 1.0 / 300.8017) ** 2
+        s = np.sin(np.radians(lat0))
+        iso = (1.0 - es * s * s) * np.cos(np.radians(lat0)) / (1.0 - es)
+        dxdl, dydl = (xE - x0) / hdeg, (yE - y0) / hdeg
+        dxdp, dydp = (xN - x0) / hdeg * iso, (yN - y0) / hdeg * iso
+        # Cauchy-Riemann in (lon, iso-lat): dx/dlon = dy/diso,
+        # dy/dlon = -dx/diso
+        assert abs(dxdl - dydp) / abs(dxdl) < 1e-4, (lon0, lat0)
+        assert abs(dydl + dxdp) / max(abs(dydl), 1e-9) < 1e-4
+    # (b) scale along the initial line at the centre == k_c
+    az = np.radians(53.31582047222222)
+    a, f = 6377298.556, 1.0 / 300.8017
+    s_m = 2000.0
+    dlam, phi2 = geodesy.direct_core(np.radians(4.0), az, s_m, a=a, f=f)
+    x0, y0 = t.project(np.radians(115.0), np.radians(4.0))
+    x1, y1 = t.project(np.radians(115.0) + dlam, phi2)
+    k = float(np.hypot(x1 - x0, y1 - y0)) / s_m
+    assert abs(k - 0.99984) < 1e-6, k
+
+
+def test_somerc_swiss_rigorous_cross_check():
+    """somerc (EPSG:2056/21781) vs an INDEPENDENT implementation of
+    the rigorous Swiss double projection (Gauss conformal sphere +
+    oblique equatorial Mercator, swisstopo's published development):
+    the two agree below 1 mm inside Switzerland, and the projection
+    centre maps exactly to the false origin."""
+    import numpy as np
+
+    from proj_spark.crs import Transform
+
+    a, rf = 6377397.155, 299.1528128
+    f = 1.0 / rf
+    es = f * (2 - f)
+    e = np.sqrt(es)
+    phi0 = np.radians(46.95240555555556)
+    lam0 = np.radians(7.439583333333333)
+
+    # rigorous Swiss double projection (swisstopo formulas)
+    sp = np.sin(phi0)
+    alpha = np.sqrt(1.0 + es / (1.0 - es) * np.cos(phi0) ** 4)
+    R = a * np.sqrt(1.0 - es) / (1.0 - es * sp * sp)
+    b0 = np.arcsin(sp / alpha)
+    K = (np.log(np.tan(np.pi / 4 + b0 / 2))
+         - alpha * np.log(np.tan(np.pi / 4 + phi0 / 2))
+         + alpha * e / 2 * np.log((1 + e * sp) / (1 - e * sp)))
+
+    def swiss(lon_deg, lat_deg):
+        phi = np.radians(lat_deg)
+        lam = np.radians(lon_deg)
+        spi = np.sin(phi)
+        S = (alpha * np.log(np.tan(np.pi / 4 + phi / 2))
+             - alpha * e / 2 * np.log((1 + e * spi) / (1 - e * spi)) + K)
+        b = 2 * (np.arctan(np.exp(S)) - np.pi / 4)
+        ell = alpha * (lam - lam0)
+        # rotate to the pseudo-equator through the centre
+        bbar = np.arcsin(np.cos(b0) * np.sin(b)
+                         - np.sin(b0) * np.cos(b) * np.cos(ell))
+        lbar = np.arctan2(np.cos(b) * np.sin(ell),
+                          np.cos(b0) * np.cos(b) * np.cos(ell)
+                          + np.sin(b0) * np.sin(b))
+        E = R * lbar + 2600000.0
+        N = R / 2 * np.log((1 + np.sin(bbar)) / (1 - np.sin(bbar))) + 1200000.0
+        return E, N
+
+    t = Transform.new(
+        "+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 "
+        "+k=1 +x_0=2600000 +y_0=1200000 +ellps=bessel +units=m")
+    xc, yc = t.project(lam0, phi0)
+    assert abs(xc - 2600000.0) < 1e-6 and abs(yc - 1200000.0) < 1e-6
+    for lon, lat in [(7.0, 46.5), (8.5, 47.3), (9.8, 46.2), (6.2, 46.3),
+                     (10.3, 46.6), (7.44, 46.95)]:
+        x, y = t.project(np.radians(lon), np.radians(lat))
+        ex, ey = swiss(lon, lat)
+        assert abs(float(x) - ex) < 1e-3, (lon, lat, float(x) - ex)
+        assert abs(float(y) - ey) < 1e-3, (lon, lat, float(y) - ey)
+    # roundtrip over the Swiss extent
+    glon = np.radians(np.linspace(6.0, 10.4, 12))
+    glat = np.radians(np.linspace(45.9, 47.7, 11))
+    LO, LA = np.meshgrid(glon, glat)
+    X, Y = t.project_array(LO.ravel().copy(), LA.ravel().copy())
+    lam2, phi2 = t.project_array(X.copy(), Y.copy(), inverse=True)
+    assert np.abs(lam2 - LO.ravel()).max() < 1e-11
+    assert np.abs(phi2 - LA.ravel()).max() < 1e-11
