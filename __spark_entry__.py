@@ -895,6 +895,18 @@ def q52_krovak_fwd(spark, sf_dir):
     )
 
 
+def q68_robin_fwd(spark, sf_dir):
+    # ESRI:54030 World Robinson (table-defined, spline-interpolated)
+    # over world-band points; the oracle embeds the identical
+    # per-segment spline coefficients in SQL (oracle.sql_robin_fwd).
+    # Published-table node KATs live in tests/test_kernels.py.
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "world")
+    out = with_transformed(df, "EPSG:4326", "ESRI:54030", err_col=None)
+    return out.select(
+        "o_orderkey", _round(F.col("x"), 1).alias("xm"),
+        _round(F.col("y"), 1).alias("ym"))
+
+
 def q65_omerc_fwd(spark, sf_dir):
     # EPSG:29873 Timbalai 1948 / RSO Borneo (m): Hotine Oblique
     # Mercator variant B (EPSG method 9815) over Borneo-band points,
@@ -1232,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_omerc_fwd": q65_omerc_fwd,
         "q66_stream_phash_dedup": q66_stream_phash_dedup,
         "q67_jpeg420_verify": q67_jpeg420_verify,
+        "q68_robin_fwd": q68_robin_fwd,
     }
 
 
@@ -2068,6 +2081,12 @@ FROM base GROUP BY phash
     x, y = O.chain_omerc_fwd(ch65, "lon", "lat", "EPSG:29873")
     out["q65_omerc_fwd"] = ch65.finish(
         f"o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym"
+    )
+
+    x, y = O.sql_robin_fwd(lon_w, lat_w)
+    out["q68_robin_fwd"] = (
+        f"SELECT o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym "
+        f"FROM orders"
     )
 
     # ---- q47: banded-Hamming near-dup join over planted 60-bit hashes

@@ -1795,6 +1795,105 @@ def omerc_inv(x, y, P):
     return lam, phi
 
 
+# ---------------------------------------------------------------------------
+# robin — Robinson (spherical, table-defined; Robinson 1974, Snyder
+# PP-1395 Table 39).  The projection IS its published 5-degree table:
+# x = 0.8487 R PLEN(phi) lam, y = 1.3523 R PDFE(phi) sign(phi).
+# Between nodes we interpolate with a natural cubic spline fitted to
+# the published nodes at setup (deterministic tridiagonal solve) —
+# node values are reproduced exactly; the same per-segment cubic
+# coefficients are embedded as literals in the SQL oracle twin
+# (oracle.sql_robin_fwd), so the q68 gate is value-exact.
+# ---------------------------------------------------------------------------
+_ROBIN_PLEN = np.array([
+    1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600, 0.9427,
+    0.9216, 0.8962, 0.8679, 0.8350, 0.7986, 0.7597, 0.7186, 0.6732,
+    0.6213, 0.5722, 0.5322,
+])
+_ROBIN_PDFE = np.array([
+    0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720, 0.4340,
+    0.4958, 0.5571, 0.6176, 0.6769, 0.7346, 0.7903, 0.8435, 0.8936,
+    0.9394, 0.9761, 1.0000,
+])
+
+
+def _nat_cubic_coeffs(ys: np.ndarray, h: float = 5.0):
+    """Natural cubic spline through (i*h, ys[i]); returns per-segment
+    (a, b, c, d) with value a + b z + c z^2 + d z^3, z in [0, h]."""
+    n = len(ys) - 1
+    rhs = np.zeros(n + 1)
+    rhs[1:n] = 6.0 * (ys[2:] - 2.0 * ys[1:n] + ys[:n - 1]) / (h * h)
+    # tridiagonal (1, 4, 1) system for second derivatives, natural ends
+    lower = np.ones(n + 1)
+    diag = np.full(n + 1, 4.0)
+    diag[0] = diag[n] = 1.0
+    m = np.zeros(n + 1)
+    cp = np.zeros(n + 1)
+    dp = np.zeros(n + 1)
+    cp[0] = 0.0
+    dp[0] = 0.0
+    for i in range(1, n):
+        denom = diag[i] - lower[i] * cp[i - 1]
+        cp[i] = 1.0 / denom
+        dp[i] = (rhs[i] - lower[i] * dp[i - 1]) / denom
+    for i in range(n - 1, 0, -1):
+        m[i] = dp[i] - cp[i] * m[i + 1]
+    a = ys[:-1].copy()
+    b = (ys[1:] - ys[:-1]) / h - h * (2.0 * m[:-1] + m[1:]) / 6.0
+    c = m[:-1] / 2.0
+    d = (m[1:] - m[:-1]) / (6.0 * h)
+    return a, b, c, d
+
+
+_ROBIN_FXC = 0.8487
+_ROBIN_FYC = 1.3523
+
+
+def robin_setup(params, a, es):
+    pa, pb, pc, pd = _nat_cubic_coeffs(_ROBIN_PLEN)
+    ya, yb, yc, yd = _nat_cubic_coeffs(_ROBIN_PDFE)
+    return {"px": (pa, pb, pc, pd), "py": (ya, yb, yc, yd)}
+
+
+def _robin_eval(coeffs, latd):
+    i = np.minimum((latd / 5.0).astype(np.int64), 17)
+    z = latd - i * 5.0
+    a, b, c, d = coeffs
+    return ((d[i] * z + c[i]) * z + b[i]) * z + a[i]
+
+
+def _robin_eval_deriv(coeffs, latd):
+    i = np.minimum((latd / 5.0).astype(np.int64), 17)
+    z = latd - i * 5.0
+    _, b, c, d = coeffs
+    return (3.0 * d[i] * z + 2.0 * c[i]) * z + b[i]
+
+
+def robin_fwd(lam, phi, P):
+    phi = np.asarray(phi, dtype=np.float64)
+    latd = np.minimum(np.degrees(np.abs(phi)), 90.0)
+    plen = _robin_eval(P["px"], latd)
+    pdfe = _robin_eval(P["py"], latd)
+    x = _ROBIN_FXC * plen * np.asarray(lam, dtype=np.float64)
+    y = _ROBIN_FYC * pdfe * np.sign(phi)
+    return x, y
+
+
+def robin_inv(x, y, P, iters: int = 12):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    target = np.clip(np.abs(y) / _ROBIN_FYC, 0.0, 1.0)
+    latd = np.clip(target * 90.0, 0.0, 90.0)  # near-linear init
+    for _ in range(iters):  # Newton on the monotone PDFE spline
+        f = _robin_eval(P["py"], latd) - target
+        fp = np.maximum(_robin_eval_deriv(P["py"], latd), 1e-8)
+        latd = np.clip(latd - f / fp, 0.0, 90.0)
+    plen = _robin_eval(P["px"], latd)
+    lam = x / (_ROBIN_FXC * np.maximum(plen, 1e-12))
+    phi = np.radians(latd) * np.sign(y)
+    return lam, phi
+
+
 def somerc_setup(params, a, es):
     """PROJ's somerc (Swiss Oblique Mercator) parameterization: centre
     at (+lat_0, +lon_0), azimuth fixed at 90 deg — EPSG method 9815
@@ -1836,4 +1935,5 @@ PROJECTIONS = {
     "krovak": (krovak_setup, krovak_fwd, krovak_inv),
     "omerc": (omerc_setup, omerc_fwd, omerc_inv),
     "somerc": (somerc_setup, omerc_fwd, omerc_inv),
+    "robin": (robin_setup, robin_fwd, robin_inv),
 }

@@ -799,6 +799,37 @@ def chain_krovak_fwd(ch: Chain, lon: str, lat: str,
     return x, y
 
 
+def sql_robin_fwd(lon: str, lat: str,
+                  code: str = "ESRI:54030") -> tuple[str, str]:
+    """Robinson forward: the SAME per-segment natural-cubic-spline
+    coefficients the kernel derives from the published 5-degree table
+    (kernels.robin_setup), embedded as literals in an 18-branch CASE
+    (dialect pair: kernels.robin_fwd)."""
+    from . import kernels as K
+
+    P = K.robin_setup({}, 6378137.0, 0.0)
+    a = 6378137.0
+    absd = f"least(abs({lat}), 90.0)"
+
+    def case(coeffs) -> str:
+        ca, cb, cc, cd = coeffs
+        branches = []
+        for i in range(18):
+            z = f"(({absd}) - {_f(i * 5.0)})"
+            poly = (f"((({_f(cd[i])}*{z} + {_f(cc[i])})*{z}"
+                    f" + {_f(cb[i])})*{z} + {_f(ca[i])})")
+            kw = "WHEN" if i < 17 else "ELSE"
+            cond = f" ({absd}) < {_f((i + 1) * 5.0)} THEN" if i < 17 else ""
+            branches.append(f"{kw}{cond} {poly}")
+        return "(CASE " + " ".join(branches) + " END)"
+
+    plen = case(P["px"])
+    pdfe = case(P["py"])
+    x = f"({_f(K._ROBIN_FXC * a)} * {plen} * radians({lon}))"
+    y = f"({_f(K._ROBIN_FYC * a)} * {pdfe} * sign({lat}))"
+    return x, y
+
+
 def chain_omerc_fwd(ch: Chain, lon: str, lat: str,
                     code: str = "EPSG:29873") -> tuple[str, str]:
     """4326 -> Hotine Oblique Mercator (EPSG 9812/9815 incl. the Swiss

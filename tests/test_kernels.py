@@ -1070,3 +1070,47 @@ def test_somerc_swiss_rigorous_cross_check():
     lam2, phi2 = t.project_array(X.copy(), Y.copy(), inverse=True)
     assert np.abs(lam2 - LO.ravel()).max() < 1e-11
     assert np.abs(phi2 - LA.ravel()).max() < 1e-11
+
+
+def test_robin_table_node_kats():
+    """Robinson is DEFINED by its published 5-degree table (Robinson
+    1974; Snyder PP-1395 Table 39): at every node latitude the kernel
+    must reproduce x = 0.8487 R PLEN lam and y = 1.3523 R PDFE exactly
+    (the spline interpolates the nodes), with odd symmetry in both
+    axes and exact roundtrip everywhere."""
+    import numpy as np
+
+    from proj_spark import kernels as K
+    from proj_spark.crs import Transform
+
+    R = 6378137.0
+    t = Transform.new("+proj=robin +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84")
+    lam = np.radians(40.0)
+    for i in range(19):
+        lat = 5.0 * i
+        x, y = t.project(lam, np.radians(lat))
+        assert abs(x - 0.8487 * R * K._ROBIN_PLEN[i] * lam) < 1e-6, lat
+        assert abs(y - 1.3523 * R * K._ROBIN_PDFE[i]) < 1e-6, lat
+        # odd symmetry
+        xs, ys = t.project(-lam, np.radians(-lat))
+        assert abs(xs + x) < 1e-9 and abs(ys + y) < 1e-9
+    # registry + known published extremes: equator width / pole height
+    tr = Transform.new_known_crs("EPSG:4326", "ESRI:54030")
+    x, y = tr.convert(179.0, 0.0)
+    assert abs(x - 0.8487 * R * np.radians(179.0)) < 1e-6 and abs(y) < 1e-9
+    x, y = tr.convert(0.0, 90.0)
+    assert abs(x) < 1e-9 and abs(y - 1.3523 * R) < 1e-6
+    # roundtrip on a world grid (spline strictly monotone -> Newton
+    # converges); tolerance 1e-9 rad
+    glon = np.linspace(-179.0, 179.0, 25)
+    glat = np.linspace(-89.5, 89.5, 23)
+    LO, LA = np.meshgrid(np.radians(glon), np.radians(glat))
+    X, Y = t.project_array(LO.ravel().copy(), LA.ravel().copy())
+    lam2, phi2 = t.project_array(X.copy(), Y.copy(), inverse=True)
+    assert np.abs(lam2 - LO.ravel()).max() < 1e-9
+    assert np.abs(phi2 - LA.ravel()).max() < 1e-9
+    # PDFE spline strictly increasing (monotone inverse is well-posed)
+    latd = np.linspace(0.0, 90.0, 9001)
+    P = K.robin_setup({}, R, 0.0)
+    vals = K._robin_eval(P["py"], latd)
+    assert (np.diff(vals) > 0).all()
