@@ -907,6 +907,26 @@ def q68_robin_fwd(spark, sf_dir):
         _round(F.col("y"), 1).alias("ym"))
 
 
+def q69_natearth_fwd(spark, sf_dir):
+    # ESRI:54077 World Natural Earth (Savric et al. 2011 published
+    # polynomials) — pure-polynomial SQL oracle
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "world")
+    out = with_transformed(df, "EPSG:4326", "ESRI:54077", err_col=None)
+    return out.select(
+        "o_orderkey", _round(F.col("x"), 1).alias("xm"),
+        _round(F.col("y"), 1).alias("ym"))
+
+
+def q70_eck4_fwd(spark, sf_dir):
+    # ESRI:54012 World Eckert IV (equal-area pseudocylindrical) — the
+    # oracle unrolls the kernel's Newton iteration step for step
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "world")
+    out = with_transformed(df, "EPSG:4326", "ESRI:54012", err_col=None)
+    return out.select(
+        "o_orderkey", _round(F.col("x"), 1).alias("xm"),
+        _round(F.col("y"), 1).alias("ym"))
+
+
 def q65_omerc_fwd(spark, sf_dir):
     # EPSG:29873 Timbalai 1948 / RSO Borneo (m): Hotine Oblique
     # Mercator variant B (EPSG method 9815) over Borneo-band points,
@@ -1245,6 +1265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_stream_phash_dedup": q66_stream_phash_dedup,
         "q67_jpeg420_verify": q67_jpeg420_verify,
         "q68_robin_fwd": q68_robin_fwd,
+        "q69_natearth_fwd": q69_natearth_fwd,
+        "q70_eck4_fwd": q70_eck4_fwd,
     }
 
 
@@ -2087,6 +2109,20 @@ FROM base GROUP BY phash
     out["q68_robin_fwd"] = (
         f"SELECT o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym "
         f"FROM orders"
+    )
+
+    x, y = O.sql_natearth_fwd(lon_w, lat_w)
+    out["q69_natearth_fwd"] = (
+        f"SELECT o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym "
+        f"FROM orders"
+    )
+
+    ch70 = O.Chain(
+        f"SELECT o_orderkey, {lon_w} AS lon, {lat_w} AS lat FROM orders"
+    )
+    x, y = O.chain_eck4_fwd(ch70, "lon", "lat")
+    out["q70_eck4_fwd"] = ch70.finish(
+        f"o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym"
     )
 
     # ---- q47: banded-Hamming near-dup join over planted 60-bit hashes

@@ -1894,6 +1894,111 @@ def robin_inv(x, y, P, iters: int = 12):
     return lam, phi
 
 
+# ---------------------------------------------------------------------------
+# natearth — Natural Earth (Savric, Jenny, Patterson & Hurni 2011):
+# spherical polynomial projection, the compromise world map used by
+# naturalearthdata.com.  Published coefficients; Newton inverse on the
+# odd y-polynomial (strictly increasing on [0, pi/2]).
+# ---------------------------------------------------------------------------
+_NE_X = (0.8707, -0.131979, -0.013791, 0.003971, -0.001529)  # 0,2,4,10,12
+_NE_Y = (1.007226, 0.015085, -0.044475, 0.028874, -0.005916)  # 1,3,7,9,11
+
+
+def natearth_setup(params, a, es):
+    return {}
+
+
+def _natearth_xfac(phi2):
+    A = _NE_X
+    phi4 = phi2 * phi2
+    return (A[0] + phi2 * (A[1] + phi2 * A[2])
+            + phi4 * phi4 * phi2 * (A[3] + phi2 * A[4]))
+
+
+def _natearth_y(phi):
+    B = _NE_Y
+    phi2 = phi * phi
+    phi6 = phi2 * phi2 * phi2
+    return phi * (B[0] + phi2 * B[1]) + phi * phi6 * (
+        B[2] + phi2 * (B[3] + phi2 * B[4]))
+
+
+def _natearth_dy(phi):
+    B = _NE_Y
+    phi2 = phi * phi
+    phi6 = phi2 * phi2 * phi2
+    return (B[0] + 3.0 * phi2 * B[1]
+            + phi6 * (7.0 * B[2] + phi2 * (9.0 * B[3] + 11.0 * phi2 * B[4])))
+
+
+def natearth_fwd(lam, phi, P):
+    phi = np.asarray(phi, dtype=np.float64)
+    phi2 = phi * phi
+    x = np.asarray(lam, dtype=np.float64) * _natearth_xfac(phi2)
+    return x, _natearth_y(phi)
+
+
+def natearth_inv(x, y, P, iters: int = 10):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    phi = y.copy()
+    for _ in range(iters):
+        phi = phi - (_natearth_y(phi) - y) / _natearth_dy(phi)
+    lam = x / np.maximum(_natearth_xfac(phi * phi), 1e-12)
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# eck4 — Eckert IV (Snyder PP-1395 ch. 32): spherical equal-area
+# pseudocylindrical.  theta solves
+#   theta + sin(theta)cos(theta) + 2 sin(theta) = (2 + pi/2) sin(phi)
+# (Newton, f' = 2 cos(theta)(1 + cos(theta)));
+#   x = C_x R lam (1 + cos theta), y = C_y R sin theta,
+#   C_x = 2/sqrt(pi(4+pi)), C_y = 2 sqrt(pi/(4+pi)).
+# ---------------------------------------------------------------------------
+_ECK4_CX = 2.0 / np.sqrt(np.pi * (4.0 + np.pi))
+_ECK4_CY = 2.0 * np.sqrt(np.pi / (4.0 + np.pi))
+_ECK4_CP = 2.0 + np.pi / 2.0
+
+
+def eck4_setup(params, a, es):
+    return {}
+
+
+def _eck4_theta(phi, iters: int = 12):
+    sphi = fsin(phi)
+    rhs = _ECK4_CP * sphi
+    theta = np.asarray(phi, dtype=np.float64) / 2.0
+    for _ in range(iters):
+        s, c = _fsincos(theta)
+        f = theta + s * c + 2.0 * s - rhs
+        fp = np.maximum(2.0 * c * (1.0 + c), 1e-9)
+        theta = np.clip(theta - f / fp, -HALFPI, HALFPI)
+    # Newton's f' vanishes at the poles — pin them exactly
+    return np.where(np.abs(sphi) >= 1.0 - 1e-14,
+                    np.sign(sphi) * HALFPI, theta)
+
+
+def eck4_fwd(lam, phi, P):
+    theta = _eck4_theta(phi)
+    s, c = _fsincos(theta)
+    x = _ECK4_CX * np.asarray(lam, dtype=np.float64) * (1.0 + c)
+    y = _ECK4_CY * s
+    return x, y
+
+
+def eck4_inv(x, y, P):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    s = np.clip(y / _ECK4_CY, -1.0, 1.0)
+    theta = np.arcsin(s)
+    c = np.cos(theta)
+    lam = x / (_ECK4_CX * np.maximum(1.0 + c, 1e-12))
+    phi = farcsin(np.clip(
+        (theta + s * c + 2.0 * s) / _ECK4_CP, -1.0, 1.0))
+    return lam, phi
+
+
 def somerc_setup(params, a, es):
     """PROJ's somerc (Swiss Oblique Mercator) parameterization: centre
     at (+lat_0, +lon_0), azimuth fixed at 90 deg — EPSG method 9815
@@ -1936,4 +2041,6 @@ PROJECTIONS = {
     "omerc": (omerc_setup, omerc_fwd, omerc_inv),
     "somerc": (somerc_setup, omerc_fwd, omerc_inv),
     "robin": (robin_setup, robin_fwd, robin_inv),
+    "natearth": (natearth_setup, natearth_fwd, natearth_inv),
+    "eck4": (eck4_setup, eck4_fwd, eck4_inv),
 }

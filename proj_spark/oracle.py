@@ -1245,3 +1245,57 @@ def chain_moll_fwd(ch: Chain, lon: str, lat: str,
     x = f"({_f(a * cx)} * lam_{tag} * cos({th}))"
     y = f"({_f(a * cy)} * sin({th}))"
     return x, y
+
+
+def sql_natearth_fwd(lon: str, lat: str) -> tuple[str, str]:
+    """Natural Earth forward (dialect pair: kernels.natearth_fwd):
+    pure published polynomials — no iteration needed."""
+    from . import kernels as K
+
+    a = 6378137.0
+    A, B = K._NE_X, K._NE_Y
+    p = f"radians({lat})"
+    p2 = f"({p}*{p})"
+    p4 = f"({p2}*{p2})"
+    p6 = f"({p2}*{p4})"
+    xfac = (f"({_f(A[0])} + {p2}*({_f(A[1])} + {p2}*{_f(A[2])})"
+            f" + {p4}*{p4}*{p2}*({_f(A[3])} + {p2}*{_f(A[4])}))")
+    yv = (f"({p}*({_f(B[0])} + {p2}*{_f(B[1])})"
+          f" + {p}*{p6}*({_f(B[2])} + {p2}*({_f(B[3])}"
+          f" + {p2}*{_f(B[4])})))")
+    x = f"({_f(a)} * radians({lon}) * {xfac})"
+    y = f"({_f(a)} * {yv})"
+    return x, y
+
+
+def chain_eck4_fwd(ch: Chain, lon: str, lat: str,
+                   iters: int = 12) -> tuple[str, str]:
+    """Eckert IV forward: Newton for
+    theta + sin(theta)cos(theta) + 2 sin(theta) = (2 + pi/2) sin(phi),
+    unrolled to the kernel's iteration count with the same clip and
+    pole pin (dialect pair: kernels._eck4_theta)."""
+    from . import kernels as K
+
+    a = 6378137.0
+    tag = f"eck4_{ch.i}"
+    ch.add({f"phi_{tag}": f"radians({lat})",
+            f"lam_{tag}": f"radians({lon})"})
+    ch.add({f"sp_{tag}": f"sin(phi_{tag})"})
+    ch.add({f"rhs_{tag}": f"({_f(float(K._ECK4_CP))} * sp_{tag})"})
+    th = f"th0_{tag}"
+    ch.add({th: f"(phi_{tag} / 2.0)"})
+    hp = math.pi / 2.0
+    for i in range(iters):
+        nxt = f"th{i + 1}_{tag}"
+        s, c = f"sin({th})", f"cos({th})"
+        f_ = f"({th} + {s}*{c} + 2.0*{s} - rhs_{tag})"
+        fp = f"greatest(2.0*{c}*(1.0 + {c}), 1e-9)"
+        ch.add({nxt: (
+            f"least(greatest({th} - {f_}/{fp}, {_f(-hp)}), {_f(hp)})")})
+        th = nxt
+    final = (f"(CASE WHEN abs(sp_{tag}) >= 1.0 - 1e-14 "
+             f"THEN sign(sp_{tag}) * {_f(hp)} ELSE {th} END)")
+    ch.add({f"tf_{tag}": final})
+    x = f"({_f(a * float(K._ECK4_CX))} * lam_{tag} * (1.0 + cos(tf_{tag})))"
+    y = f"({_f(a * float(K._ECK4_CY))} * sin(tf_{tag}))"
+    return x, y

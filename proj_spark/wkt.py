@@ -266,6 +266,24 @@ _METHODS = {
         ("y_0", "False northing", 8807,
          "false_northing", "False_Northing", _P_LEN, 0.0),
     ]),
+    "natearth": ("Natural Earth", 0,  # no EPSG method code
+                 "Natural_Earth", "Natural_Earth", [
+        ("lon_0", "Longitude of natural origin", 8802,
+         "central_meridian", "Central_Meridian", _P_ANG, 0.0),
+        ("x_0", "False easting", 8806,
+         "false_easting", "False_Easting", _P_LEN, 0.0),
+        ("y_0", "False northing", 8807,
+         "false_northing", "False_Northing", _P_LEN, 0.0),
+    ]),
+    "eck4": ("Eckert IV", 0,  # no EPSG method code
+             "Eckert_IV", "Eckert_IV", [
+        ("lon_0", "Longitude of natural origin", 8802,
+         "central_meridian", "Central_Meridian", _P_ANG, 0.0),
+        ("x_0", "False easting", 8806,
+         "false_easting", "False_Easting", _P_LEN, 0.0),
+        ("y_0", "False northing", 8807,
+         "false_northing", "False_Northing", _P_LEN, 0.0),
+    ]),
     "robin": ("Robinson", 0,  # no EPSG method code (ESRI/IOGP informal)
               "Robinson", "Robinson", [
         ("lon_0", "Longitude of natural origin", 8802,

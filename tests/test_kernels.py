@@ -1159,3 +1159,54 @@ def test_registry_breadth_and_new_family_areas():
     t = Transform.new_known_crs("EPSG:4314", "EPSG:31467")
     x, y = t.convert(9.0, 50.5)
     assert abs(x - 3500000.0) < 1e-6
+
+
+def test_natearth_and_eck4_properties():
+    """Natural Earth: the published Savric et al. polynomial pins
+    (equator half-width = 0.8707*pi*R, the defining x-coefficient) and
+    exact roundtrip.  Eckert IV: equal-area (|J| == R^2 cos(phi)), the
+    2:1 aspect identity (equator half-width == full pole-to-pole
+    height), exact pole, exact roundtrip."""
+    import numpy as np
+
+    from proj_spark import kernels as K
+    from proj_spark.crs import Transform
+
+    R = 6378137.0
+    tn = Transform.new_known_crs("EPSG:4326", "ESRI:54077")
+    x, y = tn.convert(179.0, 0.0)
+    assert abs(x - 0.8707 * R * np.radians(179.0)) < 1e-6
+    assert abs(y) < 1e-9
+    xs, ys = tn.convert(-40.0, -30.0)
+    xn, yn = tn.convert(40.0, 30.0)
+    assert abs(xs + xn) < 1e-9 and abs(ys + yn) < 1e-9  # odd symmetry
+
+    te = Transform.new_known_crs("EPSG:4326", "ESRI:54012")
+    xp, yp = te.convert(0.0, 90.0)
+    assert abs(yp - K._ECK4_CY * R) < 1e-6  # exact pole (Newton pinned)
+    xe, _ = te.convert(180.0 - 1e-12, 0.0)
+    assert abs(xe - 2.0 * yp) < 1e-3  # 2:1 aspect identity
+    # equal-area: dx/dlam * dy/dphi == R^2 cos(phi) (dy/dlam == 0)
+    h = 1e-7
+    for latd in (0.0, 23.5, 52.0, 80.0):
+        phi = np.radians(latd)
+        lam = np.radians(17.0)
+        t = Transform.new("+proj=eck4 +ellps=WGS84")
+        x0, y0 = t.project(lam, phi)
+        x1, _ = t.project(lam + h, phi)
+        _, y2 = t.project(lam, phi + h)
+        J = ((x1 - x0) / h) * ((y2 - y0) / h) / R ** 2
+        assert abs(J - np.cos(phi)) < 5e-6, latd
+
+    # roundtrip world grids for both
+    glon = np.radians(np.linspace(-179, 179, 25))
+    glat = np.radians(np.linspace(-89.9, 89.9, 21))
+    LO, LA = np.meshgrid(glon, glat)
+    for t in (tn, Transform.new("+proj=natearth +ellps=WGS84"),
+              Transform.new("+proj=eck4 +ellps=WGS84")):
+        if t is tn:
+            continue  # registry path covered via convert above
+        X, Y = t.project_array(LO.ravel().copy(), LA.ravel().copy())
+        l2, p2 = t.project_array(X.copy(), Y.copy(), inverse=True)
+        assert np.abs(l2 - LO.ravel()).max() < 1e-9
+        assert np.abs(p2 - LA.ravel()).max() < 1e-9
