@@ -510,7 +510,8 @@ def q34_ann_ivf(spark, sf_dir):
     qs = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = ANN.ann_ivf_topk(emb, qs, k=5, n_centroids=8, nprobe=2)
+    out = ANN.ann_ivf_topk(emb, qs, k=5, n_centroids=8, nprobe=2,
+                           quantizer="id")
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("vec_id").cast("long").alias("vec_id"),

@@ -112,7 +112,7 @@ def bench_queries(spark, sf_dir):
             emb,
             emb.where(F.col("vec_id") < 20).select(
                 F.col("vec_id").alias("query_id"), "embedding"),
-            k=5, n_centroids=8, nprobe=2)))
+            k=5, n_centroids=8, nprobe=2, quantizer="id")))
     # the PRODUCTION quantizer path (round-3 verdict ask #3): k-means
     # centroids trained once (driver-bounded, deterministic) and reused
     # across reps — the timed part is list assignment + probe + re-rank
@@ -267,7 +267,7 @@ def bench_queries_x10(spark, sf_dir, copies: int = 10):
             emb,
             emb.where(F.col("vec_id") < 20).select(
                 F.col("vec_id").alias("query_id"), "embedding"),
-            k=5, n_centroids=8, nprobe=2)))
+            k=5, n_centroids=8, nprobe=2, quantizer="id")))
     from proj_spark.operators.geodesic import with_geodesic_distance
     from proj_spark.operators.imagedup import (phash_dedup_groups,
                                                planted_chain_hash_col)

@@ -301,20 +301,23 @@ def ann_ivf_topk(
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
     centroids: Optional[list] = None,
+    quantizer: str = "trained",
 ) -> DataFrame:
     """IVF-style approximate top-k: a coarse quantizer partitions the
     vectors into inverted lists; queries probe only their ``nprobe``
     nearest lists; exact cosine re-ranks the candidates.
 
-    Two quantizers:
-      * default — the ``n_centroids`` vectors with the smallest ids,
-        DELIBERATELY trivial so the whole operator (lists, probes,
-        result set) is replicable in plain SQL for the value oracle,
-        like the LSH hyperplane literals;
-      * ``centroids=`` — a trained centroid table (list of vectors,
-        e.g. from :func:`train_ivf_centroids`), the production path;
-        cent_id is the list index.  Gated by measured recall
-        (:func:`ann_recall_vs_exact`) instead of SQL replication.
+    Quantizers (round-3 verdict: the trained table is now the
+    DOCUMENTED DEFAULT — a caller who passes nothing gets data
+    geometry, not luck):
+      * ``quantizer="trained"`` (default) — uses ``centroids=`` if
+        given, else trains a deterministic spherical k-means table via
+        :func:`train_ivf_centroids` (driver-bounded, one extra sample
+        job).  Gated by measured recall (:func:`ann_recall_vs_exact`).
+      * ``quantizer="id"`` — the ``n_centroids`` vectors with the
+        smallest ids, DELIBERATELY trivial so the whole operator
+        (lists, probes, result set) is replicable in plain SQL for the
+        value oracle, like the LSH hyperplane literals.
 
     Scale shape: centroids are collected once (a tiny bounded set, like
     the LSH planes) and embedded as literal arrays, so LIST ASSIGNMENT
@@ -323,6 +326,12 @@ def ann_ivf_topk(
     a window over the (small) query side; the candidate join shuffles
     nothing but list-id partitions of the reduced candidate set.
     """
+    if quantizer not in ("trained", "id"):
+        raise ValueError(f"quantizer must be 'trained' or 'id', "
+                         f"got {quantizer!r}")
+    if centroids is None and quantizer == "trained":
+        centroids = train_ivf_centroids(
+            vectors, k=n_centroids, id_col=id_col, vec_col=vec_col)
     if centroids is not None:
         cents = [{"cent_id": i, "cent_vec": list(v)}
                  for i, v in enumerate(centroids)]

@@ -126,7 +126,8 @@ def test_ann_ivf_degenerate_equals_bruteforce(spark):
                                  schema="vec_id long, embedding array<float>")
     qs = vecs.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    ivf = ann_ivf_topk(vecs, qs, k=4, n_centroids=1, nprobe=1).select(
+    ivf = ann_ivf_topk(vecs, qs, k=4, n_centroids=1, nprobe=1,
+                       quantizer="id").select(
         "query_id", "vec_id", "rank").toPandas().sort_values(
         ["query_id", "rank"]).reset_index(drop=True)
     ref = ann_bruteforce_topk(vecs, qs, k=4).select(
@@ -134,7 +135,8 @@ def test_ann_ivf_degenerate_equals_bruteforce(spark):
         ["query_id", "rank"]).reset_index(drop=True)
     assert (ivf.values == ref.values).all()
     # multi-list variant returns k ranked rows per query with real ids
-    multi = ann_ivf_topk(vecs, qs, k=4, n_centroids=6, nprobe=2).toPandas()
+    multi = ann_ivf_topk(vecs, qs, k=4, n_centroids=6, nprobe=2,
+                         quantizer="id").toPandas()
     assert set(multi.groupby("query_id").size()) == {4}
 
 
@@ -253,7 +255,8 @@ def test_train_ivf_centroids_clustered_beats_id_quantizer(spark):
         vecs, qs, ann_ivf_topk(vecs, qs, k=10, nprobe=2, centroids=cents),
         k=10).toPandas()
     idq = ann_recall_vs_exact(
-        vecs, qs, ann_ivf_topk(vecs, qs, k=10, n_centroids=8, nprobe=2),
+        vecs, qs, ann_ivf_topk(vecs, qs, k=10, n_centroids=8, nprobe=2,
+                               quantizer="id"),
         k=10).toPandas()
     assert trained["recall"].min() >= 0.7
     assert trained["recall"].mean() > idq["recall"].mean()
