@@ -353,19 +353,22 @@ def dedup_connected_components(
     share one component.
 
     Distributed shape (round-3 verdict ask #1 — the round count, not
-    the data volume, bounded the wall clock): each round (a) propagates
-    the neighbourhood minimum over the edge list, then (b) pointer-
-    doubles (label <- label(label)) so the minimum spreads ~2x farther
-    per round — O(log diameter) rounds instead of O(diameter), the same
-    asymptotics the alternating large-star/small-star contraction buys
-    but with one extra equi-join instead of a full edge rewrite.  The
-    doubling step is exact: every label value is itself a node in the
-    frame (labels only ever flow from neighbours), labels are monotone
-    non-increasing, and a propagate fixpoint means labels are constant
-    per component and therefore the component minimum.  This also makes
-    long chains converge where pure propagation silently hit
-    ``max_iters`` (a 60-node path needs 59 propagate-only rounds but 7
-    doubled rounds).
+    the data volume, bounded the wall clock): each round propagates the
+    neighbourhood minimum over the edge list; from round 3 on it also
+    pointer-doubles (label <- label(label)) so the minimum spreads ~2x
+    farther per round — O(log diameter) rounds instead of
+    O(diameter), the same asymptotics the alternating large-star/
+    small-star contraction buys but with one extra equi-join instead
+    of a full edge rewrite.  Deferring the doubling two rounds means
+    the COMMON dedup graph (near-cliques/stars around a template,
+    diameter <= 2, converged by round 2) never pays the extra join at
+    all.  The doubling step is exact: every label value is itself a
+    node in the frame (labels only ever flow from neighbours), labels
+    are monotone non-increasing, and a propagate fixpoint means labels
+    are constant per component and therefore the component minimum.
+    This also makes long chains converge where pure propagation
+    silently hit ``max_iters`` (a 60-node path needs 59 propagate-only
+    rounds but 7 with doubling).
 
     The convergence test rides the same action that materializes the
     round's labels (a ``chg`` flag counted on the checkpointed frame) —
@@ -407,22 +410,34 @@ def dedup_connected_components(
                 F.least(F.col("label"),
                         F.coalesce(F.col("nlab"), F.col("label"))).alias("mid"),
             )
-            .localCheckpoint(eager=False)  # consumed twice below
         )
-        # (b) pointer-double: label <- label(label); every mid value is
-        # a node, so the lookup side is prop itself re-keyed
-        jump = prop.select(F.col("node").alias("mid"),
-                           F.col("mid").alias("jlab"))
-        new_labels = (
-            prop.join(jump, "mid", "left")
-            .select(
-                "node",
-                F.coalesce(F.col("jlab"), F.col("mid")).alias("label"),
-                (F.coalesce(F.col("jlab"), F.col("mid"))
-                 != F.col("old")).alias("chg"),
+        if rounds >= 3:
+            # (b) pointer-double: label <- label(label); every mid
+            # value is a node, so the lookup side is prop re-keyed.
+            # Engaged only once two propagate-only rounds were not
+            # enough: the common dedup graph (near-cliques/stars,
+            # diameter <= 2) converges without ever paying the extra
+            # join, while long chains still finish in O(log diameter).
+            prop = prop.localCheckpoint(eager=False)  # consumed twice
+            jump = prop.select(F.col("node").alias("mid"),
+                               F.col("mid").alias("jlab"))
+            new_labels = (
+                prop.join(jump, "mid", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("jlab"), F.col("mid")).alias("label"),
+                    (F.coalesce(F.col("jlab"), F.col("mid"))
+                     != F.col("old")).alias("chg"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint(eager=False)
-        )
+        else:
+            new_labels = (
+                prop.select(
+                    "node", F.col("mid").alias("label"),
+                    (F.col("mid") != F.col("old")).alias("chg"))
+                .localCheckpoint(eager=False)
+            )
         changed = new_labels.where(F.col("chg")).count()
         labels = new_labels.select("node", "label")
         if changed == 0:
