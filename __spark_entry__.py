@@ -928,6 +928,43 @@ def q70_eck4_fwd(spark, sf_dir):
         _round(F.col("y"), 1).alias("ym"))
 
 
+def q71_radius_join(spark, sf_dir):
+    # RANGE join (task-brief custom operator): all customers within
+    # 500 km of each nation query point — ring-exploded broadcast
+    # candidates + codegen haversine filter; the oracle brute-forces
+    # the cross join in SQL.  Exactness vs brute force (incl. polar /
+    # antimeridian queries) pinned in tests/test_spark_ops.py.
+    from proj_spark.operators.joins import radius_join
+
+    cust = _pts(spark, sf_dir, "customer", "c_custkey", "customer")
+    out = radius_join(cust, _knn_queries(spark, sf_dir), 500_000.0,
+                      point_id_col="c_custkey")
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        _round(F.col("dist_m"), 1).alias("dist_m"))
+
+
+def q72_asof_join(spark, sf_dir):
+    # AS-OF join (task-brief custom operator): every event enriched
+    # with the user's latest 'error' event at or before it — one
+    # union + window carry-forward (single shuffle on the by-key, no
+    # range-join explosion).  Oracle: DuckDB's native ASOF LEFT JOIN.
+    from proj_spark.operators.events import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errs = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id"))
+    out = asof_join(ev, errs, by="user_id", right_cols=("err_id",))
+    us_since = (F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("ts_right").cast("timestamp")))
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("err_id_right").cast("long").alias("last_err_id"),
+        us_since.cast("long").alias("us_since"))
+
+
 def q65_omerc_fwd(spark, sf_dir):
     # EPSG:29873 Timbalai 1948 / RSO Borneo (m): Hotine Oblique
     # Mercator variant B (EPSG method 9815) over Borneo-band points,
@@ -1268,6 +1305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_robin_fwd": q68_robin_fwd,
         "q69_natearth_fwd": q69_natearth_fwd,
         "q70_eck4_fwd": q70_eck4_fwd,
+        "q71_radius_join": q71_radius_join,
+        "q72_asof_join": q72_asof_join,
     }
 
 
@@ -2111,6 +2150,32 @@ FROM base GROUP BY phash
         f"SELECT o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym "
         f"FROM orders"
     )
+
+    # ---- q71: range join — brute-force cross join with the same
+    # haversine, threshold 500 km (boundary margin verified: no pair
+    # sits near the threshold at oracle precision)
+    hv71 = O.sql_haversine(lon_c, lat_c, _Q_LON, _Q_LAT)
+    out["q71_radius_join"] = f"""
+SELECT n.n_nationkey::BIGINT AS query_id, c.c_custkey::BIGINT AS c_custkey,
+       round({hv71}, 1) AS dist_m
+FROM customer c CROSS JOIN nation n
+WHERE {hv71} <= 500000.0
+"""
+
+    # ---- q72: as-of join — DuckDB's native ASOF LEFT JOIN over the
+    # tie-deduplicated right side (same max-per-(user,ts) the operator
+    # applies)
+    out["q72_asof_join"] = """
+WITH errs AS (
+  SELECT user_id, ts, max(event_id) AS err_id
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT e.event_id::BIGINT AS event_id, e.user_id::BIGINT AS user_id,
+       r.err_id::BIGINT AS last_err_id,
+       (epoch_us(e.ts) - epoch_us(r.ts))::BIGINT AS us_since
+FROM events e ASOF LEFT JOIN errs r
+  ON e.user_id = r.user_id AND e.ts >= r.ts
+"""
 
     x, y = O.sql_natearth_fwd(lon_w, lat_w)
     out["q69_natearth_fwd"] = (

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["windowed_event_stats", "sessionize"]
+__all__ = ["windowed_event_stats", "sessionize", "asof_join"]
 
 
 def _us(ts):
@@ -41,6 +41,80 @@ def windowed_event_stats(df: DataFrame, window: str = "1 day",
             F.avg(k).alias("avg_k"),
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tuple[str, ...] = (),
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Backward AS-OF join: for every left row, the LATEST right row
+    with ``right_ts <= left_ts`` within the same ``by`` key (inclusive
+    at equal timestamps) — the classic time-series enrichment join
+    (trade->quote, event->last-checkpoint) the task brief names as a
+    custom operator Spark lacks.
+
+    Distributed shape: NOT a range join (no inequality-join explosion,
+    no per-key collect).  Both sides union with a source marker, ONE
+    window partitionBy(by) orderBy(ts, marker) carries the last
+    non-null right payload forward (``last(..., ignorenulls=True)``),
+    and left rows keep what they were carrying.  Cost = one shuffle on
+    the by-key + a linear window pass — at 10^12 events the same AQE
+    skew handling as sessionize applies.  Matched-right columns come
+    back as ``<col>_right``; unmatched lefts keep them null.
+    ``tolerance_us`` voids matches older than the tolerance (pandas
+    merge_asof semantics).
+
+    Ties inside the right side (same key, same ts) are resolved before
+    the join by keeping the lexicographically-largest payload struct —
+    deterministic and mirrored in the DuckDB oracle (q72).
+    """
+    payload_cols = [right_ts] + [c for c in right_cols if c != right_ts]
+    r = (
+        right.groupBy(by, right_ts)
+        .agg(F.max(F.struct(*[F.col(c) for c in payload_cols])).alias("__p"))
+        .select(
+            F.col(by),
+            F.col(right_ts).alias("__ts"),
+            F.lit(0).alias("__m"),
+            F.col("__p"),
+            *[F.lit(None).cast(f.dataType).alias(f"__l_{f.name}")
+              for f in left.schema.fields],
+        )
+    )
+    l = left.select(
+        F.col(by),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__m"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col("__ts").asc(), F.col("__m").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        l.unionByName(r.select(*l.columns))
+        .withColumn("__match", F.last("__p", ignorenulls=True).over(w))
+        .where(F.col("__m") == 1)
+    )
+    if tolerance_us is not None:
+        too_old = (
+            _us(F.col("__ts")) - _us(F.col(f"__match.{right_ts}"))
+            > F.lit(int(tolerance_us))
+        )
+        carried = carried.withColumn(
+            "__match", F.when(too_old, F.lit(None)).otherwise(F.col("__match")))
+    out_cols = [F.col(f"__l_{c}").alias(c) for c in left.columns]
+    out_cols += [
+        F.col(f"__match.{c}").alias(f"{c}_right") for c in payload_cols
+    ]
+    return carried.select(*out_cols)
 
 
 def sessionize(df: DataFrame, gap_minutes: int = 30,

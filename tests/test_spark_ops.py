@@ -503,3 +503,83 @@ def test_pip_join_chunked_matches_unchunked(spark):
                  pip_anti_join(pts, polys, level=6, max_broadcast_bytes=2048)
                  .select("point_id").collect()}
     assert anti_one == anti_many
+
+
+def test_radius_join_exact_vs_bruteforce(spark):
+    """Range join exactness: identical pair set to the brute-force
+    cross join at two radii, including polar and antimeridian query
+    points (the ring bound must never drop an in-radius point)."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_spark.operators.joins import EARTH_RADIUS_M, radius_join
+
+    rng = np.random.default_rng(5)
+    pts = pd.DataFrame({"point_id": range(2500),
+                        "lon": rng.uniform(-180, 180, 2500),
+                        "lat": rng.uniform(-90, 90, 2500)})
+    qs = pd.DataFrame({"query_id": range(8),
+                       "lon": [0.0, 179.9, -179.9, 10.0, -60.0, 120.0,
+                               0.0, 33.0],
+                       "lat": [0.0, 45.0, -45.0, 88.5, -88.0, 30.0,
+                               89.9, -89.9]})
+    P, Q = spark.createDataFrame(pts), spark.createDataFrame(qs)
+    la1 = np.radians(qs["lat"].to_numpy())[:, None]
+    lo1 = np.radians(qs["lon"].to_numpy())[:, None]
+    la2 = np.radians(pts["lat"].to_numpy())[None, :]
+    lo2 = np.radians(pts["lon"].to_numpy())[None, :]
+    h = (np.sin((la2 - la1) / 2) ** 2
+         + np.cos(la1) * np.cos(la2) * np.sin((lo2 - lo1) / 2) ** 2)
+    d = 2 * EARTH_RADIUS_M * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+    for radius in (300_000.0, 1_500_000.0):
+        got = radius_join(P, Q, radius).toPandas()
+        want = {(q, p) for q in range(8) for p in range(2500)
+                if d[q, p] <= radius}
+        gotset = set(zip(got["query_id"].astype(int),
+                         got["point_id"].astype(int)))
+        assert gotset == want, radius
+    # plan shape: the points side joins via a broadcast of the
+    # exploded query rings — no shuffle of the big table
+    plan = radius_join(P, Q, 300_000.0)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_join_matches_merge_asof(spark):
+    """asof_join == pandas merge_asof (backward, inclusive), with and
+    without tolerance, over the real events table."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from proj_spark.operators.events import asof_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    right = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id"))
+    lp = ev.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts").rename(columns={"ts": "ts_r"})
+    for tol_us, tol_pd in ((None, None), (60_000_000, pd.Timedelta("60s"))):
+        out = asof_join(ev, right, by="user_id", right_cols=("err_id",),
+                        tolerance_us=tol_us).toPandas()
+        ref = pd.merge_asof(lp, rp, left_on="ts", right_on="ts_r",
+                            by="user_id", direction="backward",
+                            tolerance=tol_pd)
+        g = out.sort_values("event_id").reset_index(drop=True)
+        r = ref.sort_values("event_id").reset_index(drop=True)
+        a = g["err_id_right"].astype("float64").fillna(-1).to_numpy()
+        b = r["err_id"].astype("float64").fillna(-1).to_numpy()
+        assert (g["event_id"].to_numpy() == r["event_id"].to_numpy()).all()
+        assert (a == b).all(), tol_us
+    # right-side tie dedup: two right rows at the same (user, ts) must
+    # resolve to the max payload deterministically
+    tie = spark.createDataFrame(pd.DataFrame([
+        {"user_id": 1, "ts": pd.Timestamp("2024-01-01 10:00:00"),
+         "err_id": 5},
+        {"user_id": 1, "ts": pd.Timestamp("2024-01-01 10:00:00"),
+         "err_id": 9},
+    ]))
+    left1 = spark.createDataFrame(pd.DataFrame([
+        {"event_id": 100, "user_id": 1,
+         "ts": pd.Timestamp("2024-01-01 11:00:00")}]))
+    got = asof_join(left1, tie, by="user_id",
+                    right_cols=("err_id",)).collect()[0]
+    assert int(got["err_id_right"]) == 9
