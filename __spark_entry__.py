@@ -928,6 +928,31 @@ def q70_eck4_fwd(spark, sf_dir):
         _round(F.col("y"), 1).alias("ym"))
 
 
+def q73_corpus_clean(spark, sf_dir):
+    # COMPOSED pretraining pipeline in one call (textops.corpus_clean):
+    # quality filter -> language filter -> PII scrub -> exact dedup
+    # with evidence columns — three fused projection stages over one
+    # scan + a single hash shuffle.  The oracle composes the same SQL
+    # fragments q20/q21/q58/q18 already verify individually.
+    out = TX.corpus_clean(_t(spark, sf_dir, "documents"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "quality", "en_score",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.col("n_dups").cast("long").alias("n_dups"))
+
+
+def q74_mill_fwd(spark, sf_dir):
+    # ESRI:54003 World Miller Cylindrical (Snyder ch. 11) — closed-form
+    # SQL oracle; Snyder worked example pinned in tests/test_kernels.py
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "world")
+    out = with_transformed(df, "EPSG:4326", "ESRI:54003", err_col=None)
+    return out.select(
+        "o_orderkey", _round(F.col("x"), 1).alias("xm"),
+        _round(F.col("y"), 1).alias("ym"))
+
+
 def q71_radius_join(spark, sf_dir):
     # RANGE join (task-brief custom operator): all customers within
     # 500 km of each nation query point — ring-exploded broadcast
@@ -1307,6 +1332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_eck4_fwd": q70_eck4_fwd,
         "q71_radius_join": q71_radius_join,
         "q72_asof_join": q72_asof_join,
+        "q73_corpus_clean": q73_corpus_clean,
+        "q74_mill_fwd": q74_mill_fwd,
     }
 
 
@@ -2075,6 +2102,52 @@ SELECT doc_id,
                       '{PHONE_RE}', '[PHONE]', 'g') AS clean_text
 FROM p
 """
+    # ---- q73: composed corpus-clean — the q20 quality, q21 langid,
+    # q58 scrub, and q18 dedup fragments chained in one statement
+    norm73 = O.sql_norm_text("text")
+    toks73 = O.sql_tokens("text")
+    stop_list73 = "[" + ",".join(f"'{w}'" for w in TX._STOPWORDS) + "]"
+    ntok73 = f"len({toks73})::DOUBLE"
+    nstop73 = (f"len(list_filter({toks73}, "
+               f"t -> list_contains({stop_list73}, t)))::DOUBLE")
+    npunct73 = (f"(length({norm73}) - length(regexp_replace({norm73}, "
+                f"'[^\\w\\s]', '', 'g')))::DOUBLE")
+    uniq73 = f"(len(list_distinct({toks73}))::DOUBLE / {ntok73})"
+    stopr73 = f"({nstop73} / {ntok73})"
+    punctr73 = f"({npunct73} / length({norm73})::DOUBLE)"
+    q73_quality = (
+        f"round(0.4 * least({stopr73} * 4.0, 1.0) + 0.4 * {uniq73} "
+        f"+ 0.2 * (1.0 - least({punctr73} * 10.0, 1.0)), 6)"
+    )
+    ascii73 = (f"(length(regexp_replace({norm73}, '[^a-z ]', '', 'g'))::DOUBLE"
+               f" / length({norm73})::DOUBLE)")
+    q73_en = (f"round(0.5 * least({stopr73} * 5.0, 1.0) "
+              f"+ 0.5 * {ascii73}, 6)")
+    norm_clean73 = O.sql_norm_text("__clean")
+    out["q73_corpus_clean"] = f"""
+WITH scored AS (
+  SELECT doc_id, text, {q73_quality} AS quality, {q73_en} AS en_score
+  FROM documents
+), kept AS (
+  SELECT * FROM scored WHERE quality >= 0.5 AND en_score >= 0.5
+), scrub AS (
+  SELECT doc_id, quality, en_score,
+         len(regexp_extract_all(text, '{EMAIL_RE}'))::BIGINT AS n_emails,
+         len(regexp_extract_all(text, '{PHONE_RE}'))::BIGINT AS n_phones,
+         regexp_replace(regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{PHONE_RE}', '[PHONE]', 'g') AS __clean
+  FROM kept
+), dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY md5({norm_clean73})
+                               ORDER BY doc_id) AS __rn,
+            count(*) OVER (PARTITION BY md5({norm_clean73}))::BIGINT AS n_dups
+  FROM scrub
+)
+SELECT doc_id::BIGINT AS doc_id, quality, en_score, n_emails, n_phones,
+       n_dups
+FROM dedup WHERE __rn = 1
+"""
+
     toks = O.sql_tokens("text")
     sh2 = O.sql_shingles("text", 2)
     out["q64_top_ngrams"] = f"""
@@ -2190,6 +2263,15 @@ FROM events e ASOF LEFT JOIN errs r
     out["q70_eck4_fwd"] = ch70.finish(
         f"o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym"
     )
+
+    _a = 6378137.0
+    out["q74_mill_fwd"] = f"""
+SELECT o_orderkey,
+       round({_a!r} * radians({lon_w}), 1) AS xm,
+       round({_a!r} * 1.25 * ln(tan(pi()/4.0 + 0.4 * radians({lat_w}))), 1)
+         AS ym
+FROM orders
+"""
 
     # ---- q47: banded-Hamming near-dup join over planted 60-bit hashes
     # (4 bands x 15 bits; pigeonhole guarantees Hamming<=3 pairs share

@@ -1949,6 +1949,26 @@ def natearth_inv(x, y, P, iters: int = 10):
 
 
 # ---------------------------------------------------------------------------
+# mill — Miller Cylindrical (Snyder PP-1395 ch. 11): spherical
+# compromise, y = (5/4) ln tan(pi/4 + 2 phi / 5), x = lam.
+# ---------------------------------------------------------------------------
+def mill_setup(params, a, es):
+    return {}
+
+
+def mill_fwd(lam, phi, P):
+    phi = np.asarray(phi, dtype=np.float64)
+    y = 1.25 * np.log(ftan(0.25 * np.pi + 0.4 * phi))
+    return np.asarray(lam, dtype=np.float64), y
+
+
+def mill_inv(x, y, P):
+    y = np.asarray(y, dtype=np.float64)
+    phi = 2.5 * (np.arctan(np.exp(0.8 * y)) - 0.25 * np.pi)
+    return np.asarray(x, dtype=np.float64), phi
+
+
+# ---------------------------------------------------------------------------
 # eck4 — Eckert IV (Snyder PP-1395 ch. 32): spherical equal-area
 # pseudocylindrical.  theta solves
 #   theta + sin(theta)cos(theta) + 2 sin(theta) = (2 + pi/2) sin(phi)
@@ -2043,4 +2063,5 @@ PROJECTIONS = {
     "robin": (robin_setup, robin_fwd, robin_inv),
     "natearth": (natearth_setup, natearth_fwd, natearth_inv),
     "eck4": (eck4_setup, eck4_fwd, eck4_inv),
+    "mill": (mill_setup, mill_fwd, mill_inv),
 }

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
     "normalize_text_col",
@@ -38,6 +39,7 @@ __all__ = [
     "token_stats",
     "quality_score",
     "langid_score",
+    "corpus_clean",
     "doc_fingerprint",
 ]
 
@@ -696,6 +698,77 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
         n_em.cast("long").alias("n_emails"),
         n_ph.cast("long").alias("n_phones"),
         clean.alias("clean_text"),
+    )
+
+
+def corpus_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    min_en_score: float = 0.5,
+) -> DataFrame:
+    """ONE-CALL pretraining cleanup — the composition a real corpus
+    pipeline runs: quality filter -> language filter -> PII scrub ->
+    exact dedup (first-seen survivor), with the per-doc evidence
+    carried through.  Output: one row per SURVIVING doc
+    (doc_id, quality, en_score, n_emails, n_phones, n_dups).
+
+    Plan shape: the three scoring/scrub stages are pure-JVM
+    projections Catalyst fuses over a SINGLE scan (no joins between
+    stages — the same expressions :func:`quality_score` /
+    :func:`langid_score` / :func:`pii_scrub` emit, built inline);
+    only the final dedup shuffles, once, on the text hash.  Filters
+    compare the ROUNDED scores so the SQL oracle (q73) lands on
+    identical boundary decisions.
+    """
+    c = F.col(text_col)
+    norm = normalize_text_col(c)
+    toks = F.split(norm, " ")
+    n_tok = F.size(toks).cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
+    n_punct = (F.length(norm)
+               - F.length(F.regexp_replace(norm, r"[^\w\s]", ""))).cast("double")
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    stop_ratio = n_stop / n_tok
+    punct_ratio = n_punct / F.length(norm).cast("double")
+    quality = F.round(
+        F.lit(0.4) * F.least(stop_ratio * 4.0, F.lit(1.0))
+        + F.lit(0.4) * uniq_ratio
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))),
+        6)
+    ascii_ratio = (F.length(F.regexp_replace(norm, r"[^a-z ]", "")).cast("double")
+                   / F.length(norm).cast("double"))
+    en_score = F.round(F.lit(0.5) * F.least(stop_ratio * 5.0, F.lit(1.0))
+                       + F.lit(0.5) * ascii_ratio, 6)
+    scored = df.select(
+        F.col(id_col), c.alias("__text"),
+        quality.alias("quality"), en_score.alias("en_score"),
+    ).where((F.col("quality") >= F.lit(float(min_quality)))
+            & (F.col("en_score") >= F.lit(float(min_en_score))))
+    tc = F.col("__text")
+    clean = F.regexp_replace(
+        F.regexp_replace(tc, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]")
+    scrub = scored.select(
+        id_col, "quality", "en_score",
+        F.size(F.regexp_extract_all(tc, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(tc, F.lit(PHONE_RE), F.lit(0)))
+        .cast("long").alias("n_phones"),
+        clean.alias("__clean"),
+    )
+    h = F.md5(normalize_text_col(F.col("__clean")))
+    wd = Window.partitionBy("__h")
+    wr = wd.orderBy(F.col(id_col).asc())
+    return (
+        scrub.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(wr))
+        .withColumn("n_dups", F.count(F.lit(1)).over(wd).cast("long"))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "quality", "en_score", "n_emails", "n_phones",
+                "n_dups")
     )
 
 

@@ -1210,3 +1210,28 @@ def test_natearth_and_eck4_properties():
         l2, p2 = t.project_array(X.copy(), Y.copy(), inverse=True)
         assert np.abs(l2 - LO.ravel()).max() < 1e-9
         assert np.abs(p2 - LA.ravel()).max() < 1e-9
+
+
+def test_mill_snyder_example():
+    """Miller Cylindrical: Snyder PP-1395 numerical example (R=1,
+    lon=-75, lat=50 -> x=-1.3089969, y=0.9536371), plus exact
+    roundtrip and the y(45) = 1.25*ln(tan(63 deg)) closed form."""
+    import numpy as np
+
+    from proj_spark.crs import Transform
+
+    t = Transform.new("+proj=mill +R=1")
+    x, y = t.project(np.radians(-75.0), np.radians(50.0))
+    assert abs(x - (-1.3089969)) < 1e-7
+    assert abs(y - 0.9536371) < 1e-7
+    tr = Transform.new_known_crs("EPSG:4326", "ESRI:54003")
+    R = 6378137.0
+    x, y = tr.convert(0.0, 45.0)
+    assert abs(y - R * 1.25 * np.log(np.tan(np.radians(63.0)))) < 1e-6
+    glon = np.radians(np.linspace(-179, 179, 19))
+    glat = np.radians(np.linspace(-89, 89, 17))
+    LO, LA = np.meshgrid(glon, glat)
+    X, Y = t.project_array(LO.ravel().copy(), LA.ravel().copy())
+    l2, p2 = t.project_array(X.copy(), Y.copy(), inverse=True)
+    assert np.abs(l2 - LO.ravel()).max() < 1e-12
+    assert np.abs(p2 - LA.ravel()).max() < 1e-12

@@ -430,3 +430,30 @@ def test_top_ngrams_doc_frequency_and_ties(spark):
             " ".join(p) for p in zip(t["text"].split(), t["text"].split()[1:]))
         if g not in ("click here", "here to"))
     assert out[2]["gram"] == min(one_doc_grams)
+
+
+def test_corpus_clean_composed_semantics(spark):
+    """corpus_clean = quality filter -> langid filter -> PII scrub ->
+    first-seen exact dedup, with evidence carried through: planted
+    docs exercise every stage boundary."""
+    from proj_spark.operators.textops import corpus_clean
+
+    good = ("the quick brown fox jumps over the lazy dog and it runs to "
+            "the river bank with a friend of this old forest")
+    rows = [
+        {"doc_id": 0, "text": good},                       # survives
+        {"doc_id": 1, "text": good},                       # dup of 0
+        {"doc_id": 2, "text": good + " reach me at bob@example.com or "
+                               "+1 206 555 0199 ok"},       # PII, unique
+        {"doc_id": 3, "text": "на этом языке здесь нет английских слов "
+                               "вообще никак совсем"},      # non-English
+        {"doc_id": 4, "text": "!!! !!! !!! !!! !!! !!! !!! !!!"},
+    ]
+    out = corpus_clean(spark.createDataFrame(pd.DataFrame(rows))).toPandas()
+    got = {int(r["doc_id"]): r for _, r in out.iterrows()}
+    assert 0 in got and got[0]["n_dups"] == 2     # 1 collapsed into 0
+    assert 1 not in got
+    assert 2 in got and got[2]["n_emails"] == 1 and got[2]["n_phones"] == 1
+    assert 3 not in got                            # langid floor
+    assert 4 not in got                            # quality floor
+    assert (out["quality"] >= 0.5).all() and (out["en_score"] >= 0.5).all()
