@@ -251,3 +251,46 @@ def test_tile_pyramid_plan_no_shuffle(spark):
                        zooms=(0, 1), tile=16)
     p = _plan(out)
     assert "Exchange" not in p
+
+
+def test_corpus_clean_plan_single_shuffle_no_python(spark):
+    """corpus_clean: the scoring/filter/scrub stages fuse into pure-JVM
+    projections (no Python stage anywhere) and the only Exchange in
+    the plan is the final dedup window's hash partitioning — one
+    shuffle for the whole composed pipeline."""
+    from proj_spark.operators.textops import corpus_clean
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(50),
+        "text": [f"the quick brown fox number {i} jumps over the lazy dog"
+                 for i in range(50)],
+    }))
+    p = _plan(corpus_clean(docs))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "MapInPandas" not in p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_asof_join_plan_single_shuffle_no_python(spark):
+    """asof_join: one union + one window — the physical plan carries
+    exactly two hash Exchanges (the by-key window shuffle, plus the
+    RIGHT side's tie-dedup aggregate — the small side only; the left
+    table shuffles once) and no Python stage; no range-join explosion
+    (no CartesianProduct, no broadcast nested loop)."""
+    from proj_spark.operators.events import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    left = spark.createDataFrame(pd.DataFrame({
+        "event_id": range(40),
+        "user_id": [i % 4 for i in range(40)],
+        "ts": [base + pd.Timedelta(minutes=i) for i in range(40)],
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "user_id": [0, 1, 2, 3],
+        "ts": [base + pd.Timedelta(minutes=5 * i) for i in range(4)],
+        "v": [10, 11, 12, 13],
+    }))
+    p = _plan(asof_join(left, right, by="user_id", right_cols=("v",)))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert p.count("Exchange hashpartitioning") == 2, p
