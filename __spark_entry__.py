@@ -928,6 +928,27 @@ def q70_eck4_fwd(spark, sf_dir):
         _round(F.col("y"), 1).alias("ym"))
 
 
+def q75_wintri_fwd(spark, sf_dir):
+    # ESRI:54042 World Winkel Tripel (the NatGeo world map) — mean of
+    # equidistant cylindrical (phi1 = acos(2/pi)) and Aitoff; the
+    # oracle carries the closed forward form with the sinc 0-limit
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "world")
+    out = with_transformed(df, "EPSG:4326", "ESRI:54042", err_col=None)
+    return out.select(
+        "o_orderkey", _round(F.col("x"), 1).alias("xm"),
+        _round(F.col("y"), 1).alias("ym"))
+
+
+def q76_hammer_fwd(spark, sf_dir):
+    # ESRI:54044 World Hammer Aitoff (equal-area) — closed-form oracle;
+    # Jacobian/pole/edge pins in tests/test_kernels.py
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "world")
+    out = with_transformed(df, "EPSG:4326", "ESRI:54044", err_col=None)
+    return out.select(
+        "o_orderkey", _round(F.col("x"), 1).alias("xm"),
+        _round(F.col("y"), 1).alias("ym"))
+
+
 def q73_corpus_clean(spark, sf_dir):
     # COMPOSED pretraining pipeline in one call (textops.corpus_clean):
     # quality filter -> language filter -> PII scrub -> exact dedup
@@ -1334,6 +1355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_asof_join": q72_asof_join,
         "q73_corpus_clean": q73_corpus_clean,
         "q74_mill_fwd": q74_mill_fwd,
+        "q75_wintri_fwd": q75_wintri_fwd,
+        "q76_hammer_fwd": q76_hammer_fwd,
     }
 
 
@@ -2271,6 +2294,44 @@ SELECT o_orderkey,
        round({_a!r} * 1.25 * ln(tan(pi()/4.0 + 0.4 * radians({lat_w}))), 1)
          AS ym
 FROM orders
+"""
+
+    # q75: Winkel Tripel closed forward form (sinc 0-limit via CASE)
+    _cp1 = 2.0 / math.pi
+    out["q75_wintri_fwd"] = f"""
+WITH t AS (
+  SELECT o_orderkey, radians({lon_w}) AS l, radians({lat_w}) AS p
+  FROM orders
+), u AS (
+  SELECT o_orderkey, l, p,
+         acos(least(greatest(cos(p) * cos(l/2.0), -1.0), 1.0)) AS al
+  FROM t
+), v AS (
+  SELECT o_orderkey, l, p,
+         CASE WHEN abs(al) < 1e-12 THEN 1.0 ELSE sin(al)/al END AS snc
+  FROM u
+)
+SELECT o_orderkey,
+       round({_a!r} * 0.5 * (l * {_cp1!r} + 2.0*cos(p)*sin(l/2.0)/snc), 1)
+         AS xm,
+       round({_a!r} * 0.5 * (p + sin(p)/snc), 1) AS ym
+FROM v
+"""
+
+    # q76: Hammer closed forward form
+    out["q76_hammer_fwd"] = f"""
+WITH t AS (
+  SELECT o_orderkey, radians({lon_w}) AS l, radians({lat_w}) AS p
+  FROM orders
+), u AS (
+  SELECT o_orderkey, l, p,
+         sqrt(greatest(1.0 + cos(p) * cos(l/2.0), 1e-300)) AS d
+  FROM t
+)
+SELECT o_orderkey,
+       round({_a!r} * 2.0 * sqrt(2.0) * cos(p) * sin(l/2.0) / d, 1) AS xm,
+       round({_a!r} * sqrt(2.0) * sin(p) / d, 1) AS ym
+FROM u
 """
 
     # ---- q47: banded-Hamming near-dup join over planted 60-bit hashes

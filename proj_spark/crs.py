@@ -948,6 +948,18 @@ for entry in [
        area=Area(-180, -90, 180, 90), area_name="World.",
        datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
        base_geog="EPSG:4326", base_geog_name="WGS 84"),
+    _e("ESRI:54042", "World Winkel Tripel", "projected",
+       "+proj=wintri +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m",
+       towgs84=(0, 0, 0),
+       area=Area(-180, -90, 180, 90), area_name="World.",
+       datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
+       base_geog="EPSG:4326", base_geog_name="WGS 84"),
+    _e("ESRI:54044", "World Hammer Aitoff", "projected",
+       "+proj=hammer +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m",
+       towgs84=(0, 0, 0),
+       area=Area(-180, -90, 180, 90), area_name="World.",
+       datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
+       base_geog="EPSG:4326", base_geog_name="WGS 84"),
     _e("ESRI:54003", "World Miller Cylindrical", "projected",
        "+proj=mill +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m",
        towgs84=(0, 0, 0),

@@ -1949,6 +1949,91 @@ def natearth_inv(x, y, P, iters: int = 10):
 
 
 # ---------------------------------------------------------------------------
+# wintri — Winkel Tripel (Snyder "Flattening the Earth"; the standard
+# National Geographic world map): arithmetic mean of the equidistant
+# cylindrical (standard parallel phi_1 = acos(2/pi)) and the Aitoff
+# projection.  Forward is closed form (unnormalized sinc); inverse is
+# a 2-D Newton with numerical Jacobian (no closed form exists).
+# ---------------------------------------------------------------------------
+_WINTRI_COSPHI1 = 2.0 / np.pi
+
+
+def wintri_setup(params, a, es):
+    cosphi1 = float(np.cos(np.radians(float(params["lat_1"])))) \
+        if "lat_1" in params else _WINTRI_COSPHI1
+    return {"cosphi1": cosphi1}
+
+
+def _sinc(x):
+    # unnormalized sinc with the exact 0-limit
+    return np.where(np.abs(x) < 1e-12, 1.0, np.sin(x) / np.where(
+        np.abs(x) < 1e-12, 1.0, x))
+
+
+def wintri_fwd(lam, phi, P):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    c = np.cos(phi)
+    hl = 0.5 * lam
+    alpha = np.arccos(np.clip(c * np.cos(hl), -1.0, 1.0))
+    s = _sinc(alpha)
+    x = 0.5 * (lam * P["cosphi1"] + 2.0 * c * np.sin(hl) / s)
+    y = 0.5 * (phi + np.sin(phi) / s)
+    return x, y
+
+
+def wintri_inv(x, y, P, iters: int = 20):
+    x = np.atleast_1d(np.asarray(x, dtype=np.float64))
+    y = np.atleast_1d(np.asarray(y, dtype=np.float64))
+    # seed from the equidistant-cylindrical half of the average
+    lam = x / ((P["cosphi1"] + 1.0) / 2.0)
+    phi = y.copy()
+    h = 1e-7
+    for _ in range(iters):
+        fx, fy = wintri_fwd(lam, phi, P)
+        fx, fy = fx - x, fy - y
+        dxdl = (wintri_fwd(lam + h, phi, P)[0] - (fx + x)) / h
+        dxdp = (wintri_fwd(lam, phi + h, P)[0] - (fx + x)) / h
+        dydl = (wintri_fwd(lam + h, phi, P)[1] - (fy + y)) / h
+        dydp = (wintri_fwd(lam, phi + h, P)[1] - (fy + y)) / h
+        det = dxdl * dydp - dxdp * dydl
+        det = np.where(np.abs(det) < 1e-18, 1e-18, det)
+        lam = lam - (fx * dydp - fy * dxdp) / det
+        phi = np.clip(phi - (fy * dxdl - fx * dydl) / det,
+                      -HALFPI, HALFPI)
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# hammer — Hammer (Snyder PP-1395 ch. 24): spherical equal-area
+# modified-azimuthal; closed forms both ways.
+# ---------------------------------------------------------------------------
+def hammer_setup(params, a, es):
+    return {}
+
+
+def hammer_fwd(lam, phi, P):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    c = np.cos(phi)
+    hl = 0.5 * lam
+    d = np.sqrt(np.maximum(1.0 + c * np.cos(hl), 1e-300))
+    x = 2.0 * np.sqrt(2.0) * c * np.sin(hl) / d
+    y = np.sqrt(2.0) * np.sin(phi) / d
+    return x, y
+
+
+def hammer_inv(x, y, P):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z2 = 1.0 - (x / 4.0) ** 2 - (y / 2.0) ** 2
+    z = np.sqrt(np.maximum(z2, 0.0))
+    lam = 2.0 * np.arctan2(z * x, 2.0 * (2.0 * z2 - 1.0))
+    phi = farcsin(np.clip(z * y, -1.0, 1.0))
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
 # mill — Miller Cylindrical (Snyder PP-1395 ch. 11): spherical
 # compromise, y = (5/4) ln tan(pi/4 + 2 phi / 5), x = lam.
 # ---------------------------------------------------------------------------
@@ -2064,4 +2149,6 @@ PROJECTIONS = {
     "natearth": (natearth_setup, natearth_fwd, natearth_inv),
     "eck4": (eck4_setup, eck4_fwd, eck4_inv),
     "mill": (mill_setup, mill_fwd, mill_inv),
+    "wintri": (wintri_setup, wintri_fwd, wintri_inv),
+    "hammer": (hammer_setup, hammer_fwd, hammer_inv),
 }

@@ -266,6 +266,26 @@ _METHODS = {
         ("y_0", "False northing", 8807,
          "false_northing", "False_Northing", _P_LEN, 0.0),
     ]),
+    "wintri": ("Winkel Tripel", 0,  # no EPSG method code
+               "Winkel_Tripel", "Winkel_Tripel", [
+        ("lon_0", "Longitude of natural origin", 8802,
+         "central_meridian", "Central_Meridian", _P_ANG, 0.0),
+        ("lat_1", "Latitude of 1st standard parallel", 8823,
+         "standard_parallel_1", "Standard_Parallel_1", _P_ANG, None),
+        ("x_0", "False easting", 8806,
+         "false_easting", "False_Easting", _P_LEN, 0.0),
+        ("y_0", "False northing", 8807,
+         "false_northing", "False_Northing", _P_LEN, 0.0),
+    ]),
+    "hammer": ("Hammer Aitoff", 0,  # no EPSG method code
+               "Hammer_Aitoff", "Hammer_Aitoff", [
+        ("lon_0", "Longitude of natural origin", 8802,
+         "central_meridian", "Central_Meridian", _P_ANG, 0.0),
+        ("x_0", "False easting", 8806,
+         "false_easting", "False_Easting", _P_LEN, 0.0),
+        ("y_0", "False northing", 8807,
+         "false_northing", "False_Northing", _P_LEN, 0.0),
+    ]),
     "mill": ("Miller Cylindrical", 0,  # no EPSG method code
              "Miller_Cylindrical", "Miller_Cylindrical", [
         ("lon_0", "Longitude of natural origin", 8802,

