@@ -928,6 +928,32 @@ def q70_eck4_fwd(spark, sf_dir):
         _round(F.col("y"), 1).alias("ym"))
 
 
+def q77_geodesic_area(spark, sf_dir):
+    # geodesic polygon area (authalic-sphere spherical excess,
+    # great-circle edges): per nation, an equator-based quad whose only
+    # non-trivial edge is the great-circle top — its excess has a
+    # closed form the oracle carries exactly (identity pins: octant ==
+    # pi/2 R_A^2 exact, authalic radius 6371007.1810 m, in pytest).
+    from proj_spark.operators.geodesic import with_geodesic_area
+    from proj_spark.operators.geometry import GEOMETRY_DDL, geom_polygon
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey").toPandas()
+    rows = []
+    for nk in nat["n_nationkey"]:
+        lon0 = -180.0 + nk * 14.3
+        lat1 = 5.0 + nk * 2.5
+        ring = [[lon0, 0.0], [lon0 + 12.0, 0.0],
+                [lon0 + 12.0, lat1], [lon0, lat1]]
+        rows.append((int(nk), geom_polygon([ring])))
+    df = spark.createDataFrame(rows, f"nk long, geom struct<{GEOMETRY_DDL}>")
+    out = with_geodesic_area(df)
+    # quantize to 100 m^2: cross-engine trig drift is ~0.1 m^2 on these
+    # ~1e12 m^2 values and the nearest quantization boundary sits 2.4
+    # m^2 away (measured) — boundary-safe
+    return out.select(
+        "nk", F.round(F.col("area_m2") / 100.0, 0).alias("area_1e2m2"))
+
+
 def q75_wintri_fwd(spark, sf_dir):
     # ESRI:54042 World Winkel Tripel (the NatGeo world map) — mean of
     # equidistant cylindrical (phi1 = acos(2/pi)) and Aitoff; the
@@ -1357,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_mill_fwd": q74_mill_fwd,
         "q75_wintri_fwd": q75_wintri_fwd,
         "q76_hammer_fwd": q76_hammer_fwd,
+        "q77_geodesic_area": q77_geodesic_area,
     }
 
 
@@ -2316,6 +2343,25 @@ SELECT o_orderkey,
          AS xm,
        round({_a!r} * 0.5 * (p + sin(p)/snc), 1) AS ym
 FROM v
+"""
+
+    # q77: geodesic area of the equator-based quad — the top edge's
+    # spherical excess in closed form on the authalic sphere
+    from proj_spark.operators.geodesic import authalic_radius
+
+    _ra2 = authalic_radius() ** 2
+    _es77 = 1.0 - (1.0 - 1.0 / 298.257223563) ** 2
+    _e77 = math.sqrt(_es77)
+    _qp77 = O._qsfn("1.0", _e77, 1.0 - _es77)
+    _q77 = O._qsfn("sin(radians(5.0 + n_nationkey * 2.5))", _e77, 1.0 - _es77)
+    _t77 = f"tan(0.5 * asin(({_q77}) / ({_qp77})))"
+    _w77 = math.radians(12.0)
+    _exc77 = (f"abs(2.0 * atan2(tan({-0.5 * _w77!r}) * 2.0 * {_t77}, "
+              f"1.0 + {_t77} * {_t77}))")
+    out["q77_geodesic_area"] = f"""
+SELECT n_nationkey::BIGINT AS nk,
+       round({_exc77} * {_ra2!r} / 100.0, 0) AS area_1e2m2
+FROM nation
 """
 
     # q76: Hammer closed forward form

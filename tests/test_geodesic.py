@@ -99,3 +99,62 @@ def test_vincenty_antimeridian_wrap():
     b = vincenty_inverse(np.array([180.05]), np.array([-84.95]),
                          np.array([2.3522]), np.array([48.8566]))
     assert np.isfinite(a[0]) and abs(float(a[0]) - float(b[0])) < 1e-6
+
+
+def test_geodesic_area_identities(spark):
+    """Geodesic polygon area (authalic-sphere spherical excess):
+    (a) authalic radius == the published WGS84 value 6371007.1810 m;
+    (b) an octant (great-circle edges) == pi/2 R_A^2 EXACTLY;
+    (c) the 8 octants tile the ellipsoid: sum == 4 pi R_A^2;
+    (d) Rect rows use the exact parallel-bounded band closed form;
+    (e) holes subtract; (f) the Spark column path agrees with the
+    local function."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from proj_spark.operators.geodesic import (authalic_radius,
+                                               geom_area_m2,
+                                               with_geodesic_area)
+    from proj_spark.operators.geometry import (GEOMETRY_DDL, geom_polygon,
+                                               geom_rect)
+
+    RA = authalic_radius()
+    assert abs(RA - 6371007.1810) < 1e-3
+    tri = [[0.0, 0.0], [90.0, 0.0], [0.0, 90.0]]
+    A = geom_area_m2("Triangle", [tri], None)
+    assert abs(A - 0.5 * np.pi * RA * RA) < 1e-3
+    total = 0.0
+    for sx in (0.0, 90.0, 180.0, -90.0):
+        for sy in (1.0, -1.0):
+            total += geom_area_m2(
+                "Triangle", [[[sx, 0.0], [sx + 90.0, 0.0], [sx, sy * 90.0]]],
+                None)
+    assert abs(total - 4.0 * np.pi * RA * RA) < 1.0  # tiles the ellipsoid
+    # Rect: exact ellipsoid lat-band area via the authalic q function
+    from proj_spark import kernels as K
+
+    a = 6378137.0
+    es = 1.0 - (1.0 - 1.0 / 298.257223563) ** 2
+    e, one_es = np.sqrt(es), 1.0 - es
+    want = 0.5 * a * a * np.radians(20.0) * (
+        float(K._qsfn(np.sin(np.radians(45.0)), e, one_es))
+        - float(K._qsfn(np.sin(np.radians(20.0)), e, one_es)))
+    got = geom_area_m2("Rect", [[[10.0, 20.0], [30.0, 45.0]]], None)
+    # es here is 1-(1-f)^2 vs the operator's f*(2-f): ulp-equal only,
+    # which is 1e-15 relative = ~0.01 m^2 at this magnitude
+    assert abs(got - want) < 0.05
+    # holes subtract
+    outer = [[0, 0], [10, 0], [10, 10], [0, 10]]
+    hole = [[2, 2], [4, 2], [4, 4], [2, 4]]
+    a1 = geom_area_m2("Polygon", [outer], None)
+    ah = geom_area_m2("Polygon", [hole], None)
+    a2 = geom_area_m2("Polygon", [outer, hole], None)
+    assert abs(a1 - ah - a2) < 1e-4
+    # Spark column path
+    df = spark.createDataFrame(
+        [(0, geom_polygon([outer, hole])), (1, geom_rect((10, 20), (30, 45)))],
+        f"gid long, geom struct<{GEOMETRY_DDL}>")
+    rows = {r["gid"]: r["area_m2"]
+            for r in with_geodesic_area(df).collect()}
+    assert abs(rows[0] - a2) < 1e-4
+    assert abs(rows[1] - want) < 0.05
