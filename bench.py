@@ -146,6 +146,19 @@ def bench_queries(spark, sf_dir):
     imgs_pyr = synthesize_images(spark, n_img).localCheckpoint()
     run("tile_pyramid", n_img, lambda: _sink(
         tile_pyramid(imgs_pyr, zooms=(0, 1, 2), tile=16)))
+    from proj_spark.operators.joins import radius_join
+    run("radius_join", n_cust, lambda: _sink(
+        radius_join(cust, E._knn_queries(spark, sf_dir), 500_000.0,
+                    point_id_col="c_custkey")))
+    from proj_spark.operators.events import asof_join
+    ev = E._t(spark, sf_dir, "events").repartition(par).cache()
+    n_ev = ev.count()
+    errs = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id"))
+    run("asof_join", n_ev, lambda: _sink(
+        asof_join(ev, errs, by="user_id", right_cols=("err_id",))))
+    from proj_spark.operators.textops import corpus_clean
+    run("corpus_clean", n_docs, lambda: _sink(corpus_clean(docs)))
 
     # this sandbox's first-touch page allocation is pathologically slow
     # (200x variance on identical numpy ops until pages are warm) and
@@ -160,7 +173,7 @@ def bench_queries(spark, sf_dir):
             dt = time.time() - t0
             results[name] = (min(results[name][0], dt), rows)
 
-    for d in (orders, cust, docs, emb):
+    for d in (orders, cust, docs, emb, ev):
         d.unpersist()
     return results
 
