@@ -928,6 +928,30 @@ def q70_eck4_fwd(spark, sf_dir):
         _round(F.col("y"), 1).alias("ym"))
 
 
+def q78_bonne_fwd(spark, sf_dir):
+    # ESRI:54024 World Bonne (EPSG method 9827, equal-area pseudoconic)
+    # — meridian-arc-series oracle; equal-area Jacobian + arc-radius
+    # property pins in tests/test_kernels.py
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "world")
+    out = with_transformed(df, "EPSG:4326", "ESRI:54024", err_col=None)
+    return out.select(
+        "o_orderkey", _round(F.col("x"), 1).alias("xm"),
+        _round(F.col("y"), 1).alias("ym"))
+
+
+def q79_eqdc_fwd(spark, sf_dir):
+    # ESRI:102031 Europe Equidistant Conic (EPSG method 1119) — the
+    # regional-mapping conic with true scale on both standard parallels
+    # (pinned) and along meridians.  Points stay in the CRS's area of
+    # use: at antipodal-distance coordinates (2e7 m) cross-engine trig
+    # drift reaches the 0.1 m rounding quantum.
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "romania")
+    out = with_transformed(df, "EPSG:4326", "ESRI:102031", err_col=None)
+    return out.select(
+        "o_orderkey", _round(F.col("x"), 1).alias("xm"),
+        _round(F.col("y"), 1).alias("ym"))
+
+
 def q77_geodesic_area(spark, sf_dir):
     # geodesic polygon area (authalic-sphere spherical excess,
     # great-circle edges): per nation, an equator-based quad whose only
@@ -1384,6 +1408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_wintri_fwd": q75_wintri_fwd,
         "q76_hammer_fwd": q76_hammer_fwd,
         "q77_geodesic_area": q77_geodesic_area,
+        "q78_bonne_fwd": q78_bonne_fwd,
+        "q79_eqdc_fwd": q79_eqdc_fwd,
     }
 
 
@@ -2363,6 +2389,22 @@ SELECT n_nationkey::BIGINT AS nk,
        round({_exc77} * {_ra2!r} / 100.0, 0) AS area_1e2m2
 FROM nation
 """
+
+    ch78 = O.Chain(
+        f"SELECT o_orderkey, {lon_w} AS lon, {lat_w} AS lat FROM orders"
+    )
+    x, y = O.chain_bonne_fwd(ch78, "lon", "lat", "ESRI:54024")
+    out["q78_bonne_fwd"] = ch78.finish(
+        f"o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym"
+    )
+
+    ch79 = O.Chain(
+        f"SELECT o_orderkey, {lon_ro} AS lon, {lat_ro} AS lat FROM orders"
+    )
+    x, y = O.chain_eqdc_fwd(ch79, "lon", "lat", "ESRI:102031")
+    out["q79_eqdc_fwd"] = ch79.finish(
+        f"o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym"
+    )
 
     # q76: Hammer closed forward form
     out["q76_hammer_fwd"] = f"""

@@ -948,6 +948,21 @@ for entry in [
        area=Area(-180, -90, 180, 90), area_name="World.",
        datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
        base_geog="EPSG:4326", base_geog_name="WGS 84"),
+    _e("ESRI:54024", "World Bonne", "projected",
+       "+proj=bonne +lat_1=60 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 "
+       "+units=m",
+       towgs84=(0, 0, 0),
+       area=Area(-180, -90, 180, 90), area_name="World.",
+       datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
+       base_geog="EPSG:4326", base_geog_name="WGS 84"),
+    _e("ESRI:102031", "Europe Equidistant Conic", "projected",
+       "+proj=eqdc +lat_0=30 +lon_0=10 +lat_1=43 +lat_2=62 "
+       "+x_0=0 +y_0=0 +ellps=GRS80 +units=m",
+       towgs84=(0, 0, 0), datum_ellps="GRS80",
+       area=Area(-35.58, 24.6, 44.83, 84.73),
+       area_name="Europe.",
+       datum_name="European Terrestrial Reference System 1989 ensemble",
+       datum_code=6258, base_geog="EPSG:4258", base_geog_name="ETRS89"),
     _e("ESRI:54042", "World Winkel Tripel", "projected",
        "+proj=wintri +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m",
        towgs84=(0, 0, 0),

@@ -1949,6 +1949,108 @@ def natearth_inv(x, y, P, iters: int = 10):
 
 
 # ---------------------------------------------------------------------------
+# bonne — Bonne (EPSG method 9827; Snyder PP-1395 ch. 19, ellipsoidal):
+# equal-area pseudoconic.  rho = m1/sin(phi1) + M1 - M(phi); parallels
+# are circular arcs about (0, m1/sin(phi1)); true scale along every
+# parallel and the central meridian.
+# ---------------------------------------------------------------------------
+def bonne_setup(params, a, es):
+    phi1 = np.radians(float(params["lat_1"]))
+    if abs(float(np.sin(phi1))) < 1e-10:
+        raise ProjKernelError("bonne: lat_1 may not be 0 (use sinu)")
+    en = _enfn(es)
+    s1, c1 = float(np.sin(phi1)), float(np.cos(phi1))
+    m1 = c1 / np.sqrt(1.0 - es * s1 * s1)
+    ml1 = float(_mlfn(phi1, s1, c1, en))
+    return {"es": es, "en": en, "c0": float(m1 / s1 + ml1),
+            "ml1": ml1, "sign": 1.0 if s1 >= 0 else -1.0}
+
+
+def bonne_fwd(lam, phi, P):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    s, c = _fsincos(phi)
+    rho = P["c0"] - _mlfn(phi, s, c, P["en"])
+    m = c / np.sqrt(1.0 - P["es"] * s * s)
+    T = np.where(np.abs(rho) > 1e-12, lam * m / np.where(
+        np.abs(rho) > 1e-12, rho, 1.0), 0.0)
+    x = rho * np.sin(T)
+    # natural origin at (lat_1, lon_0): rho(phi1) = c0 - ml1, so
+    # y = rho(phi1) - rho cos(T) is 0 there (PROJ's convention)
+    y = (P["c0"] - P["ml1"]) - rho * np.cos(T)
+    return x, y
+
+
+def bonne_inv(x, y, P):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    cy = (P["c0"] - P["ml1"]) - y
+    rho = P["sign"] * np.hypot(x, cy)
+    ml = P["c0"] - rho
+    phi = _inv_mlfn(ml, P["es"], P["en"])
+    s, c = _fsincos(phi)
+    m = c / np.sqrt(1.0 - P["es"] * s * s)
+    theta = np.arctan2(P["sign"] * x, P["sign"] * cy)
+    lam = np.where(np.abs(m) > 1e-12,
+                   rho * theta / np.where(np.abs(m) > 1e-12, m, 1.0), 0.0)
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# eqdc — Equidistant Conic (EPSG method 1119; Snyder PP-1395 ch. 16,
+# two standard parallels): n = (m1-m2)/(M2-M1), G = m1/n + M1,
+# rho = G - M; true scale on both standard parallels and along every
+# meridian (the "equidistant" property).
+# ---------------------------------------------------------------------------
+def eqdc_setup(params, a, es):
+    phi0 = np.radians(float(params.get("lat_0", 0.0)))
+    phi1 = np.radians(float(params["lat_1"]))
+    phi2 = np.radians(float(params.get("lat_2", params["lat_1"])))
+    en = _enfn(es)
+
+    def _m(p):
+        sp, cp = float(np.sin(p)), float(np.cos(p))
+        return cp / np.sqrt(1.0 - es * sp * sp)
+
+    def _M(p):
+        return float(_mlfn(p, np.sin(p), np.cos(p), en))
+
+    m1, m2 = _m(phi1), _m(phi2)
+    M1, M2 = _M(phi1), _M(phi2)
+    if abs(phi1 - phi2) < 1e-12:
+        n = float(np.sin(phi1))  # one-parallel limit
+    else:
+        n = (m1 - m2) / (M2 - M1)
+    if abs(n) < 1e-12:
+        raise ProjKernelError("eqdc: standard parallels give n = 0")
+    G = m1 / n + M1
+    return {"es": es, "en": en, "n": float(n), "G": float(G),
+            "rho0": float(G - _M(phi0))}
+
+
+def eqdc_fwd(lam, phi, P):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    s, c = _fsincos(phi)
+    rho = P["G"] - _mlfn(phi, s, c, P["en"])
+    x = rho * np.sin(P["n"] * lam)
+    y = P["rho0"] - rho * np.cos(P["n"] * lam)
+    return x, y
+
+
+def eqdc_inv(x, y, P):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    cy = P["rho0"] - y
+    rho = np.hypot(x, cy)
+    if P["n"] < 0:
+        rho = -rho
+    phi = _inv_mlfn(P["G"] - rho, P["es"], P["en"])
+    lam = np.arctan2(np.sign(P["n"]) * x, np.sign(P["n"]) * cy) / P["n"]
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
 # wintri — Winkel Tripel (Snyder "Flattening the Earth"; the standard
 # National Geographic world map): arithmetic mean of the equidistant
 # cylindrical (standard parallel phi_1 = acos(2/pi)) and the Aitoff
@@ -2151,4 +2253,6 @@ PROJECTIONS = {
     "mill": (mill_setup, mill_fwd, mill_inv),
     "wintri": (wintri_setup, wintri_fwd, wintri_inv),
     "hammer": (hammer_setup, hammer_fwd, hammer_inv),
+    "bonne": (bonne_setup, bonne_fwd, bonne_inv),
+    "eqdc": (eqdc_setup, eqdc_fwd, eqdc_inv),
 }

@@ -1299,3 +1299,82 @@ def chain_eck4_fwd(ch: Chain, lon: str, lat: str,
     x = f"({_f(a * float(K._ECK4_CX))} * lam_{tag} * (1.0 + cos(tf_{tag})))"
     y = f"({_f(a * float(K._ECK4_CY))} * sin(tf_{tag}))"
     return x, y
+
+
+def _sql_mlfn(phi: str, en) -> str:
+    """Meridian-arc en-series on a radians expression (shared by the
+    sinu/bonne/eqdc oracles)."""
+    s = f"sin({phi})"
+    c = f"cos({phi})"
+    s2 = f"({s}*{s})"
+    return (f"({_f(en[0])}*({phi}) - ({c}*{s})*({_f(en[1])} + {s2}*({_f(en[2])}"
+            f" + {s2}*({_f(en[3])} + {s2}*{_f(en[4])}))))")
+
+
+def chain_bonne_fwd(ch: Chain, lon: str, lat: str,
+                    code: str = "ESRI:54024") -> tuple[str, str]:
+    """Bonne forward (dialect pair: kernels.bonne_fwd): rho from the
+    meridian-arc series, T = lam*m/rho, arcs about the lat_1 origin."""
+    from . import kernels as K
+    from .crs import parse_proj_string, resolve_crs
+
+    entry = resolve_crs(code)
+    p = parse_proj_string(entry.proj)[0]
+    a, es = K.ellipsoid(p)
+    P = K.bonne_setup(p, a, es)
+    lam0 = math.radians(float(p.get("lon_0", 0.0)))
+    x0 = float(p.get("x_0", 0.0))
+    y0 = float(p.get("y_0", 0.0))
+    tag = f"bn_{ch.i}"
+    ch.add({f"phi_{tag}": f"radians({lat})",
+            f"lr_{tag}": f"(radians({lon}) - {_f(lam0)})"})
+    # engine adjlon wrap (floor form), matching the ProjStep reduction
+    ch.add({f"lam_{tag}": (
+        f"(lr_{tag} - 2.0*pi() * floor((lr_{tag} + pi()) / (2.0*pi())))")})
+    ch.add({
+        f"rho_{tag}": f"({_f(P['c0'])} - {_sql_mlfn(f'phi_{tag}', P['en'])})",
+        f"m_{tag}": (f"(cos(phi_{tag})"
+                     f" / sqrt(1.0 - {_f(es)}*sin(phi_{tag})*sin(phi_{tag})))"),
+    })
+    ch.add({f"t_{tag}": f"(lam_{tag} * m_{tag} / rho_{tag})"})
+    x = f"({_f(a)} * rho_{tag} * sin(t_{tag}) + {_f(x0)})"
+    y = (f"({_f(a)} * ({_f(P['c0'] - P['ml1'])}"
+         f" - rho_{tag} * cos(t_{tag})) + {_f(y0)})")
+    return x, y
+
+
+def chain_eqdc_fwd(ch: Chain, lon: str, lat: str,
+                   code: str = "ESRI:102031") -> tuple[str, str]:
+    """Equidistant Conic forward (dialect pair: kernels.eqdc_fwd):
+    rho = G - M(phi), theta = n*lam."""
+    from . import kernels as K
+    from .crs import parse_proj_string, resolve_crs
+
+    entry = resolve_crs(code)
+    p = parse_proj_string(entry.proj)[0]
+    a, es = K.ellipsoid(p)
+    P = K.eqdc_setup(p, a, es)
+    lam0 = math.radians(float(p.get("lon_0", 0.0)))
+    x0 = float(p.get("x_0", 0.0))
+    y0 = float(p.get("y_0", 0.0))
+    tag = f"ec_{ch.i}"
+    if entry.datum_ellps != "WGS84":
+        # engine path runs WGS84 -> local-ellipsoid through ECEF even
+        # for towgs84=(0,0,0): the flattening difference alone moves
+        # latitudes ~1e-4 m — mirror it
+        lam_c, phi_c = chain_datum_shift(
+            ch, lon, lat, "WGS84", entry.datum_ellps,
+            dst_towgs84=entry.towgs84, out=(f"eclam_{tag}", f"ecphi_{tag}"))
+        ch.add({f"phi_{tag}": f"({phi_c})",
+                f"lr_{tag}": f"(({lam_c}) - {_f(lam0)})"})
+    else:
+        ch.add({f"phi_{tag}": f"radians({lat})",
+                f"lr_{tag}": f"(radians({lon}) - {_f(lam0)})"})
+    # engine adjlon wrap (floor form), matching the ProjStep reduction
+    ch.add({f"lam_{tag}": (
+        f"(lr_{tag} - 2.0*pi() * floor((lr_{tag} + pi()) / (2.0*pi())))")})
+    ch.add({f"th_{tag}": f"({_f(P['n'])} * lam_{tag})"})
+    ch.add({f"rho_{tag}": f"({_f(P['G'])} - {_sql_mlfn(f'phi_{tag}', P['en'])})"})
+    x = f"({_f(a)} * rho_{tag} * sin(th_{tag}) + {_f(x0)})"
+    y = f"({_f(a)} * ({_f(P['rho0'])} - rho_{tag} * cos(th_{tag})) + {_f(y0)})"
+    return x, y

@@ -266,6 +266,31 @@ _METHODS = {
         ("y_0", "False northing", 8807,
          "false_northing", "False_Northing", _P_LEN, 0.0),
     ]),
+    "bonne": ("Bonne", 9827, "Bonne", "Bonne", [
+        ("lat_1", "Latitude of natural origin", 8801,
+         "standard_parallel_1", "Standard_Parallel_1", _P_ANG, None),
+        ("lon_0", "Longitude of natural origin", 8802,
+         "central_meridian", "Central_Meridian", _P_ANG, 0.0),
+        ("x_0", "False easting", 8806,
+         "false_easting", "False_Easting", _P_LEN, 0.0),
+        ("y_0", "False northing", 8807,
+         "false_northing", "False_Northing", _P_LEN, 0.0),
+    ]),
+    "eqdc": ("Equidistant Conic", 1119,
+             "Equidistant_Conic", "Equidistant_Conic", [
+        ("lat_0", "Latitude of false origin", 8821,
+         "latitude_of_center", "Latitude_Of_Origin", _P_ANG, 0.0),
+        ("lon_0", "Longitude of false origin", 8822,
+         "longitude_of_center", "Central_Meridian", _P_ANG, 0.0),
+        ("lat_1", "Latitude of 1st standard parallel", 8823,
+         "standard_parallel_1", "Standard_Parallel_1", _P_ANG, None),
+        ("lat_2", "Latitude of 2nd standard parallel", 8824,
+         "standard_parallel_2", "Standard_Parallel_2", _P_ANG, None),
+        ("x_0", "Easting at false origin", 8826,
+         "false_easting", "False_Easting", _P_LEN, 0.0),
+        ("y_0", "Northing at false origin", 8827,
+         "false_northing", "False_Northing", _P_LEN, 0.0),
+    ]),
     "wintri": ("Winkel Tripel", 0,  # no EPSG method code
                "Winkel_Tripel", "Winkel_Tripel", [
         ("lon_0", "Longitude of natural origin", 8802,

@@ -1282,3 +1282,74 @@ def test_wintri_and_hammer_properties():
     assert np.abs(p2 - LA.ravel()).max() < 1e-12
     # registry + WKT surface resolves
     Transform.new_known_crs("EPSG:4326", "ESRI:54044").convert(10.0, 20.0)
+
+
+def test_bonne_and_eqdc_properties():
+    """Bonne: equal-area (|J| == the exact ellipsoid area element),
+    parallels are arcs of radius rho about (0, rho(lat_1)), origin
+    exact, machine roundtrip.  Equidistant Conic: unit scale EXACTLY
+    on both standard parallels, meridian distances preserved
+    (y-spacing along any meridian == meridian arc), machine
+    roundtrip."""
+    import numpy as np
+
+    from proj_spark import kernels as K
+    from proj_spark.crs import Transform
+
+    a = 6378137.0
+    t = Transform.new_known_crs("EPSG:4326", "ESRI:54024")
+    es = 1.0 - (1.0 - 1 / 298.257223563) ** 2
+    h = 1e-7
+    for lon, lat in [(0.0, 60.0), (30.0, 20.0), (-60.0, -40.0),
+                     (100.0, 75.0)]:
+        lam, phi = np.radians(lon), np.radians(lat)
+        tb = Transform.new("+proj=bonne +lat_1=60 +lon_0=0 +ellps=WGS84")
+        x0, y0 = tb.project(lam, phi)
+        x1, y1 = tb.project(lam + h, phi)
+        x2, y2 = tb.project(lam, phi + h)
+        J = ((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)) / h / h
+        want = a * a * np.cos(phi) * (1 - es) / (
+            1 - es * np.sin(phi) ** 2) ** 2
+        assert abs(J / want - 1) < 1e-6, (lon, lat)
+    x, y = t.convert(0.0, 60.0)
+    assert abs(x) < 1e-9 and abs(y) < 1e-9  # natural origin at lat_1
+    # parallel at 20N is an arc of constant radius about the cone apex
+    tb = Transform.new("+proj=bonne +lat_1=60 +lon_0=0 +ellps=WGS84")
+    P = K.bonne_setup({"lat_1": 60.0, "ellps": "WGS84"}, a, es)
+    apex_y = a * (P["c0"] - P["ml1"])  # kernel units are a; output m
+    rr = []
+    for lon in (-120.0, -30.0, 0.0, 45.0, 160.0):
+        x, y = tb.project(np.radians(lon), np.radians(20.0))
+        rr.append(float(np.hypot(x, apex_y - y)))
+    assert np.ptp(rr) < 1e-6  # constant to sub-micron at 8e6 m radius
+    glon = np.radians(np.linspace(-179, 179, 19))
+    glat = np.radians(np.linspace(-85, 85, 17))
+    LO, LA = np.meshgrid(glon, glat)
+    X, Y = tb.project_array(LO.ravel().copy(), LA.ravel().copy())
+    l2, p2 = tb.project_array(X.copy(), Y.copy(), inverse=True)
+    assert np.abs(l2 - LO.ravel()).max() < 1e-12
+    assert np.abs(p2 - LA.ravel()).max() < 1e-12
+
+    te = Transform.new(
+        "+proj=eqdc +lat_0=30 +lat_1=43 +lat_2=62 +lon_0=10 +ellps=GRS80")
+    esG = 1.0 - (1.0 - 1 / 298.257222101) ** 2
+    for pstd in (43.0, 62.0):
+        phi = np.radians(pstd)
+        x0, y0 = te.project(0.0, phi)
+        x1, y1 = te.project(h, phi)
+        k = np.hypot(x1 - x0, y1 - y0) / (
+            a * h * np.cos(phi) / np.sqrt(1 - esG * np.sin(phi) ** 2))
+        assert abs(k - 1.0) < 1e-9, pstd  # true scale on both parallels
+    # meridian equidistance: dy/dphi along a meridian == dM/dphi
+    en = K._enfn(esG)
+    for lat in (35.0, 55.0, 70.0):
+        phi = np.radians(lat)
+        x0, y0 = te.project(np.radians(5.0), phi)
+        x1, y1 = te.project(np.radians(5.0), phi + h)
+        dM = a * (K._mlfn(phi + h, np.sin(phi + h), np.cos(phi + h), en)
+                  - K._mlfn(phi, np.sin(phi), np.cos(phi), en))
+        assert abs(np.hypot(x1 - x0, y1 - y0) / dM - 1.0) < 1e-6, lat
+    X, Y = te.project_array(LO.ravel().copy(), LA.ravel().copy())
+    l2, p2 = te.project_array(X.copy(), Y.copy(), inverse=True)
+    assert np.abs(l2 - LO.ravel()).max() < 1e-12
+    assert np.abs(p2 - LA.ravel()).max() < 1e-12
