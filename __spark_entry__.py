@@ -928,6 +928,44 @@ def q70_eck4_fwd(spark, sf_dir):
         _round(F.col("y"), 1).alias("ym"))
 
 
+def q80_html_strip(spark, sf_dir):
+    # web-corpus text extraction (textops.html_strip): planted
+    # script/style blocks, tags and entities wrapped around each doc —
+    # the oracle rebuilds the identical HTML string and compiles the
+    # same RE2-subset automata in DuckDB.  Zero-shuffle codegen scan.
+    from proj_spark.operators.textops import html_strip
+
+    df = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = df.select("doc_id", F.concat(
+        F.lit("<html><head><style>p{color:red}</style></head><body>"),
+        F.lit("<script>var n="), (did % 100).cast("string"),
+        F.lit(";</script><p class=\"d\">"), F.col("text"),
+        F.lit(" &amp; more &lt;stuff&gt;</p></body></html>"),
+    ).alias("text"))
+    return html_strip(planted)
+
+
+def q81_geodesic_length(spark, sf_dir):
+    # geodesic LineString length: per nation a 3-vertex track; the
+    # oracle sums two unrolled fixed-iteration Vincenty chains (the
+    # q53 machinery applied per segment)
+    from proj_spark.operators.geodesic import with_geodesic_length
+    from proj_spark.operators.geometry import GEOMETRY_DDL, geom_linestring
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey").toPandas()
+    rows = []
+    for nk in nat["n_nationkey"]:
+        lon0 = -160.0 + nk * 12.1
+        lat0 = -60.0 + nk * 4.7
+        pts = [(lon0, lat0), (lon0 + 8.0, lat0 + 3.0),
+               (lon0 + 13.5, lat0 - 2.0)]
+        rows.append((int(nk), geom_linestring(pts)))
+    df = spark.createDataFrame(rows, f"nk long, geom struct<{GEOMETRY_DDL}>")
+    out = with_geodesic_length(df)
+    return out.select("nk", _round(F.col("length_m"), 1).alias("length_m"))
+
+
 def q78_bonne_fwd(spark, sf_dir):
     # ESRI:54024 World Bonne (EPSG method 9827, equal-area pseudoconic)
     # — meridian-arc-series oracle; equal-area Jacobian + arc-radius
@@ -1410,6 +1448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_geodesic_area": q77_geodesic_area,
         "q78_bonne_fwd": q78_bonne_fwd,
         "q79_eqdc_fwd": q79_eqdc_fwd,
+        "q80_html_strip": q80_html_strip,
+        "q81_geodesic_length": q81_geodesic_length,
     }
 
 
@@ -2389,6 +2429,51 @@ SELECT n_nationkey::BIGINT AS nk,
        round({_exc77} * {_ra2!r} / 100.0, 0) AS area_1e2m2
 FROM nation
 """
+
+    # ---- q80: HTML strip — identical planted string + same automata
+    html80 = (
+        "'<html><head><style>p{color:red}</style></head><body>"
+        "<script>var n=' || (doc_id % 100)::VARCHAR || ';</script>"
+        '<p class="d">\' || text || '
+        "' &amp; more &lt;stuff&gt;</p></body></html>'"
+    )
+    blk80 = r"<(script|style)[^>]*>[\s\S]*?</(script|style)>"
+    tag80 = r"<[^>]+>"
+    out["q80_html_strip"] = f"""
+WITH p AS (SELECT doc_id, {html80} AS t FROM documents),
+s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{tag80}'))::BIGINT AS n_tags_stripped,
+         regexp_replace(regexp_replace(t, '{blk80}', ' ', 'g'),
+                        '{tag80}', ' ', 'g') AS u
+  FROM p
+), e AS (
+  SELECT doc_id, n_tags_stripped,
+         replace(replace(replace(replace(replace(replace(u,
+           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' ') AS v
+  FROM s
+)
+SELECT doc_id, trim(regexp_replace(v, '\\s+', ' ', 'g')) AS clean_text,
+       n_tags_stripped
+FROM e
+"""
+
+    # ---- q81: geodesic linestring length — two unrolled Vincenty
+    # chains summed
+    ch81 = O.Chain(
+        "SELECT n_nationkey AS nk, "
+        "(-160.0 + n_nationkey * 12.1) AS lon0, "
+        "(-60.0 + n_nationkey * 4.7) AS lat0 FROM nation"
+    )
+    s1 = O.chain_vincenty_inverse(
+        ch81, "lon0", "lat0", "(lon0 + 8.0)", "(lat0 + 3.0)")
+    s2 = O.chain_vincenty_inverse(
+        ch81, "(lon0 + 8.0)", "(lat0 + 3.0)",
+        "(lon0 + 13.5)", "(lat0 - 2.0)")
+    out["q81_geodesic_length"] = ch81.finish(
+        f"nk::BIGINT AS nk, round({s1} + {s2}, 1) AS length_m"
+    )
 
     ch78 = O.Chain(
         f"SELECT o_orderkey, {lon_w} AS lon, {lat_w} AS lat FROM orders"

@@ -30,7 +30,8 @@ from proj_spark.geodesy import inverse_core
 
 __all__ = ["vincenty_inverse", "geodesic_distance_udf",
            "with_geodesic_distance", "authalic_radius",
-           "geom_area_m2", "with_geodesic_area", "sphere_ring_excess"]
+           "geom_area_m2", "with_geodesic_area", "sphere_ring_excess",
+           "geom_length_m", "with_geodesic_length"]
 
 _WGS84_A = 6378137.0
 _WGS84_F = 1.0 / 298.257223563
@@ -209,3 +210,45 @@ def with_geodesic_area(df: DataFrame, geom_col: str = "geom",
 
     g = F.col(geom_col)
     return df.withColumn(out, _area(g["kind"], g["parts"], g["offsets"]))
+
+
+def geom_length_m(kind: str, parts, offsets,
+                  a: float = _WGS84_A, f: float = _WGS84_F) -> float:
+    """Geodesic length in meters of one geometry struct row: the sum
+    of fixed-iteration Vincenty segment distances.  LineString /
+    MultiLineString sum their open parts; Polygon / MultiPolygon sum
+    CLOSED ring perimeters (exterior + holes)."""
+    closed = kind in ("Polygon", "MultiPolygon", "Triangle", "Rect")
+    total = 0.0
+    for part in parts:
+        arr = np.stack([np.asarray(pt, dtype=np.float64) for pt in part])
+        if kind == "Rect":  # 2 corners -> full rectangle ring
+            (x1, y1), (x2, y2) = arr[0], arr[1]
+            arr = np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]])
+        if closed and (arr[0] != arr[-1]).any():
+            arr = np.vstack([arr, arr[:1]])
+        if len(arr) < 2:
+            continue
+        s = vincenty_inverse(arr[:-1, 0], arr[:-1, 1],
+                             arr[1:, 0], arr[1:, 1], a=a, f=f)
+        total += float(np.sum(s))
+    return total
+
+
+def with_geodesic_length(df: DataFrame, geom_col: str = "geom",
+                         out: str = "length_m",
+                         a: float = _WGS84_A, f: float = _WGS84_F) -> DataFrame:
+    """Arrow-batched geodesic line length / ring perimeter over a
+    geometry struct column (one Python call per batch)."""
+
+    @pandas_udf("double")
+    def _length(kind: pd.Series, parts: pd.Series,
+                offsets: pd.Series) -> pd.Series:
+        out_v = np.empty(len(kind), dtype=np.float64)
+        for i in range(len(kind)):
+            out_v[i] = geom_length_m(kind.iloc[i], parts.iloc[i],
+                                     offsets.iloc[i], a=a, f=f)
+        return pd.Series(out_v)
+
+    g = F.col(geom_col)
+    return df.withColumn(out, _length(g["kind"], g["parts"], g["offsets"]))

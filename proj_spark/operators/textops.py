@@ -701,6 +701,33 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     )
 
 
+def html_strip(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Web-corpus text extraction: drop <script>/<style> blocks with
+    their content, strip remaining tags, decode the common HTML
+    entities, collapse whitespace — the standard pre-cleaning step
+    before any web-crawl text enters the dedup/quality pipeline.
+
+    Pure whole-stage-codegen regex chain (patterns in the shared
+    Java/RE2 subset: no backreferences or lookaround, (?s) dotall via
+    [\\s\\S]), so the 100-TB scan shape is a zero-shuffle projection;
+    the q80 oracle compiles the same automata in DuckDB.  Output:
+    (id_col, clean_text, n_tags_stripped)."""
+    c = F.col(text_col)
+    block = r"<(script|style)[^>]*>[\s\S]*?</(script|style)>"
+    tag = r"<[^>]+>"
+    n_tags = (F.size(F.regexp_extract_all(c, F.lit(tag), F.lit(0)))
+              .cast("long"))
+    s = F.regexp_replace(c, block, " ")
+    s = F.regexp_replace(s, tag, " ")
+    for ent, rep in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")):
+        s = F.regexp_replace(s, ent, rep)
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return df.select(F.col(id_col), s.alias("clean_text"),
+                     n_tags.alias("n_tags_stripped"))
+
+
 def corpus_clean(
     df: DataFrame,
     text_col: str = "text",

@@ -158,3 +158,46 @@ def test_geodesic_area_identities(spark):
             for r in with_geodesic_area(df).collect()}
     assert abs(rows[0] - a2) < 1e-4
     assert abs(rows[1] - want) < 0.05
+
+
+def test_geodesic_length_anchors(spark):
+    """geom_length_m: a meridian segment equals the engine's own
+    meridian-arc series (independent derivation), an equator segment
+    equals a*dlam exactly, a polygon ring closes (perimeter includes
+    the closing edge), and the Spark column path agrees."""
+    import numpy as np
+
+    from proj_spark import kernels as K
+    from proj_spark.operators.geodesic import (geom_length_m,
+                                               with_geodesic_length)
+    from proj_spark.operators.geometry import GEOMETRY_DDL, geom_linestring, geom_polygon
+
+    a = 6378137.0
+    es = 1.0 - (1.0 - 1 / 298.257223563) ** 2
+    en = K._enfn(es)
+    # meridian segment 10N -> 40N
+    got = geom_length_m("LineString", [[[5.0, 10.0], [5.0, 40.0]]], None)
+    p1, p2 = np.radians(10.0), np.radians(40.0)
+    arc = a * float(K._mlfn(p2, np.sin(p2), np.cos(p2), en)
+                    - K._mlfn(p1, np.sin(p1), np.cos(p1), en))
+    assert abs(got - arc) < 1e-3
+    # equator segment: exactly a * dlam
+    got = geom_length_m("LineString", [[[0.0, 0.0], [10.0, 0.0]]], None)
+    assert abs(got - a * np.radians(10.0)) < 1e-8
+    # polygon perimeter closes the ring
+    tri = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]]
+    open_len = geom_length_m("LineString", [tri], None)
+    closed_len = geom_length_m("Polygon", [tri], None)
+    from proj_spark.operators.geodesic import vincenty_inverse
+    closing = float(vincenty_inverse(
+        np.array([0.0]), np.array([10.0]), np.array([0.0]), np.array([0.0]))[0])
+    assert abs(closed_len - open_len - closing) < 1e-6
+    # Spark column path
+    df = spark.createDataFrame(
+        [(0, geom_linestring([(5.0, 10.0), (5.0, 40.0)])),
+         (1, geom_polygon([tri]))],
+        f"gid long, geom struct<{GEOMETRY_DDL}>")
+    rows = {r["gid"]: r["length_m"]
+            for r in with_geodesic_length(df).collect()}
+    assert abs(rows[0] - arc) < 1e-3
+    assert abs(rows[1] - closed_len) < 1e-9

@@ -457,3 +457,21 @@ def test_corpus_clean_composed_semantics(spark):
     assert 3 not in got                            # langid floor
     assert 4 not in got                            # quality floor
     assert (out["quality"] >= 0.5).all() and (out["en_score"] >= 0.5).all()
+
+
+def test_html_strip_semantics(spark):
+    from proj_spark.operators.textops import html_strip
+
+    rows = [
+        {"doc_id": 0,
+         "text": '<html><script type="x">alert("evil & bad")</script>'
+                 '<p class="a">Hello <b>world</b></p>'
+                 '<style>p {color: red}</style> &amp; good&nbsp;day</html>'},
+        {"doc_id": 1, "text": "no markup at all"},
+    ]
+    out = {int(r["doc_id"]): r for r in
+           html_strip(spark.createDataFrame(pd.DataFrame(rows))).collect()}
+    assert out[0]["clean_text"] == 'Hello world & good day'
+    assert out[0]["n_tags_stripped"] == 10  # every <...> incl. closers
+    assert out[1]["clean_text"] == "no markup at all"
+    assert out[1]["n_tags_stripped"] == 0
