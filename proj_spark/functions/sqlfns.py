@@ -153,3 +153,26 @@ RETURN substr({gh_chars}, 1, precision)
         return pd.DataFrame({"x": ox, "y": oy, "err": oe})
 
     spark.udf.register("proj_transform", _proj_transform)
+
+    # UDTF surface (the table-function leg of the §2.2 UDF/UDAF/UDTF
+    # row): ring_cells(cell, r) expands a cell id to its ring-r
+    # neighbourhood — the SQL-surface twin of cells.np_cell_ring /
+    # cell_ring_col, usable in LATERAL joins for candidate generation:
+    #   SELECT p.*, rc.cand_cell
+    #   FROM points p, LATERAL ring_cells(p.cell, 1) rc
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="cand_cell bigint")
+    class _RingCells:
+        def eval(self, cell, r):
+            import numpy as np
+
+            from ..operators.cells import np_cell_ring
+
+            if cell is None or r is None:
+                return
+            for c in np_cell_ring(np.array([cell], dtype=np.int64),
+                                  int(r)).ravel():
+                yield (int(c),)
+
+    spark.udtf.register("ring_cells", _RingCells)

@@ -123,3 +123,31 @@ def test_sql_geodesic_matches_kernel(spark):
     assert abs(r.d - float(ref[0])) < 1e-9
     # Paris-London is ~343.5 km on the ellipsoid
     assert 340_000 < r.d < 348_000
+
+
+def test_ring_cells_udtf(spark):
+    """The UDTF leg of the SQL surface: ring_cells(cell, r) in a
+    LATERAL join must emit exactly np_cell_ring's neighbourhood for
+    every input row."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_spark.functions.sqlfns import register_sql_functions
+    from proj_spark.operators.cells import np_cell, np_cell_ring
+
+    register_sql_functions(spark)
+    lon = np.array([10.0, -170.0, 0.3])
+    lat = np.array([45.0, 80.0, -45.0])
+    cells = np_cell(lon, lat, 6)
+    df = spark.createDataFrame(pd.DataFrame({
+        "pid": range(3), "cell": cells.astype("int64")}))
+    df.createOrReplaceTempView("ring_pts")
+    out = spark.sql(
+        "SELECT p.pid, rc.cand_cell FROM ring_pts p, "
+        "LATERAL ring_cells(p.cell, 1) rc").toPandas()
+    for pid in range(3):
+        got = set(out[out["pid"] == pid]["cand_cell"].astype(int))
+        want = set(int(c) for c in
+                   np_cell_ring(cells[pid:pid + 1], 1).ravel())
+        assert got == want, pid
+        assert len(got) == 9  # full 3x3 block away from edges
