@@ -2450,8 +2450,8 @@ s AS (
 ), e AS (
   SELECT doc_id, n_tags_stripped,
          replace(replace(replace(replace(replace(replace(u,
-           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-           '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' ') AS v
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS v
   FROM s
 )
 SELECT doc_id, trim(regexp_replace(v, '\\s+', ' ', 'g')) AS clean_text,

@@ -733,8 +733,8 @@ for entry in [
        "+proj=merc +lon_0=100 +lat_ts=-41 +x_0=0 +y_0=0 +ellps=WGS84 "
        "+units=m",
        towgs84=(0, 0, 0),
-       area=Area(100.0, -66.29, -66.29, 28.0),
-       area_name="World centred on 160 E - between 28 N and 66.29 S.",
+       area=Area(-180.0, -66.29, 180.0, 28.0),
+       area_name="World between 28 N and 66.29 S.",
        datum_name=_WGS84E_NAME, datum_code=6326,
        base_geog="EPSG:4326", base_geog_name="WGS 84"),
 ]:
@@ -955,14 +955,22 @@ for entry in [
        area=Area(-180, -90, 180, 90), area_name="World.",
        datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
        base_geog="EPSG:4326", base_geog_name="WGS 84"),
+    _e("EPSG:4230", "ED50", "geographic",
+       "+proj=longlat +ellps=intl",
+       towgs84=(-87.0, -98.0, -121.0), axis_order="ne", unit="deg",
+       area=Area(-16.1, 25.71, 48.61, 84.73),
+       area_name="Europe - ED50 by country.",
+       datum_ellps="intl", datum_name="European Datum 1950",
+       datum_code=6230),
+    # ESRI's published 102031 is ED50-based (GCS_European_1950)
     _e("ESRI:102031", "Europe Equidistant Conic", "projected",
        "+proj=eqdc +lat_0=30 +lon_0=10 +lat_1=43 +lat_2=62 "
-       "+x_0=0 +y_0=0 +ellps=GRS80 +units=m",
-       towgs84=(0, 0, 0), datum_ellps="GRS80",
-       area=Area(-35.58, 24.6, 44.83, 84.73),
+       "+x_0=0 +y_0=0 +ellps=intl +units=m",
+       towgs84=(-87.0, -98.0, -121.0), datum_ellps="intl",
+       area=Area(-16.1, 25.71, 48.61, 84.73),
        area_name="Europe.",
-       datum_name="European Terrestrial Reference System 1989 ensemble",
-       datum_code=6258, base_geog="EPSG:4258", base_geog_name="ETRS89"),
+       datum_name="European Datum 1950", datum_code=6230,
+       base_geog="EPSG:4230", base_geog_name="ED50"),
     _e("ESRI:54042", "World Winkel Tripel", "projected",
        "+proj=wintri +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m",
        towgs84=(0, 0, 0),

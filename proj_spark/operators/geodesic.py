@@ -123,7 +123,16 @@ def sphere_ring_excess(lam: np.ndarray, beta: np.ndarray) -> float:
     """Signed spherical excess of a closed ring whose vertices are
     joined by GREAT-CIRCLE edges (GeographicLib's spherical edge
     accumulation): per edge, E = 2 atan2(tan(dl/2)(t1 + t2),
-    1 + t1 t2) with t = tan(beta/2); area = excess * R^2."""
+    1 + t1 t2) with t = tan(beta/2); area = excess * R^2.
+
+    Pole-enclosing rings (total longitude winding != 0) get the
+    standard 2*pi*winding transit correction: without it a ring
+    circling a pole reports the equator-to-ring BELT instead of a
+    region the ring actually bounds (GeographicLib's pole-crossing
+    adjustment).  Because the engine's rings carry no orientation
+    contract, a winding ring deterministically reports the SMALLER of
+    the two regions it bounds (the polar cap), independent of
+    traversal direction."""
     lam = np.asarray(lam, dtype=np.float64)
     beta = np.asarray(beta, dtype=np.float64)
     if lam[0] != lam[-1] or beta[0] != beta[-1]:
@@ -134,7 +143,14 @@ def sphere_ring_excess(lam: np.ndarray, beta: np.ndarray) -> float:
     dl = (dl + np.pi) % (2.0 * np.pi) - np.pi  # shortest-arc edges
     e = 2.0 * np.arctan2(np.tan(0.5 * dl) * (t[:-1] + t[1:]),
                          1.0 + t[:-1] * t[1:])
-    return float(np.sum(e))
+    winding = np.round(np.sum(dl) / (2.0 * np.pi))
+    excess = float(np.sum(e) - winding * 2.0 * np.pi)
+    if winding != 0:
+        # orientation-free: report the smaller bounded region (cap)
+        a4pi = 4.0 * np.pi
+        amt = abs(excess) % a4pi
+        return min(amt, a4pi - amt)
+    return excess
 
 
 def _lat_band_area(lon_w, lon_e, lat_s, lat_n, a, es) -> float:

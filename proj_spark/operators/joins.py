@@ -517,10 +517,15 @@ def radius_join(
     pts = points.withColumn(
         "cell", cell_col(F.col(lon_col), F.col(lat_col), level))
     qix, qiy = _col_ij(F.col(lon_col), F.col(lat_col), level)
-    # chord-exact longitude span at the band's worst-case latitude
+    # chord-exact longitude span at the band's worst-case latitude; a
+    # band reaching past the 89.99-deg clamp must saturate to the FULL
+    # longitude circle (the clamp otherwise SHRINKS the ring and drops
+    # in-radius pairs for small radii near the poles)
     half_sin = math.sin(radius_m / (2.0 * EARTH_RADIUS_M))
-    maxlat = F.least(F.abs(F.col(lat_col)) + F.lit(rad_deg), F.lit(89.99))
-    ratio = F.least(F.lit(1.0), F.lit(half_sin) / F.cos(F.radians(maxlat)))
+    band_top = F.abs(F.col(lat_col)) + F.lit(rad_deg)
+    ratio = F.when(band_top >= F.lit(89.99), F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0),
+                F.lit(half_sin) / F.cos(F.radians(band_top))))
     lon_span_deg = F.degrees(F.lit(2.0) * F.asin(ratio))
     rx = F.least(F.ceil(lon_span_deg / F.lit(cw)).cast("int"),
                  F.lit(n // 2 + 1))

@@ -446,6 +446,10 @@ def dedup_connected_components(
             break
     if stats is not None:
         stats["rounds"] = rounds
+        # observable non-convergence: if the last round still changed
+        # labels, max_iters was too small for this graph's diameter
+        # and the returned labels are NOT component minima
+        stats["converged"] = changed == 0
     return labels.select(F.col("node"), F.col("label").alias("component_id"))
 
 
@@ -609,30 +613,48 @@ def token_stats(df: DataFrame, text_col: str = "text",
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """Heuristic quality scoring: length, punctuation density, stopword
-    ratio, repetition — the standard pretraining-filter features."""
-    norm = normalize_text_col(F.col(text_col))
+def _text_score_cols(c: Column) -> dict:
+    """Shared column builders for quality_score / langid_score /
+    corpus_clean — ONE source of truth for the scoring formulas (and
+    their q20/q21/q73 SQL-oracle mirrors)."""
+    norm = normalize_text_col(c)
     toks = F.split(norm, " ")
     n_tok = F.size(toks).cast("double")
     stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
-    n_punct = (F.length(norm) - F.length(F.regexp_replace(norm, r"[^\w\s]", ""))).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
+    n_punct = (F.length(norm)
+               - F.length(F.regexp_replace(norm, r"[^\w\s]", ""))).cast("double")
     uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
     stop_ratio = n_stop / n_tok
     punct_ratio = n_punct / F.length(norm).cast("double")
-    score = (
+    quality = (
         F.lit(0.4) * F.least(stop_ratio * 4.0, F.lit(1.0))
         + F.lit(0.4) * uniq_ratio
         + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0)))
     )
+    ascii_ratio = (
+        F.length(F.regexp_replace(norm, r"[^a-z ]", "")).cast("double")
+        / F.length(norm).cast("double")
+    )
+    en_score = (F.lit(0.5) * F.least(stop_ratio * 5.0, F.lit(1.0))
+                + F.lit(0.5) * ascii_ratio)
+    return {"stop_ratio": stop_ratio, "punct_ratio": punct_ratio,
+            "uniq_ratio": uniq_ratio, "quality": quality,
+            "en_score": en_score}
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality scoring: length, punctuation density, stopword
+    ratio, repetition — the standard pretraining-filter features."""
+    sc = _text_score_cols(F.col(text_col))
     return df.select(
         F.col(id_col),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(uniq_ratio, 6).alias("uniq_ratio"),
-        F.round(score, 6).alias("quality"),
+        F.round(sc["stop_ratio"], 6).alias("stop_ratio"),
+        F.round(sc["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(sc["uniq_ratio"], 6).alias("uniq_ratio"),
+        F.round(sc["quality"], 6).alias("quality"),
     )
 
 
@@ -640,17 +662,7 @@ def langid_score(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """n-gram/stopword heuristic language ID: English stopword hit rate
     vs an ASCII-alpha ratio; emits score + predicted label."""
-    norm = normalize_text_col(F.col(text_col))
-    toks = F.split(norm, " ")
-    n_tok = F.size(toks).cast("double")
-    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
-    en_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double") / n_tok
-    ascii_ratio = (
-        F.length(F.regexp_replace(norm, r"[^a-z ]", "")).cast("double")
-        / F.length(norm).cast("double")
-    )
-    score = F.round(F.lit(0.5) * F.least(en_ratio * 5.0, F.lit(1.0))
-                    + F.lit(0.5) * ascii_ratio, 6)
+    score = F.round(_text_score_cols(F.col(text_col))["en_score"], 6)
     return df.select(
         F.col(id_col),
         score.alias("en_score"),
@@ -720,8 +732,10 @@ def html_strip(df: DataFrame, text_col: str = "text",
               .cast("long"))
     s = F.regexp_replace(c, block, " ")
     s = F.regexp_replace(s, tag, " ")
-    for ent, rep in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-                     ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")):
+    # '&amp;' decodes LAST: decoding it first double-unescapes
+    # author-escaped entities ('&amp;lt;' must become '&lt;', not '<')
+    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
         s = F.regexp_replace(s, ent, rep)
     s = F.trim(F.regexp_replace(s, r"\s+", " "))
     return df.select(F.col(id_col), s.alias("clean_text"),
@@ -750,26 +764,9 @@ def corpus_clean(
     identical boundary decisions.
     """
     c = F.col(text_col)
-    norm = normalize_text_col(c)
-    toks = F.split(norm, " ")
-    n_tok = F.size(toks).cast("double")
-    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
-    n_stop = F.size(
-        F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("double")
-    n_punct = (F.length(norm)
-               - F.length(F.regexp_replace(norm, r"[^\w\s]", ""))).cast("double")
-    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
-    stop_ratio = n_stop / n_tok
-    punct_ratio = n_punct / F.length(norm).cast("double")
-    quality = F.round(
-        F.lit(0.4) * F.least(stop_ratio * 4.0, F.lit(1.0))
-        + F.lit(0.4) * uniq_ratio
-        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))),
-        6)
-    ascii_ratio = (F.length(F.regexp_replace(norm, r"[^a-z ]", "")).cast("double")
-                   / F.length(norm).cast("double"))
-    en_score = F.round(F.lit(0.5) * F.least(stop_ratio * 5.0, F.lit(1.0))
-                       + F.lit(0.5) * ascii_ratio, 6)
+    sc = _text_score_cols(c)
+    quality = F.round(sc["quality"], 6)
+    en_score = F.round(sc["en_score"], 6)
     scored = df.select(
         F.col(id_col), c.alias("__text"),
         quality.alias("quality"), en_score.alias("en_score"),

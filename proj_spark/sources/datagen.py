@@ -72,13 +72,20 @@ def meta_for(seq: np.ndarray) -> dict:
     return {"hash": h, "w": w, "h": hh, "fmt": fmt, "lon": lon, "lat": lat}
 
 
-def _raster_base(seed: int, w: int, h: int) -> np.ndarray:
+def _raster_waves(seed: int, w: int, h: int):
+    """Shared seed -> (grid, frequencies, phase) derivation for the
+    base and smooth fixture rasters — one source of truth."""
     s = np.uint64(seed)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
     p = splitmix64(np.arange(6, dtype=np.uint64) + s)
     fx = 0.5 + (p[0] % np.uint64(1000)).astype(np.float64) / 250.0
     fy = 0.5 + (p[1] % np.uint64(1000)).astype(np.float64) / 250.0
     phase = (p[2] % np.uint64(628)).astype(np.float64) / 100.0
+    return yy, xx, fx, fy, phase
+
+
+def _raster_base(seed: int, w: int, h: int) -> np.ndarray:
+    yy, xx, fx, fy, phase = _raster_waves(seed, w, h)
     return np.stack(
         [
             127.5 + 90.0 * np.sin(fx * xx / w * 2 * np.pi + phase),
@@ -110,12 +117,7 @@ def raster_smooth_for(seed: int, w: int, h: int) -> np.ndarray:
     measuring codec correctness rather than the design loss."""
     from .jpeg import _ycbcr_to_rgb
 
-    s = np.uint64(seed)
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-    p = splitmix64(np.arange(6, dtype=np.uint64) + s)
-    fx = 0.5 + (p[0] % np.uint64(1000)).astype(np.float64) / 250.0
-    fy = 0.5 + (p[1] % np.uint64(1000)).astype(np.float64) / 250.0
-    phase = (p[2] % np.uint64(628)).astype(np.float64) / 100.0
+    yy, xx, fx, fy, phase = _raster_waves(seed, w, h)
     y = 127.5 + 80.0 * np.sin(fx * xx / w * 2 * np.pi + phase) \
         * np.cos(fy * yy / h * np.pi + 0.3 * phase)
     cb = 128.0 + 20.0 * np.sin(xx / max(w, 2) * np.pi + phase)

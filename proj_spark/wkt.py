@@ -50,6 +50,7 @@ _ELLPS = {
     "bessel": ("Bessel 1841", 7004, 6377397.155, 299.1528128),
     "evrstSS": ("Everest 1830 (1967 Definition)", 7016,
                 6377298.556, 300.8017),
+    "intl": ("International 1924", 7022, 6378388.0, 297.0),
     "sphere": ("Clarke 1866 Authalic Sphere", 7052, 6370997.0, 0.0),
 }
 

@@ -201,3 +201,30 @@ def test_geodesic_length_anchors(spark):
             for r in with_geodesic_length(df).collect()}
     assert abs(rows[0] - arc) < 1e-3
     assert abs(rows[1] - closed_len) < 1e-9
+
+
+def test_geodesic_area_pole_enclosing_ring():
+    """Code-review regression: a ring circling a pole used to report
+    the equator-to-ring BELT instead of the enclosed cap.  A 360-gon
+    at 80 N must give ~the north polar cap area (inscribed-polygon
+    deficit < 0.1%), likewise at 80 S — NOT the ~16x-larger belt."""
+    import numpy as np
+
+    from proj_spark.operators.geodesic import (_authalic_beta,
+                                               authalic_radius,
+                                               geom_area_m2)
+
+    RA = authalic_radius()
+    es = (1.0 / 298.257223563) * (2.0 - 1.0 / 298.257223563)
+    # winding rings report the SMALLER bounded region (the cap),
+    # independent of pole and traversal direction
+    lons_e = np.linspace(-180, 179, 360)
+    for sgn, lons in ((1.0, lons_e), (1.0, lons_e[::-1]),
+                      (-1.0, lons_e), (-1.0, lons_e[::-1])):
+        ring = [[float(lon), sgn * 80.0] for lon in lons]
+        got = geom_area_m2("Polygon", [ring], None)
+        beta = float(_authalic_beta(np.radians(sgn * 80.0), es))
+        cap = 2.0 * np.pi * (1.0 - np.sin(abs(beta))) * RA * RA
+        belt = 2.0 * np.pi * np.sin(abs(beta)) * RA * RA
+        assert abs(got - cap) / cap < 1e-3, sgn
+        assert belt / got > 10.0  # nowhere near the pre-fix belt value

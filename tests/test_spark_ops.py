@@ -583,3 +583,26 @@ def test_asof_join_matches_merge_asof(spark):
     got = asof_join(left1, tie, by="user_id",
                     right_cols=("err_id",)).collect()[0]
     assert int(got["err_id_right"]) == 9
+
+
+def test_radius_join_small_radius_near_pole(spark):
+    """Code-review regression: the 89.99-deg clamp used to SHRINK the
+    longitude ring for small radii near the poles — two points 180 deg
+    apart in longitude but ~160 m apart across the pole must pair."""
+    import numpy as np
+    import pandas as pd
+
+    from proj_spark.operators.joins import radius_join
+
+    pts = pd.DataFrame({"point_id": [0, 1, 2],
+                        "lon": [180.0, 0.0, 90.0],
+                        "lat": [89.9995, 89.0, -89.9995]})
+    qs = pd.DataFrame({"query_id": [0, 1],
+                       "lon": [0.0, -90.0],
+                       "lat": [89.999, -89.999]})
+    out = radius_join(spark.createDataFrame(pts), spark.createDataFrame(qs),
+                      1000.0).toPandas()
+    got = set(zip(out["query_id"].astype(int), out["point_id"].astype(int)))
+    assert (0, 0) in got   # across the north pole, dlon = 180
+    assert (1, 2) in got   # across the south pole
+    assert (0, 1) not in got  # ~111 km away

@@ -191,6 +191,12 @@ def test_dedup_cc_pointer_doubling_round_count(spark):
            for r in dedup_connected_components(pairs, stats=stats).collect()}
     assert got == {i: 0 for i in range(n)}          # exact closure
     assert stats["rounds"] <= 8, stats               # pinned: log2(59)+1
+    assert stats["converged"] is True
+    # non-convergence is OBSERVABLE: with max_iters too small for the
+    # diameter, stats reports converged=False instead of silence
+    stats_bad = {}
+    dedup_connected_components(pairs, max_iters=2, stats=stats_bad).collect()
+    assert stats_bad["converged"] is False
     # star graph (the planted q51 shape): 2 rounds (1 work + 1 confirm)
     star = [(0, i) for i in range(1, 9)]
     pairs2 = spark.createDataFrame(pd.DataFrame(star, columns=["id_a", "id_b"]))
