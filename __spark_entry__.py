@@ -928,6 +928,19 @@ def q70_eck4_fwd(spark, sf_dir):
         _round(F.col("y"), 1).alias("ym"))
 
 
+def q82_char_entropy(spark, sf_dir):
+    # character-bigram Shannon entropy (perplexity proxy for
+    # gibberish/boilerplate filtering): explode + two aggregates, no
+    # Python — the oracle computes the same H = ln N - sum(n ln n)/N
+    from proj_spark.operators.textops import char_entropy
+
+    out = char_entropy(_t(spark, sf_dir, "documents"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        _round(F.col("bigram_entropy_bits"), 6).alias("ent_bits"))
+
+
 def q80_html_strip(spark, sf_dir):
     # web-corpus text extraction (textops.html_strip): planted
     # script/style blocks, tags and entities wrapped around each doc —
@@ -1450,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_eqdc_fwd": q79_eqdc_fwd,
         "q80_html_strip": q80_html_strip,
         "q81_geodesic_length": q81_geodesic_length,
+        "q82_char_entropy": q82_char_entropy,
     }
 
 
@@ -2457,6 +2471,22 @@ s AS (
 SELECT doc_id, trim(regexp_replace(v, '\\s+', ' ', 'g')) AS clean_text,
        n_tags_stripped
 FROM e
+"""
+
+    # ---- q82: char-bigram entropy — same H = ln N - sum(n ln n)/N
+    norm82 = O.sql_norm_text("text")
+    ln2_ = 0.6931471805599453
+    out["q82_char_entropy"] = f"""
+WITH g AS (
+  SELECT doc_id, substr({norm82}, i, 2) AS gram
+  FROM documents, unnest(range(1, length({norm82}))) AS t(i)
+), c AS (
+  SELECT doc_id, gram, count(*)::DOUBLE AS n FROM g GROUP BY 1, 2
+)
+SELECT doc_id::BIGINT AS doc_id, sum(n)::BIGINT AS n_bigrams,
+       round((ln(sum(n)) - sum(n * ln(n)) / sum(n)) / {ln2_!r}, 6)
+         AS ent_bits
+FROM c GROUP BY doc_id
 """
 
     # ---- q81: geodesic linestring length — two unrolled Vincenty

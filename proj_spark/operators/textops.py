@@ -40,6 +40,7 @@ __all__ = [
     "quality_score",
     "langid_score",
     "corpus_clean",
+    "char_entropy",
     "doc_fingerprint",
 ]
 
@@ -710,6 +711,38 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
         n_em.cast("long").alias("n_emails"),
         n_ph.cast("long").alias("n_phones"),
         clean.alias("clean_text"),
+    )
+
+
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Character-bigram Shannon entropy per document — the classic
+    SQL-expressible perplexity proxy for gibberish/boilerplate
+    filtering (natural language sits ~3-4 bits/bigram; keyboard mash
+    and repeated padding fall well outside).
+
+    Shape: explode the normalized text's bigrams (linear, the
+    url_domain_stats shape), count per (doc, gram), then one aggregate
+    using H = ln(N) - sum(n ln n)/N — no per-doc maps, no Python.
+    Output: (doc_id, n_bigrams, bigram_entropy_bits)."""
+    norm = normalize_text_col(F.col(text_col))
+    n = F.length(norm) - F.lit(1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: norm.substr(i, F.lit(2)))
+    e = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    counts = e.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("n"))
+    ln2 = 0.6931471805599453
+    return (
+        counts.groupBy(id_col)
+        .agg(F.sum("n").alias("__N"),
+             F.sum(F.col("n") * F.log(F.col("n"))).alias("__S"))
+        .select(
+            F.col(id_col),
+            F.col("__N").cast("long").alias("n_bigrams"),
+            ((F.log(F.col("__N")) - F.col("__S") / F.col("__N"))
+             / F.lit(ln2)).alias("bigram_entropy_bits"),
+        )
     )
 
 

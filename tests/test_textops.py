@@ -481,3 +481,27 @@ def test_html_strip_semantics(spark):
     assert out[0]["n_tags_stripped"] == 10  # every <...> incl. closers
     assert out[1]["clean_text"] == "no markup at all"
     assert out[1]["n_tags_stripped"] == 0
+
+
+def test_char_entropy_known_values(spark):
+    """Bigram entropy: exact H for a known string, 0 for constant
+    text, and natural language clearly separated from mash."""
+    import collections
+    import math
+
+    from proj_spark.operators.textops import char_entropy
+
+    t0 = "the quick brown fox jumps over the lazy dog"
+    rows = [{"doc_id": 0, "text": t0},
+            {"doc_id": 1, "text": "aaaaaaaaaaaaaaaa"},
+            {"doc_id": 2, "text": "asdfasdfasdfasdfasdfasdfasdfasdf"}]
+    out = {int(r["doc_id"]): r for r in
+           char_entropy(spark.createDataFrame(pd.DataFrame(rows))).collect()}
+    grams = [t0[i:i + 2] for i in range(len(t0) - 1)]
+    c = collections.Counter(grams)
+    N = len(grams)
+    H = -sum(n / N * math.log2(n / N) for n in c.values())
+    assert abs(out[0]["bigram_entropy_bits"] - H) < 1e-9
+    assert out[0]["n_bigrams"] == N
+    assert abs(out[1]["bigram_entropy_bits"]) < 1e-12   # constant text
+    assert out[2]["bigram_entropy_bits"] < 2.5 < out[0]["bigram_entropy_bits"]
