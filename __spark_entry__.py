@@ -928,6 +928,21 @@ def q70_eck4_fwd(spark, sf_dir):
         _round(F.col("y"), 1).alias("ym"))
 
 
+def q83_minhash_char(spark, sf_dir):
+    # character-shingle MinHash+LSH near-dup pairs (the CJK/short-
+    # string dedup mode: unit="char" slides a 5-char window instead of
+    # word shingles) — same banded plan, fully SQL-mirrored
+    out = TX.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=16, bands=4, k=5,
+        jaccard_threshold=0.4, unit="char",
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        _round(F.col("jaccard"), 6).alias("jaccard"),
+    )
+
+
 def q82_char_entropy(spark, sf_dir):
     # character-bigram Shannon entropy (perplexity proxy for
     # gibberish/boilerplate filtering): explode + two aggregates, no
@@ -1464,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_html_strip": q80_html_strip,
         "q81_geodesic_length": q81_geodesic_length,
         "q82_char_entropy": q82_char_entropy,
+        "q83_minhash_char": q83_minhash_char,
     }
 
 
@@ -1718,6 +1734,37 @@ SELECT ida::BIGINT AS id_a, idb::BIGINT AS id_b,
 FROM cand JOIN documents a ON a.doc_id = cand.ida
           JOIN documents b ON b.doc_id = cand.idb
 WHERE {inter} / ({union}) >= 0.4
+"""
+
+    # q83: the char-shingle variant (k=5 character window) — identical
+    # banded structure; per-doc shingle lists precomputed ONCE in a
+    # CTE (char lists are ~300 elements — inlining them per candidate
+    # pair like q23 does for ~50-element word lists measured minutes)
+    sh83 = O.sql_shingles("text", 5, unit="char")
+    out["q83_minhash_char"] = f"""
+WITH hashed AS (
+  SELECT doc_id, text,
+         list_transform({sh83}, s -> {O.sql_md5_long('s')}) AS base
+  FROM documents),
+shl AS (SELECT doc_id, list_distinct({sh83}) AS sl FROM documents),
+sig AS (SELECT doc_id, {mh_cols} FROM hashed),
+keys AS (SELECT doc_id, {band_keys} FROM sig),
+cand AS (
+  SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
+  FROM keys x JOIN keys y ON x.doc_id < y.doc_id
+   AND (x.key_0 = y.key_0 OR x.key_1 = y.key_1
+     OR x.key_2 = y.key_2 OR x.key_3 = y.key_3)
+),
+j AS (
+  SELECT ida, idb,
+         len(list_filter(a.sl, s -> list_contains(b.sl, s)))::DOUBLE AS i_,
+         (len(a.sl) + len(b.sl))::DOUBLE AS t_
+  FROM cand JOIN shl a ON a.doc_id = cand.ida
+            JOIN shl b ON b.doc_id = cand.idb
+)
+SELECT ida::BIGINT AS id_a, idb::BIGINT AS id_b,
+       round(i_ / (t_ - i_), 6) AS jaccard
+FROM j WHERE i_ / (t_ - i_) >= 0.4
 """
 
     # q24: simhash 32-bit, banded hamming <= 3 (tokens hashed once)

@@ -81,9 +81,20 @@ def tokens_col(text: Column) -> Column:
     return F.split(normalize_text_col(text), " ")
 
 
-def shingles_col(text: Column, k: int = 3) -> Column:
-    """Word k-shingles as strings: transform over token offsets —
-    JVM-side, no UDF."""
+def shingles_col(text: Column, k: int = 3, unit: str = "word") -> Column:
+    """k-shingles as strings, JVM-side (no UDF).  ``unit="word"`` is
+    the classic token shingle; ``unit="char"`` slides a k-character
+    window over the normalized text — the right granularity for
+    unsegmented scripts (CJK) and short strings, where word shingles
+    degenerate."""
+    if unit == "char":
+        norm = normalize_text_col(text)
+        n = F.length(norm) - F.lit(k - 1)
+        idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
+    if unit != "word":
+        raise ValueError(f"unit must be 'word' or 'char', got {unit!r}")
     toks = tokens_col(text)
     n = F.size(toks) - F.lit(k - 1)
     # guard: sequence(1, n) with n < 1 would generate a DESCENDING range
@@ -129,7 +140,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 def minhash_signature(df: DataFrame, text_col: str = "text",
-                      num_hashes: int = 16, k: int = 3) -> DataFrame:
+                      num_hashes: int = 16, k: int = 3,
+                      unit: str = "word") -> DataFrame:
     """MinHash signature: for each of ``num_hashes`` seeded hash
     functions, the min md5-derived value over the doc's k-shingles.
     Pure projection — JVM array ops, no shuffle, no UDF."""
@@ -138,7 +150,8 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     # family).  Two measured pitfalls avoided: inlining the shingle
     # expression re-tokenizes the doc per signature (~16x), and one md5
     # PER (shingle, signature) costs 16x the hashing.
-    with_sh = df.withColumn("__shingles", shingles_col(F.col(text_col), k))
+    with_sh = df.withColumn("__shingles",
+                            shingles_col(F.col(text_col), k, unit))
     with_sh = with_sh.withColumn(
         "__base", F.transform(F.col("__shingles"), md5_long_col)
     )
@@ -162,6 +175,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     k: int = 3,
     jaccard_threshold: float = 0.5,
+    unit: str = "word",
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs.
 
@@ -174,7 +188,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     df = _spread_small_input(df)
     sig = minhash_signature(df.select(id_col, text_col), text_col,
-                            num_hashes, k)
+                            num_hashes, k, unit)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -203,12 +217,16 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sa = F.array_distinct(shingles_col(F.col("text_a"), k))
-    sb = F.array_distinct(shingles_col(F.col("text_b"), k))
+    sa = F.array_distinct(shingles_col(F.col("text_a"), k, unit))
+    sb = F.array_distinct(shingles_col(F.col("text_b"), k, unit))
     inter = F.size(F.array_intersect(sa, sb)).cast("double")
     union = F.size(F.array_union(sa, sb)).cast("double")
+    # degenerate docs (shorter than one shingle) share the empty-
+    # signature bucket; their union is 0 — define jaccard 0, not a
+    # divide-by-zero under ANSI mode
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        cand.withColumn("jaccard", inter / union)
+        cand.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -713,7 +713,13 @@ def sql_tokens(text: str) -> str:
     return f"string_split({sql_norm_text(text)}, ' ')"
 
 
-def sql_shingles(text: str, k: int = 3) -> str:
+def sql_shingles(text: str, k: int = 3, unit: str = "word") -> str:
+    if unit == "char":
+        norm = sql_norm_text(text)
+        return (
+            f"list_transform(range(1, greatest(length({norm}) - {k - 1}, 0)"
+            f" + 1), i -> substr({norm}, i, {k}))"
+        )
     toks = sql_tokens(text)
     return (
         f"list_transform(range(1, greatest(len({toks}) - {k - 1}, 0) + 1), "

@@ -505,3 +505,32 @@ def test_char_entropy_known_values(spark):
     assert out[0]["n_bigrams"] == N
     assert abs(out[1]["bigram_entropy_bits"]) < 1e-12   # constant text
     assert out[2]["bigram_entropy_bits"] < 2.5 < out[0]["bigram_entropy_bits"]
+
+
+def test_char_shingle_minhash_mode(spark):
+    """unit="char" shingles: unsegmented (CJK-style, no spaces) near-
+    duplicates pair up where word shingles see ONE giant token and
+    find nothing; word mode unchanged by default."""
+    from proj_spark.operators.textops import minhash_lsh_pairs, shingles_col
+
+    base = "今日は良い天気ですね散歩に行きましょう公園の桜が咲いています"
+    rows = [{"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": base},                     # exact dup
+            {"doc_id": 2, "text": base[:-4] + "見頃です"},    # near dup
+            {"doc_id": 3, "text": "全く別の内容の文章でありどこにも重複は存在しない"}]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = minhash_lsh_pairs(df, num_hashes=16, bands=4, k=3,
+                            jaccard_threshold=0.4, unit="char").toPandas()
+    pairs = {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    # word mode on the same unsegmented text: one token per doc, no
+    # 3-shingles at all -> empty (the failure mode char mode fixes)
+    wout = minhash_lsh_pairs(df, num_hashes=16, bands=4, k=3,
+                             jaccard_threshold=0.4).toPandas()
+    assert len(wout) == 0
+    # char shingles of a known string
+    got = (spark.createDataFrame(pd.DataFrame([{"t": "abcde"}]))
+           .select(shingles_col(F.col("t"), 3, unit="char").alias("s"))
+           .collect()[0]["s"])
+    assert got == ["abc", "bcd", "cde"]
