@@ -928,6 +928,27 @@ def q70_eck4_fwd(spark, sf_dir):
         _round(F.col("y"), 1).alias("ym"))
 
 
+def q84_aitoff_fwd(spark, sf_dir):
+    # ESRI:54043 World Aitoff (the azimuthal-equidistant half of
+    # Winkel Tripel, standalone; closed-form inverse) — closed-form
+    # SQL oracle with the sinc 0-limit
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "world")
+    out = with_transformed(df, "EPSG:4326", "ESRI:54043", err_col=None)
+    return out.select(
+        "o_orderkey", _round(F.col("x"), 1).alias("xm"),
+        _round(F.col("y"), 1).alias("ym"))
+
+
+def q85_eck6_fwd(spark, sf_dir):
+    # ESRI:54010 World Eckert VI (equal-area; theta + sin theta
+    # Newton) — step-for-step unrolled-Newton SQL oracle
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "world")
+    out = with_transformed(df, "EPSG:4326", "ESRI:54010", err_col=None)
+    return out.select(
+        "o_orderkey", _round(F.col("x"), 1).alias("xm"),
+        _round(F.col("y"), 1).alias("ym"))
+
+
 def q83_minhash_char(spark, sf_dir):
     # character-shingle MinHash+LSH near-dup pairs (the CJK/short-
     # string dedup mode: unit="char" slides a 5-char window instead of
@@ -1480,6 +1501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_geodesic_length": q81_geodesic_length,
         "q82_char_entropy": q82_char_entropy,
         "q83_minhash_char": q83_minhash_char,
+        "q84_aitoff_fwd": q84_aitoff_fwd,
+        "q85_eck6_fwd": q85_eck6_fwd,
     }
 
 
@@ -2566,6 +2589,54 @@ FROM c GROUP BY doc_id
     x, y = O.chain_eqdc_fwd(ch79, "lon", "lat", "ESRI:102031")
     out["q79_eqdc_fwd"] = ch79.finish(
         f"o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym"
+    )
+
+    # q84: Aitoff closed forward form (sinc 0-limit via CASE)
+    out["q84_aitoff_fwd"] = f"""
+WITH t AS (
+  SELECT o_orderkey, radians({lon_w}) AS l, radians({lat_w}) AS p
+  FROM orders
+), u AS (
+  SELECT o_orderkey, l, p,
+         acos(least(greatest(cos(p) * cos(l/2.0), -1.0), 1.0)) AS al
+  FROM t
+), v AS (
+  SELECT o_orderkey, l, p,
+         CASE WHEN abs(al) < 1e-12 THEN 1.0 ELSE sin(al)/al END AS snc
+  FROM u
+)
+SELECT o_orderkey,
+       round({_a!r} * 2.0 * cos(p) * sin(l/2.0) / snc, 1) AS xm,
+       round({_a!r} * sin(p) / snc, 1) AS ym
+FROM v
+"""
+
+    # q85: Eckert VI — unrolled Newton for theta + sin(theta) =
+    # (1 + pi/2) sin(phi), mirroring kernels._eck6_theta
+    _c85 = math.sqrt(2.0 + math.pi)
+    ch85 = O.Chain(
+        f"SELECT o_orderkey, {lon_w} AS lon, {lat_w} AS lat FROM orders"
+    )
+    ch85.add({"phi85": "radians(lat)", "lam85": "radians(lon)"})
+    ch85.add({"sp85": "sin(phi85)"})
+    ch85.add({"rhs85": f"({1.0 + 0.5 * math.pi!r} * sp85)"})
+    th = "t0_85"
+    ch85.add({th: "phi85"})
+    for i in range(12):
+        nxt = f"t{i + 1}_85"
+        step = (f"(({th} + sin({th}) - rhs85)"
+                f" / greatest(1.0 + cos({th}), 1e-9))")
+        ch85.add({nxt: (
+            f"least(greatest({th} - {step}, {-math.pi/2!r}), "
+            f"{math.pi/2!r})")})
+        th = nxt
+    ch85.add({"tf85": (
+        f"(CASE WHEN abs(sp85) >= 1.0 - 1e-14 "
+        f"THEN sign(sp85) * {math.pi/2!r} ELSE {th} END)")})
+    out["q85_eck6_fwd"] = ch85.finish(
+        f"o_orderkey, "
+        f"round({_a!r} * lam85 * (1.0 + cos(tf85)) / {_c85!r}, 1) AS xm, "
+        f"round({_a!r} * 2.0 * tf85 / {_c85!r}, 1) AS ym"
     )
 
     # q76: Hammer closed forward form

@@ -948,6 +948,18 @@ for entry in [
        area=Area(-180, -90, 180, 90), area_name="World.",
        datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
        base_geog="EPSG:4326", base_geog_name="WGS 84"),
+    _e("ESRI:54010", "World Eckert VI", "projected",
+       "+proj=eck6 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m",
+       towgs84=(0, 0, 0),
+       area=Area(-180, -90, 180, 90), area_name="World.",
+       datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
+       base_geog="EPSG:4326", base_geog_name="WGS 84"),
+    _e("ESRI:54043", "World Aitoff", "projected",
+       "+proj=aitoff +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m",
+       towgs84=(0, 0, 0),
+       area=Area(-180, -90, 180, 90), area_name="World.",
+       datum_name="World Geodetic System 1984 ensemble", datum_code=6326,
+       base_geog="EPSG:4326", base_geog_name="WGS 84"),
     _e("ESRI:54024", "World Bonne", "projected",
        "+proj=bonne +lat_1=60 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 "
        "+units=m",

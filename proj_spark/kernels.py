@@ -2107,6 +2107,80 @@ def wintri_inv(x, y, P, iters: int = 20):
 
 
 # ---------------------------------------------------------------------------
+# aitoff — Aitoff (Snyder "Flattening the Earth"): the azimuthal-
+# equidistant-derived half of Winkel Tripel, exposed standalone.
+# x = 2 cos(phi) sin(lam/2) / sinc(alpha), y = sin(phi)/sinc(alpha)
+# with alpha = acos(cos(phi) cos(lam/2)); 2-D Newton inverse.
+# ---------------------------------------------------------------------------
+def aitoff_setup(params, a, es):
+    return {}
+
+
+def aitoff_fwd(lam, phi, P):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    c = np.cos(phi)
+    hl = 0.5 * lam
+    alpha = np.arccos(np.clip(c * np.cos(hl), -1.0, 1.0))
+    s = _sinc(alpha)
+    return 2.0 * c * np.sin(hl) / s, np.sin(phi) / s
+
+
+def aitoff_inv(x, y, P):
+    # closed form: Aitoff is the EQUATORIAL azimuthal equidistant of
+    # (lam/2, phi) with x doubled — invert the spherical aeqd and
+    # un-halve the longitude
+    xh = 0.5 * np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    c = np.hypot(xh, y)
+    sc = np.where(c > 1e-15, np.sin(c) / np.where(c > 1e-15, c, 1.0), 1.0)
+    phi = farcsin(np.clip(y * sc, -1.0, 1.0))
+    lam = 2.0 * np.arctan2(xh * sc, np.cos(c))
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# eck6 — Eckert VI (Snyder PP-1395 ch. 32): spherical equal-area,
+# theta + sin(theta) = (1 + pi/2) sin(phi);
+# x = lam (1 + cos theta)/sqrt(2 + pi), y = 2 theta/sqrt(2 + pi).
+# ---------------------------------------------------------------------------
+_ECK6_C = np.sqrt(2.0 + np.pi)
+
+
+def eck6_setup(params, a, es):
+    return {}
+
+
+def _eck6_theta(phi, iters: int = 12):
+    rhs = (1.0 + 0.5 * np.pi) * fsin(phi)
+    theta = np.asarray(phi, dtype=np.float64).copy()
+    for _ in range(iters):
+        s, c = _fsincos(theta)
+        theta = np.clip(theta - (theta + s - rhs)
+                        / np.maximum(1.0 + c, 1e-9), -HALFPI, HALFPI)
+    sphi = fsin(phi)
+    return np.where(np.abs(sphi) >= 1.0 - 1e-14,
+                    np.sign(sphi) * HALFPI, theta)
+
+
+def eck6_fwd(lam, phi, P):
+    theta = _eck6_theta(phi)
+    x = np.asarray(lam, dtype=np.float64) * (1.0 + np.cos(theta)) / _ECK6_C
+    y = 2.0 * theta / _ECK6_C
+    return x, y
+
+
+def eck6_inv(x, y, P):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    theta = np.clip(0.5 * _ECK6_C * y, -HALFPI, HALFPI)
+    lam = x * _ECK6_C / np.maximum(1.0 + np.cos(theta), 1e-12)
+    phi = farcsin(np.clip(
+        (theta + np.sin(theta)) / (1.0 + 0.5 * np.pi), -1.0, 1.0))
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
 # hammer — Hammer (Snyder PP-1395 ch. 24): spherical equal-area
 # modified-azimuthal; closed forms both ways.
 # ---------------------------------------------------------------------------
@@ -2255,4 +2329,6 @@ PROJECTIONS = {
     "hammer": (hammer_setup, hammer_fwd, hammer_inv),
     "bonne": (bonne_setup, bonne_fwd, bonne_inv),
     "eqdc": (eqdc_setup, eqdc_fwd, eqdc_inv),
+    "aitoff": (aitoff_setup, aitoff_fwd, aitoff_inv),
+    "eck6": (eck6_setup, eck6_fwd, eck6_inv),
 }

@@ -1353,3 +1353,52 @@ def test_bonne_and_eqdc_properties():
     l2, p2 = te.project_array(X.copy(), Y.copy(), inverse=True)
     assert np.abs(l2 - LO.ravel()).max() < 1e-12
     assert np.abs(p2 - LA.ravel()).max() < 1e-12
+
+
+def test_aitoff_and_eck6_properties():
+    """Aitoff: the defining identity wintri = (eqc(phi1=acos(2/pi)) +
+    aitoff)/2 holds exactly; equator maps x = R*lam; the closed-form
+    inverse (equatorial aeqd of (lam/2, phi)) roundtrips at machine
+    precision.  Eckert VI: equal-area Jacobian == cos(phi), exact pole
+    ordinate pi/sqrt(2+pi), machine roundtrip."""
+    import numpy as np
+
+    from proj_spark import kernels as K
+    from proj_spark.crs import Transform
+
+    R = 6378137.0
+    ta = Transform.new_known_crs("EPSG:4326", "ESRI:54043")
+    x, y = ta.convert(120.0, 0.0)
+    assert abs(x - R * np.radians(120.0)) < 1e-6 and abs(y) < 1e-9
+    lam, phi = np.radians(77.0), np.radians(33.0)
+    xa, ya = K.aitoff_fwd(np.array([lam]), np.array([phi]), {})
+    xw, yw = K.wintri_fwd(np.array([lam]), np.array([phi]),
+                          {"cosphi1": 2.0 / np.pi})
+    assert abs(0.5 * (lam * 2.0 / np.pi + xa[0]) - xw[0]) < 1e-15
+    assert abs(0.5 * (phi + ya[0]) - yw[0]) < 1e-15
+
+    glon = np.radians(np.linspace(-179, 179, 25))
+    glat = np.radians(np.linspace(-89, 89, 21))
+    LO, LA = np.meshgrid(glon, glat)
+    t1 = Transform.new("+proj=aitoff +R=1")
+    X, Y = t1.project_array(LO.ravel().copy(), LA.ravel().copy())
+    l2, p2 = t1.project_array(X.copy(), Y.copy(), inverse=True)
+    assert np.abs(l2 - LO.ravel()).max() < 1e-12
+    assert np.abs(p2 - LA.ravel()).max() < 1e-12
+
+    te = Transform.new("+proj=eck6 +R=1")
+    h = 1e-7
+    for latd in (0.0, 45.0, 80.0):
+        phi0 = np.radians(latd)
+        lam0 = np.radians(30.0)
+        x0, y0 = te.project(lam0, phi0)
+        x1, y1 = te.project(lam0 + h, phi0)
+        x2, y2 = te.project(lam0, phi0 + h)
+        J = ((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)) / h / h
+        assert abs(J - np.cos(phi0)) < 1e-6, latd
+    x, y = te.project(0.0, np.radians(90.0))
+    assert abs(y - np.pi / np.sqrt(2.0 + np.pi)) < 1e-12
+    X, Y = te.project_array(LO.ravel().copy(), LA.ravel().copy())
+    l2, p2 = te.project_array(X.copy(), Y.copy(), inverse=True)
+    assert np.abs(l2 - LO.ravel()).max() < 1e-12
+    assert np.abs(p2 - LA.ravel()).max() < 1e-12
