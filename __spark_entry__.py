@@ -2552,11 +2552,14 @@ WITH g AS (
   FROM documents, unnest(range(1, length({norm82}))) AS t(i)
 ), c AS (
   SELECT doc_id, gram, count(*)::DOUBLE AS n FROM g GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, sum(n) AS N_, sum(n * ln(n)) AS S_ FROM c GROUP BY doc_id
 )
-SELECT doc_id::BIGINT AS doc_id, sum(n)::BIGINT AS n_bigrams,
-       round((ln(sum(n)) - sum(n * ln(n)) / sum(n)) / {ln2_!r}, 6)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(a.N_, 0)::BIGINT AS n_bigrams,
+       coalesce(round((ln(a.N_) - a.S_ / a.N_) / {ln2_!r}, 6), 0.0)
          AS ent_bits
-FROM c GROUP BY doc_id
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
 
     # ---- q81: geodesic linestring length — two unrolled Vincenty

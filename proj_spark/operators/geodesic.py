@@ -234,13 +234,33 @@ def geom_length_m(kind: str, parts, offsets,
     of fixed-iteration Vincenty segment distances.  LineString /
     MultiLineString sum their open parts; Polygon / MultiPolygon sum
     CLOSED ring perimeters (exterior + holes)."""
-    closed = kind in ("Polygon", "MultiPolygon", "Triangle", "Rect")
+    if kind in ("Point", "MultiPoint"):
+        return 0.0
+    if kind not in ("LineString", "MultiLineString", "Polygon",
+                    "MultiPolygon", "Triangle", "Rect"):
+        raise ValueError(f"geodesic length undefined for kind {kind!r}")
+    if kind == "Rect":
+        # consistent with geom_area_m2's Rect semantics (edges are
+        # meridians and PARALLELS): 2 meridian arcs (the meridian IS
+        # the geodesic) + the two parallel-arc lengths
+        (x1, y1), (x2, y2) = parts[0][0], parts[0][1]
+        lon_w, lon_e = min(x1, x2), max(x1, x2)
+        lat_s, lat_n = min(y1, y2), max(y1, y2)
+        es = f * (2.0 - f)
+        mer = float(vincenty_inverse(
+            np.array([lon_w]), np.array([lat_s]),
+            np.array([lon_w]), np.array([lat_n]), a=a, f=f)[0])
+
+        def par_len(lat):
+            phi = np.radians(lat)
+            return float(np.radians(lon_e - lon_w) * a * np.cos(phi)
+                         / np.sqrt(1.0 - es * np.sin(phi) ** 2))
+
+        return 2.0 * mer + par_len(lat_s) + par_len(lat_n)
+    closed = kind in ("Polygon", "MultiPolygon", "Triangle")
     total = 0.0
     for part in parts:
         arr = np.stack([np.asarray(pt, dtype=np.float64) for pt in part])
-        if kind == "Rect":  # 2 corners -> full rectangle ring
-            (x1, y1), (x2, y2) = arr[0], arr[1]
-            arr = np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]])
         if closed and (arr[0] != arr[-1]).any():
             arr = np.vstack([arr, arr[:1]])
         if len(arr) < 2:

@@ -189,6 +189,12 @@ def minhash_lsh_pairs(
     df = _spread_small_input(df)
     sig = minhash_signature(df.select(id_col, text_col), text_col,
                             num_hashes, k, unit)
+    # docs with ZERO shingles (shorter than one window) have all-NULL
+    # signatures; without this filter they all share the md5('') band
+    # key — an O(d^2) self-join on exactly the short-string inputs the
+    # char mode targets — and, at threshold 0, would emit pairs the
+    # SQL oracle (where NULL keys never compare equal) does not
+    sig = sig.where(F.col("mh_0").isNotNull())
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -412,6 +418,7 @@ def dedup_connected_components(
         .localCheckpoint(eager=False)
     )
     rounds = 0
+    changed = 0
     for _ in range(max_iters):
         rounds += 1
         nbr = (
@@ -465,10 +472,10 @@ def dedup_connected_components(
             break
     if stats is not None:
         stats["rounds"] = rounds
-        # observable non-convergence: if the last round still changed
-        # labels, max_iters was too small for this graph's diameter
-        # and the returned labels are NOT component minima
-        stats["converged"] = changed == 0
+        # observable non-convergence: if the last permitted round
+        # still changed labels, the fixpoint was not CONFIRMED and the
+        # returned labels may not be component minima
+        stats["converged"] = rounds > 0 and changed == 0
     return labels.select(F.col("node"), F.col("label").alias("component_id"))
 
 
@@ -743,23 +750,27 @@ def char_entropy(df: DataFrame, text_col: str = "text",
     url_domain_stats shape), count per (doc, gram), then one aggregate
     using H = ln(N) - sum(n ln n)/N — no per-doc maps, no Python.
     Output: (doc_id, n_bigrams, bigram_entropy_bits)."""
-    norm = normalize_text_col(F.col(text_col))
-    n = F.length(norm) - F.lit(1)
-    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
-        F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: norm.substr(i, F.lit(2)))
+    grams = shingles_col(F.col(text_col), 2, unit="char")
     e = df.select(F.col(id_col), F.explode(grams).alias("gram"))
     counts = e.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("n"))
     ln2 = 0.6931471805599453
-    return (
+    agg = (
         counts.groupBy(id_col)
         .agg(F.sum("n").alias("__N"),
              F.sum(F.col("n") * F.log(F.col("n"))).alias("__S"))
+    )
+    # LEFT join back so documents with < 2 normalized chars (or NULL
+    # text) keep their row with n_bigrams = 0 instead of vanishing
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
         .select(
             F.col(id_col),
-            F.col("__N").cast("long").alias("n_bigrams"),
-            ((F.log(F.col("__N")) - F.col("__S") / F.col("__N"))
-             / F.lit(ln2)).alias("bigram_entropy_bits"),
+            F.coalesce(F.col("__N"), F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            F.coalesce(
+                (F.log(F.col("__N")) - F.col("__S") / F.col("__N"))
+                / F.lit(ln2), F.lit(0.0)).alias("bigram_entropy_bits"),
         )
     )
 

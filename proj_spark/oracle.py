@@ -1057,10 +1057,7 @@ def sql_cass_fwd(lon: str, lat: str, proj: str) -> tuple[str, str]:
     s = f"sin({phi})"
     c = f"cos({phi})"
     s2 = f"({s}*{s})"
-    ml = (
-        f"({_f(en[0])}*{phi} - ({c}*{s})*({_f(en[1])} + {s2}*({_f(en[2])}"
-        f" + {s2}*({_f(en[3])} + {s2}*{_f(en[4])}))))"
-    )
+    ml = _sql_mlfn(phi, en)
     lam = f"(radians({lon}) - {_f(lam0)})"
     n = f"(1.0 / sqrt(1.0 - {_f(es)}*{s2}))"
     T = f"(tan({phi})*tan({phi}))"
@@ -1124,10 +1121,7 @@ def sql_sinu_fwd(lon: str, lat: str,
     s = f"sin({phi})"
     c = f"cos({phi})"
     s2 = f"({s}*{s})"
-    ml = (
-        f"({_f(en[0])}*{phi} - ({c}*{s})*({_f(en[1])} + {s2}*({_f(en[2])}"
-        f" + {s2}*({_f(en[3])} + {s2}*{_f(en[4])}))))"
-    )
+    ml = _sql_mlfn(phi, en)
     lam = f"(radians({lon}) - {_f(lam0)})"
     x = f"({_f(a)} * {lam} * {c} / sqrt(1.0 - {_f(es)}*{s2}) + {_f(x0)})"
     y = f"({_f(a)} * {ml} + {_f(y0)})"

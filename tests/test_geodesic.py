@@ -228,3 +228,34 @@ def test_geodesic_area_pole_enclosing_ring():
         belt = 2.0 * np.pi * np.sin(abs(beta)) * RA * RA
         assert abs(got - cap) / cap < 1e-3, sgn
         assert belt / got > 10.0  # nowhere near the pre-fix belt value
+
+
+def test_geodesic_length_rect_matches_area_semantics():
+    """Rect length and Rect area describe the SAME boundary (meridians
+    + parallels): perimeter = 2 meridian arcs + the two parallel-arc
+    lengths, each checked against its closed form."""
+    import numpy as np
+
+    from proj_spark import kernels as K
+    from proj_spark.operators.geodesic import geom_length_m, vincenty_inverse
+
+    a = 6378137.0
+    es = (1.0 / 298.257223563) * (2.0 - 1.0 / 298.257223563)
+    got = geom_length_m("Rect", [[[0.0, 60.0], [120.0, 70.0]]], None)
+    mer = float(vincenty_inverse(np.array([0.0]), np.array([60.0]),
+                                 np.array([0.0]), np.array([70.0]))[0])
+
+    def par(lat):
+        phi = np.radians(lat)
+        return np.radians(120.0) * a * np.cos(phi) / np.sqrt(
+            1.0 - es * np.sin(phi) ** 2)
+
+    assert abs(got - (2.0 * mer + par(60.0) + par(70.0))) < 1e-6
+    # sanity: clearly LONGER than the old great-circle-edge reading
+    # (geodesic edges are the SHORTEST paths between the corners)
+    assert got > 12_000_000.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        geom_length_m("Nonsense", [[[0, 0], [1, 1]]], None)
+    assert geom_length_m("Point", [[[3.0, 4.0]]], None) == 0.0
