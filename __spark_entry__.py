@@ -928,6 +928,15 @@ def q70_eck4_fwd(spark, sf_dir):
         _round(F.col("y"), 1).alias("ym"))
 
 
+def q86_gall_fwd(spark, sf_dir):
+    # ESRI:54016 World Gall Stereographic — closed-form SQL oracle
+    df = _pts(spark, sf_dir, "orders", "o_orderkey", "world")
+    out = with_transformed(df, "EPSG:4326", "ESRI:54016", err_col=None)
+    return out.select(
+        "o_orderkey", _round(F.col("x"), 1).alias("xm"),
+        _round(F.col("y"), 1).alias("ym"))
+
+
 def q84_aitoff_fwd(spark, sf_dir):
     # ESRI:54043 World Aitoff (the azimuthal-equidistant half of
     # Winkel Tripel, standalone; closed-form inverse) — closed-form
@@ -1503,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_minhash_char": q83_minhash_char,
         "q84_aitoff_fwd": q84_aitoff_fwd,
         "q85_eck6_fwd": q85_eck6_fwd,
+        "q86_gall_fwd": q86_gall_fwd,
     }
 
 
@@ -2593,6 +2603,17 @@ FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
     out["q79_eqdc_fwd"] = ch79.finish(
         f"o_orderkey, round({x}, 1) AS xm, round({y}, 1) AS ym"
     )
+
+    # q86: Gall Stereographic closed form (constants pre-multiplied in
+    # Python — DuckDB parses adjacent float literals as DECIMALs and
+    # overflows on their product)
+    _gyf = _a * (1.0 + math.sqrt(2.0) / 2.0)
+    out["q86_gall_fwd"] = f"""
+SELECT o_orderkey,
+       round({_a!r} * radians({lon_w}) / sqrt(2.0), 1) AS xm,
+       round({_gyf!r} * tan(radians({lat_w}) / 2.0), 1) AS ym
+FROM orders
+"""
 
     # q84: Aitoff closed forward form (sinc 0-limit via CASE)
     out["q84_aitoff_fwd"] = f"""

@@ -2107,6 +2107,31 @@ def wintri_inv(x, y, P, iters: int = 20):
 
 
 # ---------------------------------------------------------------------------
+# gall — Gall Stereographic (Snyder "Flattening the Earth"):
+# spherical cylindrical compromise, x = lam/sqrt(2),
+# y = (1 + sqrt(2)/2) tan(phi/2); closed forms both ways.
+# ---------------------------------------------------------------------------
+_GALL_YF = 1.0 + np.sqrt(2.0) / 2.0
+_GALL_XF = 1.0 / np.sqrt(2.0)
+
+
+def gall_setup(params, a, es):
+    return {}
+
+
+def gall_fwd(lam, phi, P):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    return _GALL_XF * lam, _GALL_YF * np.tan(0.5 * phi)
+
+
+def gall_inv(x, y, P):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    return x / _GALL_XF, 2.0 * np.arctan(y / _GALL_YF)
+
+
+# ---------------------------------------------------------------------------
 # aitoff — Aitoff (Snyder "Flattening the Earth"): the azimuthal-
 # equidistant-derived half of Winkel Tripel, exposed standalone.
 # x = 2 cos(phi) sin(lam/2) / sinc(alpha), y = sin(phi)/sinc(alpha)
@@ -2331,4 +2356,5 @@ PROJECTIONS = {
     "eqdc": (eqdc_setup, eqdc_fwd, eqdc_inv),
     "aitoff": (aitoff_setup, aitoff_fwd, aitoff_inv),
     "eck6": (eck6_setup, eck6_fwd, eck6_inv),
+    "gall": (gall_setup, gall_fwd, gall_inv),
 }

@@ -267,6 +267,15 @@ _METHODS = {
         ("y_0", "False northing", 8807,
          "false_northing", "False_Northing", _P_LEN, 0.0),
     ]),
+    "gall": ("Gall Stereographic", 0,  # no EPSG method code
+             "Gall_Stereographic", "Gall_Stereographic", [
+        ("lon_0", "Longitude of natural origin", 8802,
+         "central_meridian", "Central_Meridian", _P_ANG, 0.0),
+        ("x_0", "False easting", 8806,
+         "false_easting", "False_Easting", _P_LEN, 0.0),
+        ("y_0", "False northing", 8807,
+         "false_northing", "False_Northing", _P_LEN, 0.0),
+    ]),
     "aitoff": ("Aitoff", 0,  # no EPSG method code
                "Aitoff", "Aitoff", [
         ("lon_0", "Longitude of natural origin", 8802,

@@ -1402,3 +1402,39 @@ def test_aitoff_and_eck6_properties():
     l2, p2 = te.project_array(X.copy(), Y.copy(), inverse=True)
     assert np.abs(l2 - LO.ravel()).max() < 1e-12
     assert np.abs(p2 - LA.ravel()).max() < 1e-12
+
+
+def test_gall_and_world_registry_additions():
+    """Gall Stereographic: the Snyder closed forms (x = R lam/sqrt(2),
+    y = R(1+sqrt(2)/2)tan(phi/2)), exact roundtrip; the new
+    registry-only world codes (54002 eqc lat_ts=60, 54017 Behrmann
+    cea lat_ts=30) hit their standard-parallel closed forms."""
+    import numpy as np
+
+    from proj_spark.crs import Transform
+
+    R = 6378137.0
+    t = Transform.new_known_crs("EPSG:4326", "ESRI:54016")
+    x, y = t.convert(90.0, 60.0)
+    assert abs(x - R * np.radians(90.0) / np.sqrt(2.0)) < 1e-6
+    assert abs(y - R * (1.0 + np.sqrt(2.0) / 2.0)
+               * np.tan(np.radians(30.0))) < 1e-6
+    tg = Transform.new("+proj=gall +R=1")
+    glon = np.radians(np.linspace(-179, 179, 15))
+    glat = np.radians(np.linspace(-89, 89, 13))
+    LO, LA = np.meshgrid(glon, glat)
+    X, Y = tg.project_array(LO.ravel().copy(), LA.ravel().copy())
+    l2, p2 = tg.project_array(X.copy(), Y.copy(), inverse=True)
+    assert np.abs(l2 - LO.ravel()).max() < 1e-14
+    assert np.abs(p2 - LA.ravel()).max() < 1e-14
+    # 54002: x = R lam cos(60); 54017 (Behrmann): x = R lam cos(30)
+    t2 = Transform.new_known_crs("EPSG:4326", "ESRI:54002")
+    x, y = t2.convert(100.0, 45.0)
+    assert abs(x - R * np.radians(100.0) * np.cos(np.radians(60.0))) < 1e-6
+    assert abs(y - R * np.radians(45.0)) < 1e-6
+    t3 = Transform.new_known_crs("EPSG:4326", "ESRI:54017")
+    x, _ = t3.convert(100.0, 0.0)
+    es = 1.0 - (1.0 - 1 / 298.257223563) ** 2
+    s30, c30 = np.sin(np.radians(30.0)), np.cos(np.radians(30.0))
+    k0 = c30 / np.sqrt(1.0 - es * s30 * s30)
+    assert abs(x - R * np.radians(100.0) * k0) < 1e-6
