@@ -1740,20 +1740,16 @@ FROM documents
         "md5(" + " || '_' || ".join(f"mh_{b * 4 + r}::VARCHAR" for r in range(4)) + f") AS key_{b}"
         for b in range(4)
     )
-    sh_a = O.sql_shingles("a.text", 3)
-    sh_b = O.sql_shingles("b.text", 3)
-    inter = (
-        f"len(list_filter(list_distinct({sh_a}), "
-        f"s -> list_contains(list_distinct({sh_b}), s)))::DOUBLE"
-    )
-    union = (
-        f"(len(list_distinct({sh_a})) + len(list_distinct({sh_b})))::DOUBLE - {inter}"
-    )
+    # verify mirrors the engine: Jaccard over each doc's DISTINCT
+    # md5-hashed shingle set, precomputed ONCE in a CTE (same value as
+    # raw-shingle Jaccard — both engines hash with the same md5 — and
+    # no per-candidate re-shingling)
     out["q23_minhash_lsh"] = f"""
-WITH hashed AS (
+WITH hashed AS MATERIALIZED (
   SELECT doc_id, text,
          list_transform({sh}, s -> {O.sql_md5_long('s')}) AS base
   FROM documents),
+shl AS MATERIALIZED (SELECT doc_id, list_distinct(base) AS sl FROM hashed),
 sig AS (SELECT doc_id, text, {mh_cols} FROM hashed),
 keys AS (SELECT doc_id, text, {band_keys} FROM sig),
 cand AS (
@@ -1761,25 +1757,30 @@ cand AS (
   FROM keys x JOIN keys y ON x.doc_id < y.doc_id
    AND (x.key_0 = y.key_0 OR x.key_1 = y.key_1
      OR x.key_2 = y.key_2 OR x.key_3 = y.key_3)
+),
+j AS (
+  SELECT ida, idb,
+         len(list_filter(a.sl, s -> list_contains(b.sl, s)))::DOUBLE AS i_,
+         (len(a.sl) + len(b.sl))::DOUBLE AS t_
+  FROM cand JOIN shl a ON a.doc_id = cand.ida
+            JOIN shl b ON b.doc_id = cand.idb
 )
 SELECT ida::BIGINT AS id_a, idb::BIGINT AS id_b,
-       round({inter} / ({union}), 6) AS jaccard
-FROM cand JOIN documents a ON a.doc_id = cand.ida
-          JOIN documents b ON b.doc_id = cand.idb
-WHERE {inter} / ({union}) >= 0.4
+       round(i_ / (t_ - i_), 6) AS jaccard
+FROM j WHERE i_ / (t_ - i_) >= 0.4
 """
 
     # q83: the char-shingle variant (k=5 character window) — identical
-    # banded structure; per-doc shingle lists precomputed ONCE in a
-    # CTE (char lists are ~300 elements — inlining them per candidate
-    # pair like q23 does for ~50-element word lists measured minutes)
+    # banded structure; per-doc hashed shingle sets precomputed ONCE
+    # (char lists are ~300 elements — inlining them per candidate
+    # pair measured minutes)
     sh83 = O.sql_shingles("text", 5, unit="char")
     out["q83_minhash_char"] = f"""
-WITH hashed AS (
+WITH hashed AS MATERIALIZED (
   SELECT doc_id, text,
          list_transform({sh83}, s -> {O.sql_md5_long('s')}) AS base
   FROM documents),
-shl AS (SELECT doc_id, list_distinct({sh83}) AS sl FROM documents),
+shl AS MATERIALIZED (SELECT doc_id, list_distinct(base) AS sl FROM hashed),
 sig AS (SELECT doc_id, {mh_cols} FROM hashed),
 keys AS (SELECT doc_id, {band_keys} FROM sig),
 cand AS (
@@ -2147,10 +2148,11 @@ FROM unnest(range(0, 200)) AS t(i)
 
     # ---- q31: dedup groups — same CTE technique as q23, then
     # bucket-min -> per-doc min -> single verification per doc
-    groups_ctes = f"""hashed AS (
+    groups_ctes = f"""hashed AS MATERIALIZED (
   SELECT doc_id, text,
          list_transform({sh}, s -> {O.sql_md5_long('s')}) AS base
   FROM documents),
+shl_g AS MATERIALIZED (SELECT doc_id, list_distinct(base) AS sl FROM hashed),
 sig AS (SELECT doc_id, text, {mh_cols} FROM hashed),
 keys AS (SELECT doc_id, {band_keys} FROM sig),
 ex AS (
@@ -2165,13 +2167,19 @@ cand AS (
   FROM ex e JOIN bmin b ON e.band = b.band AND e.key = b.key
   GROUP BY e.doc_id
 ),
-ver AS (
-  SELECT c.doc_id,
-         CASE WHEN ({inter} / ({union})) >= 0.4
-              THEN c.cand_canon ELSE c.doc_id END AS canonical_id
-  FROM cand c JOIN documents a ON a.doc_id = c.doc_id
-              JOIN documents b ON b.doc_id = c.cand_canon
+verj AS (
+  SELECT c.doc_id, c.cand_canon,
+         len(list_filter(a.sl, s -> list_contains(b.sl, s)))::DOUBLE AS i_,
+         (len(a.sl) + len(b.sl))::DOUBLE AS t_
+  FROM cand c JOIN shl_g a ON a.doc_id = c.doc_id
+              JOIN shl_g b ON b.doc_id = c.cand_canon
   WHERE c.cand_canon < c.doc_id
+),
+ver AS (
+  SELECT doc_id,
+         CASE WHEN (i_ / (t_ - i_)) >= 0.4
+              THEN cand_canon ELSE doc_id END AS canonical_id
+  FROM verj
 ),
 g AS (
   SELECT doc_id, canonical_id FROM ver
@@ -2531,14 +2539,17 @@ FROM nation
         '<p class="d">\' || text || '
         "' &amp; more &lt;stuff&gt;</p></body></html>'"
     )
-    blk80 = r"<(script|style)[^>]*>[\s\S]*?</(script|style)>"
+    script80 = r"<script[^>]*>[\s\S]*?</script>"
+    style80 = r"<style[^>]*>[\s\S]*?</style>"
     tag80 = r"<[^>]+>"
     out["q80_html_strip"] = f"""
 WITH p AS (SELECT doc_id, {html80} AS t FROM documents),
 s AS (
   SELECT doc_id,
          len(regexp_extract_all(t, '{tag80}'))::BIGINT AS n_tags_stripped,
-         regexp_replace(regexp_replace(t, '{blk80}', ' ', 'g'),
+         regexp_replace(regexp_replace(regexp_replace(t,
+                        '{script80}', ' ', 'g'),
+                        '{style80}', ' ', 'g'),
                         '{tag80}', ' ', 'g') AS u
   FROM p
 ), e AS (

@@ -141,10 +141,15 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       num_hashes: int = 16, k: int = 3,
-                      unit: str = "word") -> DataFrame:
+                      unit: str = "word",
+                      keep_hashed: str | None = None) -> DataFrame:
     """MinHash signature: for each of ``num_hashes`` seeded hash
     functions, the min md5-derived value over the doc's k-shingles.
-    Pure projection — JVM array ops, no shuffle, no UDF."""
+    Pure projection — JVM array ops, no shuffle, no UDF.
+
+    ``keep_hashed`` (column name) additionally keeps the doc's DISTINCT
+    hashed-shingle set as ``array<bigint>`` — the verify stages reuse it
+    so Jaccard never re-tokenizes a document per candidate pair."""
     # one md5 per shingle, then num_hashes XOR permutations of the hash
     # space (min over a bijection of the keys is a valid MinHash
     # family).  Two measured pitfalls avoided: inlining the shingle
@@ -164,6 +169,8 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
         F.array_min(F.transform(F.col("__base"), _perm(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
+    if keep_hashed is not None:
+        sigs.append(F.array_distinct(F.col("__base")).alias(keep_hashed))
     return with_sh.select("*", *sigs).drop("__shingles", "__base")
 
 
@@ -188,7 +195,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     df = _spread_small_input(df)
     sig = minhash_signature(df.select(id_col, text_col), text_col,
-                            num_hashes, k, unit)
+                            num_hashes, k, unit, keep_hashed="__shset")
     # docs with ZERO shingles (shorter than one window) have all-NULL
     # signatures; without this filter they all share the md5('') band
     # key — an O(d^2) self-join on exactly the short-string inputs the
@@ -202,9 +209,16 @@ def minhash_lsh_pairs(
             F.struct(F.lit(b).alias("band"),
                      F.md5(F.concat_ws("_", *[p.cast("string") for p in parts])).alias("key"))
         )
+    # verify over the precomputed DISTINCT hashed-shingle sets (longs),
+    # not the raw texts: a doc colliding in P buckets would otherwise
+    # re-tokenize + re-shingle P times, and for char mode the shingle
+    # list is ~len(text) elements — the dominant cost of the whole
+    # operator before this change.  Jaccard over the md5-hashed sets
+    # equals Jaccard over the raw shingle sets (both engines hash with
+    # the same md5, so the oracle mirrors this exactly).
     exploded = sig.select(
-        F.col(id_col), F.col(text_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, text_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        F.col(id_col), F.col("__shset"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "__shset", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     # both sides of the self-join consume this frame: checkpoint so the
     # signature computation runs once, not once per alias
     exploded = exploded.localCheckpoint(eager=False)
@@ -218,15 +232,14 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{text_col}").alias("text_a"),
-            F.col(f"b.{text_col}").alias("text_b"),
+            F.col("a.__shset").alias("sh_a"),
+            F.col("b.__shset").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sa = F.array_distinct(shingles_col(F.col("text_a"), k, unit))
-    sb = F.array_distinct(shingles_col(F.col("text_b"), k, unit))
+    sa, sb = F.col("sh_a"), F.col("sh_b")
     inter = F.size(F.array_intersect(sa, sb)).cast("double")
-    union = F.size(F.array_union(sa, sb)).cast("double")
+    union = (F.size(sa) + F.size(sb)).cast("double") - inter
     # degenerate docs (shorter than one shingle) share the empty-
     # signature bucket; their union is 0 — define jaccard 0, not a
     # divide-by-zero under ANSI mode
@@ -276,7 +289,10 @@ def minhash_lsh_groups(
     df = _spread_small_input(df)
     base = df.select(id_col, text_col)
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(base, text_col, num_hashes, k)
+    sig = minhash_signature(base, text_col, num_hashes, k,
+                            keep_hashed="__shset")
+    # feeds the band explode AND both sides of the verify join
+    sig = sig.localCheckpoint(eager=False)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -287,7 +303,6 @@ def minhash_lsh_groups(
     ex = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    ex = ex.localCheckpoint(eager=False)  # feeds the agg AND the re-join
 
     bucket_min = ex.groupBy("band", "key").agg(F.min(id_col).alias("bmin"))
     cand = (
@@ -298,19 +313,21 @@ def minhash_lsh_groups(
     trivial = cand.where(F.col("cand_canon") == F.col(id_col)).select(
         F.col(id_col), F.col(id_col).alias("canonical_id")
     )
+    # verify against the precomputed hashed-shingle sets (see
+    # minhash_lsh_pairs: same Jaccard, no per-candidate re-shingling)
+    shsets = sig.select(id_col, "__shset")
     need = (
         cand.where(F.col("cand_canon") < F.col(id_col))
-        .join(base, id_col)
+        .join(shsets, id_col)
         .join(
-            base.select(F.col(id_col).alias("cand_canon"),
-                        F.col(text_col).alias("__ctext")),
+            shsets.select(F.col(id_col).alias("cand_canon"),
+                          F.col("__shset").alias("__cshset")),
             "cand_canon",
         )
     )
-    sa = F.array_distinct(shingles_col(F.col(text_col), k))
-    sb = F.array_distinct(shingles_col(F.col("__ctext"), k))
+    sa, sb = F.col("__shset"), F.col("__cshset")
     inter = F.size(F.array_intersect(sa, sb)).cast("double")
-    union = F.size(F.array_union(sa, sb)).cast("double")
+    union = (F.size(sa) + F.size(sb)).cast("double") - inter
     verified = need.select(
         F.col(id_col),
         F.when(inter / union >= jaccard_threshold, F.col("cand_canon"))
@@ -788,11 +805,17 @@ def html_strip(df: DataFrame, text_col: str = "text",
     the q80 oracle compiles the same automata in DuckDB.  Output:
     (id_col, clean_text, n_tags_stripped)."""
     c = F.col(text_col)
-    block = r"<(script|style)[^>]*>[\s\S]*?</(script|style)>"
+    # one pattern per block kind: the combined
+    # <(script|style)...</(script|style)> form lets a <script> opener
+    # pair with a </style> closer and strips the wrong extent on
+    # interleaved blocks (round-4 ADVICE)
+    script_block = r"<script[^>]*>[\s\S]*?</script>"
+    style_block = r"<style[^>]*>[\s\S]*?</style>"
     tag = r"<[^>]+>"
     n_tags = (F.size(F.regexp_extract_all(c, F.lit(tag), F.lit(0)))
               .cast("long"))
-    s = F.regexp_replace(c, block, " ")
+    s = F.regexp_replace(c, script_block, " ")
+    s = F.regexp_replace(s, style_block, " ")
     s = F.regexp_replace(s, tag, " ")
     # '&amp;' decodes LAST: decoding it first double-unescapes
     # author-escaped entities ('&amp;lt;' must become '&lt;', not '<')

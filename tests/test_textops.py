@@ -483,6 +483,35 @@ def test_html_strip_semantics(spark):
     assert out[1]["n_tags_stripped"] == 0
 
 
+def test_html_strip_interleaved_script_style_blocks(spark):
+    """Round-4 ADVICE: a combined <(script|style)>...</(script|style)>
+    pattern lets a <script> opener pair with a </style> closer and eats
+    the text between the two blocks; separate per-kind patterns must
+    keep it."""
+    from proj_spark.operators.textops import html_strip
+
+    rows = [{"doc_id": 0,
+             "text": "<script>a()</script> keep me <style>b{}</style> tail"}]
+    out = html_strip(spark.createDataFrame(pd.DataFrame(rows))).collect()[0]
+    assert out["clean_text"] == "keep me tail"
+
+
+def test_minhash_verify_stage_no_retokenization(spark):
+    """The Jaccard verify runs over precomputed hashed-shingle arrays
+    carried through the LSH join — above the topmost join there must be
+    no tokenizer expressions (a doc in P buckets would re-shingle P
+    times; for char mode that was the dominant operator cost)."""
+    out = minhash_lsh_pairs(_docs(spark), num_hashes=16, bands=4,
+                            jaccard_threshold=0.4)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    join_at = plan.find("Join")
+    assert join_at > 0
+    above = plan[:join_at]
+    assert "array_intersect" in above
+    for tokenizer in ("regexp_replace", "split(", "substring("):
+        assert tokenizer not in above, f"verify stage re-tokenizes: {tokenizer}"
+
+
 def test_char_entropy_known_values(spark):
     """Bigram entropy: exact H for a known string, 0 for constant
     text, and natural language clearly separated from mash."""
