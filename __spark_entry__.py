@@ -1361,17 +1361,18 @@ def q35_video_frames(spark, sf_dir):
     def _verify(batches):
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                i = int(r["video_id"][3:])
+            for vid, fidx, png, ph in zip(pdf["video_id"], pdf["frame_idx"],
+                                          pdf["frame_png"], pdf["phash"]):
+                i = int(vid[3:])
                 h = splitmix64(np.uint64(i))
                 w_px = 16 + int(h & np.uint64(0xF))
                 h_px = 16 + int((h >> np.uint64(8)) & np.uint64(0xF))
-                want = raster_for(int(h) + int(r["frame_idx"]), w_px, h_px)
-                got = decode_png(bytes(r["frame_png"]))
+                want = raster_for(int(h) + int(fidx), w_px, h_px)
+                got = decode_png(bytes(png))
                 rows.append((
-                    r["video_id"], int(r["frame_idx"]),
+                    vid, int(fidx),
                     bool(got.shape == want.shape and (got == want).all()),
-                    bool(int(r["phash"]) == phash64(want)),
+                    bool(int(ph) == phash64(want)),
                 ))
             yield pd.DataFrame(rows, columns=[
                 "video_id", "frame_idx", "pixels_ok", "phash_ok"])

@@ -132,7 +132,15 @@ def sphere_ring_excess(lam: np.ndarray, beta: np.ndarray) -> float:
     adjustment).  Because the engine's rings carry no orientation
     contract, a winding ring deterministically reports the SMALLER of
     the two regions it bounds (the polar cap), independent of
-    traversal direction."""
+    traversal direction.
+
+    Edges spanning EXACTLY 180 degrees of longitude are rejected: two
+    vertices at antipodal longitudes are joined by infinitely many
+    great-circle arcs (both half-meridians through either pole are
+    shortest), so the bounded region — and the per-edge excess sign —
+    is genuinely undefined; tan(dl/2) also blows up to ~1e16 there.
+    Callers must densify such rings so no single edge spans a half
+    circle (round-4 ADVICE)."""
     lam = np.asarray(lam, dtype=np.float64)
     beta = np.asarray(beta, dtype=np.float64)
     if lam[0] != lam[-1] or beta[0] != beta[-1]:
@@ -141,6 +149,11 @@ def sphere_ring_excess(lam: np.ndarray, beta: np.ndarray) -> float:
     t = np.tan(0.5 * beta)
     dl = np.diff(lam)
     dl = (dl + np.pi) % (2.0 * np.pi) - np.pi  # shortest-arc edges
+    if np.any(np.isclose(np.abs(dl), np.pi, rtol=0.0, atol=1e-12)):
+        raise ValueError(
+            "ring edge spans exactly 180 deg of longitude: the "
+            "great-circle arc between antipodal longitudes is ambiguous "
+            "— densify the ring so no edge spans a half circle")
     e = 2.0 * np.arctan2(np.tan(0.5 * dl) * (t[:-1] + t[1:]),
                          1.0 + t[:-1] * t[1:])
     winding = np.round(np.sum(dl) / (2.0 * np.pi))

@@ -479,6 +479,7 @@ def radius_join(
     query_id_col: str = "query_id",
     level: int | None = None,
     max_level: int = 14,
+    max_broadcast_rows: int = 4_000_000,
 ) -> DataFrame:
     """RANGE (distance-within) join: every (query, point) pair with
     great-circle distance <= ``radius_m`` — the task brief's "range
@@ -499,6 +500,15 @@ def radius_join(
     broadcast, equi-join against the big table's cell column — the
     points table is never shuffled — then one codegen haversine
     filter.  Output: (query_id, point_id, dist_m).
+
+    Broadcast guard (round-4 ADVICE): near the poles ``rx`` saturates
+    to the full longitude circle, so a large queries table or a large
+    radius at high latitude can explode past what a driver can
+    broadcast.  The exploded row count is estimated first (one tiny
+    aggregate over the queries side — by contract the small side); past
+    ``max_broadcast_rows`` the join falls back to a shuffle hash join
+    with a warning instead of dying in the broadcast with an opaque
+    OOM.  The fallback shuffles the points table once on ``cell``.
     """
     if radius_m <= 0:
         raise ValueError(f"radius_m must be > 0, got {radius_m}")
@@ -550,7 +560,26 @@ def radius_join(
         query_id_col, "q_lon", "q_lat",
         F.shiftleft(morton, 5).bitwiseOR(F.lit(level)).alias("cand_cell"),
     ).dropDuplicates([query_id_col, "cand_cell"])  # polar wrap collisions
-    cand = pts.join(F.broadcast(q), pts["cell"] == q["cand_cell"], "inner")
+    # pre-explosion estimate: sum over queries of the ring size
+    # (2rx+1)(2ry+1) — an upper bound on the exploded rows (the lat
+    # clamp and wrap-dedup only shrink it)
+    est = queries.select(
+        ((F.lit(2) * rx + F.lit(1)) * F.lit(2 * ry + 1)).alias("__c")
+    ).agg(F.sum("__c")).first()[0]
+    if est is not None and est > max_broadcast_rows:
+        import warnings
+
+        warnings.warn(
+            f"radius_join: exploded query rings estimated at {est} rows "
+            f"(> max_broadcast_rows={max_broadcast_rows}); falling back "
+            f"to a shuffle join — the points table WILL be shuffled on "
+            f"cell.  Reduce the radius, the query count, or pass a "
+            f"larger max_broadcast_rows to restore the broadcast plan.",
+            stacklevel=2,
+        )
+        cand = pts.join(q, pts["cell"] == q["cand_cell"], "inner")
+    else:
+        cand = pts.join(F.broadcast(q), pts["cell"] == q["cand_cell"], "inner")
     return (
         cand.select(
             query_id_col, point_id_col,

@@ -121,19 +121,23 @@ def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
     real; codec formats raise (no video libs in this container)."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # zip over column arrays, not iterrows: iterrows builds a
+        # pandas Series per row — a measured several-fold constant on
+        # per-row binary decode paths (round-4 verdict)
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                if r["fmt"] != "rawgrid":
+            for vid, fmt, data in zip(pdf["video_id"], pdf["fmt"],
+                                      pdf["bytes"]):
+                if fmt != "rawgrid":
                     raise NotImplementedError(
-                        f"video codec {r['fmt']!r} requires a decoder lib; "
+                        f"video codec {fmt!r} requires a decoder lib; "
                         "this container ships none (contract: images.py jpeg)"
                     )
-                frames = unpack_rawgrid_video(r["bytes"])
+                frames = unpack_rawgrid_video(data)
                 for idx in range(0, len(frames), every):
                     arr = frames[idx]
                     rows.append((
-                        r["video_id"], idx,
+                        vid, idx,
                         int(arr.shape[1]), int(arr.shape[0]),
                         bytearray(encode_png(arr)), phash64(arr),
                     ))
@@ -187,21 +191,23 @@ def audio_features(df: DataFrame) -> DataFrame:
     formats (mp3/flac/ogg) raise — no audio libs in this container."""
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # zip over column arrays, not iterrows (see sample_frames)
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                if r["fmt"] != "pcm_s16le":
+            for aid, fmt, pcm, sr in zip(pdf["audio_id"], pdf["fmt"],
+                                         pdf["pcm"], pdf["sample_rate"]):
+                if fmt != "pcm_s16le":
                     raise NotImplementedError(
-                        f"audio codec {r['fmt']!r} requires a decoder lib; "
+                        f"audio codec {fmt!r} requires a decoder lib; "
                         "this container ships none"
                     )
-                x = np.frombuffer(bytes(r["pcm"]), dtype="<i2").astype(np.float64)
+                x = np.frombuffer(bytes(pcm), dtype="<i2").astype(np.float64)
                 x /= 32767.0
                 rms = float(np.sqrt(np.mean(x * x)))
                 zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
                 rows.append((
-                    r["audio_id"], rms, zcr, float(np.abs(x).max()),
-                    len(x) / float(r["sample_rate"]),
+                    aid, rms, zcr, float(np.abs(x).max()),
+                    len(x) / float(sr),
                 ))
             yield pd.DataFrame(rows, columns=[
                 "audio_id", "rms", "zcr", "peak", "duration_s"])
@@ -244,14 +250,16 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     from .images import decode_image
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # zip over column arrays, not iterrows (see sample_frames)
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                arr = decode_image(bytes(r["bytes"]), r["fmt"])
+            for iid, data, fmt, cap in zip(pdf["image_id"], pdf["bytes"],
+                                           pdf["fmt"], pdf["caption"]):
+                arr = decode_image(bytes(data), fmt)
                 small = np_resize_bilinear(arr, out_w, out_h)
                 rows.append((
-                    r["image_id"], bytearray(encode_png(small)),
-                    out_w, out_h, "png", r["caption"], phash64(small),
+                    iid, bytearray(encode_png(small)),
+                    out_w, out_h, "png", cap, phash64(small),
                 ))
             yield pd.DataFrame(rows, columns=[
                 "image_id", "bytes", "w", "h", "fmt", "caption", "phash"])

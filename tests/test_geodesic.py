@@ -230,6 +230,26 @@ def test_geodesic_area_pole_enclosing_ring():
         assert belt / got > 10.0  # nowhere near the pre-fix belt value
 
 
+def test_geodesic_area_antipodal_longitude_edge_rejected():
+    """Round-4 ADVICE: an edge spanning exactly 180 deg of longitude is
+    geometrically ambiguous (infinitely many shortest great-circle
+    arcs) — it must raise, not return an arbitrary-signed excess; a
+    densified version of the same ring must work."""
+    import numpy as np
+    import pytest
+
+    from proj_spark.operators.geodesic import geom_area_m2
+
+    bad = [[0.0, 10.0], [180.0, 10.0], [90.0, 40.0], [0.0, 10.0]]
+    with pytest.raises(ValueError, match="180 deg"):
+        geom_area_m2("Polygon", [bad], None)
+    # densifying the offending edge removes the ambiguity
+    dens = [[0.0, 10.0], [90.0, 10.0], [180.0, 10.0], [90.0, 40.0],
+            [0.0, 10.0]]
+    got = geom_area_m2("Polygon", [dens], None)
+    assert np.isfinite(got) and got > 0
+
+
 def test_geodesic_length_rect_matches_area_semantics():
     """Rect length and Rect area describe the SAME boundary (meridians
     + parallels): perimeter = 2 meridian arcs + the two parallel-arc

@@ -606,3 +606,39 @@ def test_radius_join_small_radius_near_pole(spark):
     assert (0, 0) in got   # across the north pole, dlon = 180
     assert (1, 2) in got   # across the south pole
     assert (0, 1) not in got  # ~111 km away
+
+
+def test_radius_join_broadcast_guard_falls_back_to_shuffle(spark):
+    """Round-4 ADVICE: an exploded query-ring set past the broadcast
+    budget must fall back to a shuffle join (with a warning naming the
+    cause) rather than broadcast unconditionally — and the result set
+    must be identical on both plans."""
+    import warnings
+
+    import numpy as np
+    import pandas as pd
+
+    from proj_spark.operators.joins import radius_join
+
+    rng = np.random.default_rng(11)
+    pts = pd.DataFrame({"point_id": range(500),
+                        "lon": rng.uniform(-10, 10, 500),
+                        "lat": rng.uniform(-10, 10, 500)})
+    qs = pd.DataFrame({"query_id": range(4),
+                       "lon": [0.0, 1.0, 2.0, 3.0],
+                       "lat": [0.0, 1.0, 2.0, 3.0]})
+    P, Q = spark.createDataFrame(pts), spark.createDataFrame(qs)
+    bc = radius_join(P, Q, 200_000.0)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        sh = radius_join(P, Q, 200_000.0, max_broadcast_rows=3)
+    assert any("max_broadcast_rows" in str(w.message) for w in caught)
+    # the FORCED broadcast hint is gone (AQE may still pick a broadcast
+    # from real size stats — the guard only stops forcing one past the
+    # driver budget); the hinted plan carries ResolvedHint, the
+    # fallback must not
+    assert "ResolvedHint" in bc._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in sh._jdf.queryExecution().analyzed().toString()
+    a = {(r.query_id, r.point_id) for r in bc.collect()}
+    b = {(r.query_id, r.point_id) for r in sh.collect()}
+    assert a == b and len(a) > 0
