@@ -2319,6 +2319,211 @@ def somerc_setup(params, a, es):
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# vandg — Van der Grinten I (Snyder PP-1395 ch. 29): spherical world
+# compromise mapping the whole earth into a circle of radius pi*R;
+# meridians and parallels are circular arcs.  Closed forms both ways
+# (the inverse is Snyder's resolvent-cubic solution 29-9..29-17).
+# Defining-property pins in tests/test_kernels.py: the +-180 meridian
+# lands exactly on the bounding circle, the equator is x = R*lam, the
+# central meridian is y = pi*R*tan(theta/2).
+# ---------------------------------------------------------------------------
+def vandg_setup(params, a, es):
+    # spherical formulas on the semi-major axis (PROJ vandg behavior)
+    return {}
+
+
+_VANDG_EPS = 1e-10
+
+
+def vandg_fwd(lam, phi, P):
+    lam = np.atleast_1d(np.asarray(lam, dtype=np.float64))
+    phi = np.atleast_1d(np.asarray(phi, dtype=np.float64))
+    theta = farcsin(np.clip(np.abs(2.0 * phi / np.pi), 0.0, 1.0))
+    st, ct = np.sin(theta), np.cos(theta)
+    on_equator = np.abs(phi) < _VANDG_EPS
+    on_meridian = (np.abs(lam) < _VANDG_EPS) | (np.abs(np.abs(phi) - HALFPI)
+                                                < _VANDG_EPS)
+    # general case (guard the removable singularities out of the math)
+    lam_s = np.where(on_equator | on_meridian, 1.0, lam)
+    st_s = np.where(on_equator, 0.5, st)
+    A = 0.5 * np.abs(np.pi / lam_s - lam_s / np.pi)
+    G = ct / (st_s + ct - 1.0)
+    Pq = G * (2.0 / st_s - 1.0)
+    A2, P2 = A * A, Pq * Pq
+    Q = A2 + G
+    disc_x = A2 * (G - P2) ** 2 - (P2 + A2) * (G * G - P2)
+    x_gen = (np.pi * (A * (G - P2)
+                      + np.sqrt(np.maximum(disc_x, 0.0))) / (P2 + A2))
+    # (A^2+1)(P^2+A^2) - Q^2 expanded with Q = A^2 + G: the raw form
+    # subtracts two ~A^4 terms (A ~ pi/(2 lam) blows up near the
+    # central meridian) and loses ~7 digits of y; the expansion keeps
+    # only A^2-order terms
+    disc_y = A2 * (P2 + 1.0 - 2.0 * G) + (P2 - G * G)
+    y_gen = (np.pi * (Pq * Q - A * np.sqrt(np.maximum(disc_y, 0.0)))
+             / (P2 + A2))
+    x = np.where(on_equator, lam,
+                 np.where(on_meridian, 0.0, np.sign(lam) * x_gen))
+    y = np.where(on_equator, 0.0,
+                 np.where(on_meridian,
+                          np.sign(phi) * np.pi * ftan(0.5 * theta),
+                          np.sign(phi) * y_gen))
+    return x, y
+
+
+def vandg_inv(x, y, P):
+    x = np.atleast_1d(np.asarray(x, dtype=np.float64))
+    y = np.atleast_1d(np.asarray(y, dtype=np.float64))
+    X, Y = x / np.pi, y / np.pi
+    X2, Y2 = X * X, Y * Y
+    on_equator = np.abs(Y) < _VANDG_EPS
+    on_meridian = np.abs(X) < _VANDG_EPS
+    # latitude: resolvent cubic (Snyder 29-9..29-15); the equator rows
+    # are guarded (c3 -> a1 -> division hazards) and patched after
+    absY = np.where(on_equator, 0.5, np.abs(Y))
+    c1 = -absY * (1.0 + X2 + Y2)
+    c2 = c1 - 2.0 * Y2 + X2
+    c3 = -2.0 * c1 + 1.0 + 2.0 * Y2 + (X2 + Y2) ** 2
+    d = Y2 / c3 + (2.0 * c2 ** 3 / c3 ** 3
+                   - 9.0 * c1 * c2 / (c3 * c3)) / 27.0
+    a1 = (c1 - c2 * c2 / (3.0 * c3)) / c3
+    m1 = 2.0 * np.sqrt(np.maximum(-a1 / 3.0, 1e-300))
+    cos_arg = np.clip(3.0 * d / (a1 * m1), -1.0, 1.0)
+    theta1 = np.arccos(cos_arg) / 3.0
+    phi_gen = np.pi * (-m1 * np.cos(theta1 + np.pi / 3.0)
+                       - c2 / (3.0 * c3))
+    phi = np.where(on_equator, 0.0, np.sign(y) * np.abs(phi_gen))
+    # longitude (Snyder 29-16/29-17); exact on the equator too
+    X_s = np.where(on_meridian, 1.0, X)
+    lam_gen = (np.pi * (X2 + Y2 - 1.0
+                        + np.sqrt(1.0 + 2.0 * (X2 - Y2)
+                                  + (X2 + Y2) ** 2)) / (2.0 * X_s))
+    lam = np.where(on_meridian, 0.0, lam_gen)
+    # polish: two Newton steps on the forward — the resolvent cubic
+    # loses ~7 digits of phi near the poles (arccos conditioning);
+    # this brings the roundtrip from ~5 cm back under 1e-6 m.  The
+    # equator/meridian branches are already exact and are left alone.
+    general = ~(on_equator | on_meridian)
+    if np.any(general):
+        h = 1e-7
+        for _ in range(2):
+            fx, fy = vandg_fwd(lam, phi, P)
+            fx, fy = fx - x, fy - y
+            dxdl = (vandg_fwd(lam + h, phi, P)[0] - (fx + x)) / h
+            dxdp = (vandg_fwd(lam, phi + h, P)[0] - (fx + x)) / h
+            dydl = (vandg_fwd(lam + h, phi, P)[1] - (fy + y)) / h
+            dydp = (vandg_fwd(lam, phi + h, P)[1] - (fy + y)) / h
+            det = dxdl * dydp - dxdp * dydl
+            det = np.where(np.abs(det) < 1e-18, 1e-18, det)
+            lam = np.where(general, lam - (fx * dydp - fy * dxdp) / det, lam)
+            phi = np.where(general,
+                           np.clip(phi - (fy * dxdl - fx * dydl) / det,
+                                   -HALFPI, HALFPI), phi)
+    return lam, phi
+
+
+# ---------------------------------------------------------------------------
+# igh — Interrupted Goode Homolosine (Goode 1925; PROJ's igh lobe
+# layout): 12-zone composite of Sinusoidal (|phi| below the seam
+# latitude) and Mollweide (above), each lobe about its own central
+# meridian.  Spherical on the semi-major axis (the moll convention).
+#
+# The seam latitude is COMPUTED at import, not hardcoded: continuity
+# of x across the seam requires (2*sqrt(2)/pi)*cos(theta(phi)) =
+# cos(phi) (equal parallel scale), giving phi0 = 40deg44'11.98";
+# the Mollweide y is then shifted by y0 = sqrt(2)*sin(theta0) - phi0
+# so y is continuous too.  (libproj hardcodes y0 = 0.05280 — a
+# ~22 m seam step; we keep the lobes exactly continuous, pinned by
+# tests/test_kernels.py::test_igh_lobe_boundary_continuity.)
+#
+# Lobe layout (PROJ igh zones, lon_0 = 0):
+#   north (phi > phi0):  lam < -40deg -> moll @ -100;  else moll @ +30
+#   band  (|phi|<=phi0): lam < -40deg -> sinu @ -100;  else sinu @ +30
+#     (southern band splits at -100/-20/+80 into sinu @ -160/-60/+20/+140)
+#   south (phi < -phi0): same four splits -> moll @ -160/-60/+20/+140
+# ---------------------------------------------------------------------------
+def _igh_seam():
+    # solve (2*sqrt(2)/pi) * cos(theta(phi)) = cos(phi) with theta from
+    # 2*theta + sin(2*theta) = pi*sin(phi) (scalar Newton at import)
+    phi = 0.71
+    for _ in range(60):
+        th = float(_moll_theta(np.float64(phi)))
+        g = _MOLL_CX * np.cos(th) - np.cos(phi)
+        h = 1e-9
+        th2 = float(_moll_theta(np.float64(phi + h)))
+        g2 = _MOLL_CX * np.cos(th2) - np.cos(phi + h)
+        step = g / ((g2 - g) / h)
+        phi -= step
+        if abs(step) < 1e-15:
+            break
+    th0 = float(_moll_theta(np.float64(phi)))
+    y0 = _MOLL_CY * np.sin(th0) - phi
+    return float(phi), float(y0)
+
+
+_IGH_PHI0, _IGH_Y0 = _igh_seam()
+_D40, _D100, _D20, _D80 = np.radians([-40.0, -100.0, -20.0, 80.0])
+
+
+def _igh_lamc(lam, south_band):
+    """Per-point central meridian (radians).  ``south_band`` selects the
+    four-way southern split; the northern half splits two ways at -40."""
+    north = np.where(lam < _D40, np.radians(-100.0), np.radians(30.0))
+    south = np.where(
+        lam < _D100, np.radians(-160.0),
+        np.where(lam < _D20, np.radians(-60.0),
+                 np.where(lam < _D80, np.radians(20.0),
+                          np.radians(140.0))))
+    return np.where(south_band, south, north)
+
+
+def igh_setup(params, a, es):
+    # spherical composite on the semi-major axis
+    return {}
+
+
+def igh_fwd(lam, phi, P):
+    lam = np.atleast_1d(np.asarray(lam, dtype=np.float64))
+    phi = np.atleast_1d(np.asarray(phi, dtype=np.float64))
+    lamc = _igh_lamc(lam, phi < 0.0)
+    dl = lam - lamc
+    in_moll = np.abs(phi) > _IGH_PHI0
+    # sinusoidal (spherical): x = lamc + dl*cos(phi), y = phi
+    xs = lamc + dl * np.cos(phi)
+    ys = phi
+    # mollweide with the seam shift
+    theta = _moll_theta(phi)
+    xm = lamc + _MOLL_CX * dl * fcos(theta)
+    ym = _MOLL_CY * fsin(theta) - np.sign(phi) * _IGH_Y0
+    return np.where(in_moll, xm, xs), np.where(in_moll, ym, ys)
+
+
+def igh_inv(x, y, P):
+    x = np.atleast_1d(np.asarray(x, dtype=np.float64))
+    y = np.atleast_1d(np.asarray(y, dtype=np.float64))
+    # zone from (x, y): lobes pull inward from their boundary
+    # meridians, so comparing x against the boundary constants is exact
+    lamc = _igh_lamc(x, y < 0.0)
+    in_moll = np.abs(y) > _IGH_PHI0
+    # sinusoidal
+    cphi = np.cos(y)
+    lam_s = lamc + np.where(np.abs(cphi) > 1e-12,
+                            (x - lamc) / np.where(np.abs(cphi) > 1e-12,
+                                                  cphi, 1.0), 0.0)
+    phi_s = y
+    # mollweide (un-shift y first)
+    ym = y + np.sign(y) * _IGH_Y0
+    theta = farcsin(np.clip(ym / _MOLL_CY, -1.0, 1.0))
+    phi_m = farcsin(np.clip((2.0 * theta + fsin(2.0 * theta)) / np.pi,
+                            -1.0, 1.0))
+    ct = fcos(theta)
+    lam_m = lamc + np.where(np.abs(ct) > 1e-14,
+                            (x - lamc) / (_MOLL_CX * np.maximum(ct, 1e-14)),
+                            0.0)
+    return (np.where(in_moll, lam_m, lam_s),
+            np.where(in_moll, phi_m, phi_s))
+
+
 PROJECTIONS = {
     "longlat": (longlat_setup, longlat_fwd, longlat_inv),
     "latlong": (longlat_setup, longlat_fwd, longlat_inv),
@@ -2357,4 +2562,6 @@ PROJECTIONS = {
     "aitoff": (aitoff_setup, aitoff_fwd, aitoff_inv),
     "eck6": (eck6_setup, eck6_fwd, eck6_inv),
     "gall": (gall_setup, gall_fwd, gall_inv),
+    "vandg": (vandg_setup, vandg_fwd, vandg_inv),
+    "igh": (igh_setup, igh_fwd, igh_inv),
 }

@@ -1378,3 +1378,81 @@ def chain_eqdc_fwd(ch: Chain, lon: str, lat: str,
     x = f"({_f(a)} * rho_{tag} * sin(th_{tag}) + {_f(x0)})"
     y = f"({_f(a)} * ({_f(P['rho0'])} - rho_{tag} * cos(th_{tag})) + {_f(y0)})"
     return x, y
+
+
+def sql_vandg_fwd(lon: str, lat: str) -> tuple[str, str]:
+    """Van der Grinten I forward (dialect pair: kernels.vandg_fwd):
+    Snyder ch. 29 closed forms with the same branch guards and the
+    same cancellation-free disc_y expansion."""
+    a = 6378137.0
+    lam = f"radians({lon})"
+    phi = f"radians({lat})"
+    th = f"asin(least(abs(2.0 * {phi} / pi()), 1.0))"
+    st, ct = f"sin({th})", f"cos({th})"
+    A = f"(0.5 * abs(pi() / {lam} - {lam} / pi()))"
+    G = f"({ct} / ({st} + {ct} - 1.0))"
+    Pq = f"({G} * (2.0 / {st} - 1.0))"
+    A2, P2 = f"({A}*{A})", f"({Pq}*{Pq})"
+    Q = f"({A2} + {G})"
+    disc_x = f"({A2}*({G}-{P2})*({G}-{P2}) - ({P2}+{A2})*({G}*{G}-{P2}))"
+    x_gen = (f"(pi() * ({A}*({G}-{P2})"
+             f" + sqrt(greatest({disc_x}, 0.0))) / ({P2}+{A2}))")
+    disc_y = f"({A2}*({P2} + 1.0 - 2.0*{G}) + ({P2} - {G}*{G}))"
+    y_gen = (f"(pi() * ({Pq}*{Q}"
+             f" - {A}*sqrt(greatest({disc_y}, 0.0))) / ({P2}+{A2}))")
+    on_eq = f"(abs({phi}) < 1e-10)"
+    on_mer = f"(abs({lam}) < 1e-10 OR abs(abs({phi}) - pi()/2.0) < 1e-10)"
+    x = (f"({_f(a)} * (CASE WHEN {on_eq} THEN {lam} "
+         f"WHEN {on_mer} THEN 0.0 "
+         f"ELSE sign({lam}) * {x_gen} END))")
+    y = (f"({_f(a)} * (CASE WHEN {on_eq} THEN 0.0 "
+         f"WHEN {on_mer} THEN sign({phi}) * pi() * tan(0.5 * {th}) "
+         f"ELSE sign({phi}) * {y_gen} END))")
+    return x, y
+
+
+def chain_igh_fwd(ch: Chain, lon: str, lat: str,
+                  iters: int = 12) -> tuple[str, str]:
+    """Interrupted Goode homolosine forward (dialect pair:
+    kernels.igh_fwd): per-row lobe central meridian, sinusoidal band
+    below the computed seam latitude, shifted Mollweide above (same
+    Newton unroll as chain_moll_fwd on the lobe-relative longitude)."""
+    from . import kernels as K
+
+    a = 6378137.0
+    tag = f"igh_{ch.i}"
+    ch.add({f"phi_{tag}": f"radians({lat})",
+            f"lam_{tag}": f"radians({lon})"})
+    d40, d100, d20, d80 = (math.radians(v) for v in (-40.0, -100.0,
+                                                     -20.0, 80.0))
+    north = (f"(CASE WHEN lam_{tag} < {_f(d40)} THEN {_f(math.radians(-100.0))}"
+             f" ELSE {_f(math.radians(30.0))} END)")
+    south = (f"(CASE WHEN lam_{tag} < {_f(d100)} THEN {_f(math.radians(-160.0))}"
+             f" WHEN lam_{tag} < {_f(d20)} THEN {_f(math.radians(-60.0))}"
+             f" WHEN lam_{tag} < {_f(d80)} THEN {_f(math.radians(20.0))}"
+             f" ELSE {_f(math.radians(140.0))} END)")
+    ch.add({f"lamc_{tag}": (
+        f"(CASE WHEN phi_{tag} < 0.0 THEN {south} ELSE {north} END)")})
+    ch.add({f"dl_{tag}": f"(lam_{tag} - lamc_{tag})"})
+    # Mollweide Newton on phi (same unroll as chain_moll_fwd)
+    ch.add({f"k_{tag}": f"(pi() * sin(phi_{tag}))"})
+    th = f"th0_{tag}"
+    ch.add({th: f"phi_{tag}"})
+    for i in range(iters):
+        nxt = f"th{i + 1}_{tag}"
+        denom = f"(2.0 + 2.0 * cos(2.0 * {th}))"
+        step = (f"(CASE WHEN abs({denom}) > 1e-14 THEN "
+                f"(2.0 * {th} + sin(2.0 * {th}) - k_{tag})"
+                f" / greatest({denom}, 1e-14) ELSE 0.0 END)")
+        ch.add({nxt: f"({th} - {step})"})
+        th = nxt
+    cx = 2.0 * math.sqrt(2.0) / math.pi
+    cy = math.sqrt(2.0)
+    in_moll = f"(abs(phi_{tag}) > {_f(K._IGH_PHI0)})"
+    x = (f"({_f(a)} * (CASE WHEN {in_moll} THEN "
+         f"(lamc_{tag} + {_f(cx)} * dl_{tag} * cos({th})) "
+         f"ELSE (lamc_{tag} + dl_{tag} * cos(phi_{tag})) END))")
+    y = (f"({_f(a)} * (CASE WHEN {in_moll} THEN "
+         f"({_f(cy)} * sin({th}) - sign(phi_{tag}) * {_f(K._IGH_Y0)}) "
+         f"ELSE phi_{tag} END))")
+    return x, y

@@ -1438,3 +1438,84 @@ def test_gall_and_world_registry_additions():
     s30, c30 = np.sin(np.radians(30.0)), np.cos(np.radians(30.0))
     k0 = c30 / np.sqrt(1.0 - es * s30 * s30)
     assert abs(x - R * np.radians(100.0) * k0) < 1e-6
+
+
+def test_vandg_defining_properties():
+    """Van der Grinten I (Snyder PP-1395 ch. 29) pinned by its three
+    defining properties: the whole world maps into a circle of radius
+    pi*R (the +-180 meridian lies exactly ON it), the equator is
+    x = R*lam, and the central meridian is y = pi*R*tan(theta/2) with
+    theta = arcsin|2*phi/pi|; closed-form + polished inverse
+    roundtrips below 1e-5 m."""
+    import numpy as np
+
+    from proj_spark.crs import Transform
+
+    R = 6378137.0
+    t = Transform.new_known_crs("EPSG:4326", "ESRI:54029")
+    # bounding-circle property on the antimeridian
+    for lat in (10.0, 35.0, 60.0, 85.0, -45.0, -80.0):
+        x, y = t.convert(180.0, lat)
+        assert abs(np.hypot(x, y) - np.pi * R) < 1e-4, lat
+    # equator and central meridian closed forms
+    x, y = t.convert(77.0, 0.0)
+    assert abs(x - R * np.radians(77.0)) < 1e-6 and abs(y) < 1e-6
+    th = np.arcsin(2.0 * np.radians(50.0) / np.pi)
+    x, y = t.convert(0.0, 50.0)
+    assert abs(x) < 1e-6
+    assert abs(y - np.pi * R * np.tan(0.5 * th)) < 1e-6
+    # roundtrip grid incl. near-pole / near-meridian conditioning zones
+    tg = Transform.new("+proj=vandg +R=1")
+    rng = np.random.default_rng(7)
+    lam = np.concatenate([rng.uniform(-3.14, 3.14, 4000),
+                          rng.uniform(-1e-4, 1e-4, 1000)])
+    phi = np.concatenate([rng.uniform(-1.57, 1.57, 4000),
+                          rng.uniform(-1.55, 1.55, 1000)])
+    x, y = tg.project_array(lam.copy(), phi.copy())
+    l2, p2 = tg.project_array(x.copy(), y.copy(), inverse=True)
+    assert np.abs(l2 - lam).max() * R < 1e-3
+    assert np.abs(p2 - phi).max() * R < 1e-3
+
+
+def test_igh_lobe_boundary_continuity():
+    """Interrupted Goode homolosine: the sinusoidal/Mollweide seam is
+    EXACTLY continuous (the seam latitude and y-offset are solved at
+    import, not hardcoded like libproj's rounded 0.05280 which leaves
+    a ~22 m step); lobe central meridians are length-true; zones
+    roundtrip."""
+    import numpy as np
+
+    from proj_spark import kernels as K
+    from proj_spark.crs import Transform
+
+    R = 6378137.0
+    # the computed seam constants match the published 40d44' values
+    assert abs(np.degrees(K._IGH_PHI0) - 40.736662) < 1e-4
+    assert abs(K._IGH_Y0 - 0.052803527) < 1e-8
+    t = Transform.new_known_crs("EPSG:4326", "ESRI:54052")
+    # seam continuity in every lobe, both hemispheres
+    phi0 = float(np.degrees(K._IGH_PHI0))
+    for lon in (-170.0, -70.0, -39.0, -10.0, 25.0, 100.0, 170.0):
+        for sgn in (1.0, -1.0):
+            xb, yb = t.convert(lon, sgn * (phi0 - 1e-7))
+            xa, ya = t.convert(lon, sgn * (phi0 + 1e-7))
+            assert abs(xa - xb) < 0.1 and abs(ya - yb) < 0.1, (lon, sgn)
+    # sinusoidal band: central meridians are length-true verticals
+    x, y = t.convert(-100.0, 30.0)
+    assert abs(x - R * np.radians(-100.0)) < 1e-6
+    assert abs(y - R * np.radians(30.0)) < 1e-6
+    # Mollweide lobe: y is the shifted Mollweide ordinate on the
+    # lobe's central meridian (exact via the shared theta solver)
+    x, y = t.convert(30.0, 80.0)
+    th = float(K._moll_theta(np.radians(80.0)))
+    assert abs(x - R * np.radians(30.0)) < 1e-6
+    assert abs(y - R * (np.sqrt(2.0) * np.sin(th) - K._IGH_Y0)) < 1e-6
+    # roundtrip over the full domain (interior points)
+    tg = Transform.new("+proj=igh +R=1")
+    rng = np.random.default_rng(8)
+    lam = rng.uniform(-3.14, 3.14, 8000)
+    phi = rng.uniform(-1.56, 1.56, 8000)
+    x, y = tg.project_array(lam.copy(), phi.copy())
+    l2, p2 = tg.project_array(x.copy(), y.copy(), inverse=True)
+    assert np.abs(l2 - lam).max() * R < 1e-4
+    assert np.abs(p2 - phi).max() * R < 0.05  # moll arcsin near poles
