@@ -347,6 +347,56 @@ class DatumShiftStep(_StepBase):
         return lam2, phi2
 
 
+class HGridShiftStep(_StepBase):
+    """``+proj=hgridshift +grids=<file.gsb>`` — NTv2 bilinear grid
+    datum shift (the reference's grid capability class, delegated there
+    to libproj + downloaded grids: /root/reference/src/proj.rs:370-440;
+    grid-vs-ballpark accuracy demo :1632-1638).  Geodetic radians in
+    and out.  Forward adds the interpolated source->target correction;
+    inverse iterates the standard NTv2 fixed point
+    ``src = tgt - shift(src)`` (4 iterations, sub-mm at 1-arcsec shift
+    magnitudes).  Points outside the grid become NaN — a maskable
+    error, the engine's row-wise error model.
+
+    The grid file loads once per Python worker (grids.load_grid cache,
+    the O23 per-worker-context pattern) and evaluates on whole numpy
+    columns.  Bare grid names resolve inside ``proj_spark/data`` so the
+    spark-submit --py-files zip carries them to executors."""
+
+    def __init__(self, params: dict):
+        from . import grids as G
+
+        if "grids" not in params:
+            raise ProjCreateError("hgridshift: +grids= is required")
+        self.inv_flag = bool(params.get("inv", False))
+        self.grids_name = str(params["grids"])
+        # resolve eagerly so a missing grid fails at construction (the
+        # reference errors at proj_create time too), but keep only the
+        # NAME on self: the step is closure-captured into executor UDFs
+        # and each worker re-resolves through its own cache
+        G.load_grid(self.grids_name)
+        self.params = dict(params)
+
+    def apply(self, x, y, forward=True):
+        from . import grids as G
+
+        forward = forward != self.inv_flag
+        grid = G.load_grid(self.grids_name)
+        lam = np.asarray(x, dtype=np.float64)
+        phi = np.asarray(y, dtype=np.float64)
+        lon = np.degrees(lam)
+        lat = np.degrees(phi)
+        if forward:
+            dlon, dlat = G.grid_shift(grid, lon, lat)
+            return (np.radians(lon + dlon), np.radians(lat + dlat))
+        cur_lon, cur_lat = lon, lat
+        for _ in range(4):
+            dlon, dlat = G.grid_shift(grid, cur_lon, cur_lat)
+            cur_lon = lon - dlon
+            cur_lat = lat - dlat
+        return np.radians(cur_lon), np.radians(cur_lat)
+
+
 class DegRadStep(_StepBase):
     """Boundary degrees<->radians conversion added by CRS normalization
     (the analog of proj_normalize_for_visualization's unitconvert,
@@ -363,6 +413,8 @@ def make_step(params: dict) -> _StepBase:
         return UnitConvertStep(params)
     if name == "axisswap":
         return AxisSwapStep(params)
+    if name == "hgridshift":
+        return HGridShiftStep(params)
     if name in ("noop", "pop", "push"):
         s = _StepBase()
         s.apply = lambda x, y, forward=True: (x, y)  # type: ignore[assignment]
@@ -1677,9 +1729,11 @@ class _InverseOf(_StepBase):
 
 class TransformBuilder:
     """Construction-time configuration (ProjBuilder,
-    /root/reference/src/proj.rs:462-544).  Grid download / network
-    features (O21/O22) are deliberately out of scope — the engine's CRS
-    are closed-form; grid-requiring options raise."""
+    /root/reference/src/proj.rs:462-544).  LOCAL NTv2 grid files are
+    supported (+proj=hgridshift, proj_spark.grids); grid DOWNLOAD over
+    the network (O22) stays out of scope — ship grids with the job via
+    --py-files instead (reference network layer:
+    /root/reference/src/network.rs)."""
 
     def __init__(self):
         self._network = False
@@ -1687,18 +1741,29 @@ class TransformBuilder:
     def enable_network(self, enable: bool):
         if enable:
             raise NotImplementedError(
-                "grid download is out of scope: engine transforms are closed-form "
-                "(reference network layer: /root/reference/src/network.rs)"
+                "grid download is out of scope: ship NTv2 grids with the "
+                "job (--py-files; see proj_spark.grids) instead of "
+                "fetching them (reference network layer: "
+                "/root/reference/src/network.rs)"
             )
         self._network = False
         return self
 
     def grid_cache_enable(self, enable: bool):
+        # local grids are cached per worker by proj_spark.grids; there
+        # is no download cache to size because there is no download
         if enable:
-            raise NotImplementedError("no grid cache: closed-form transforms only")
+            raise NotImplementedError(
+                "no download cache: local grids cache per worker "
+                "automatically (proj_spark.grids.load_grid)")
         return self
 
-    def set_search_paths(self, *_):
+    def set_search_paths(self, *paths):
+        from . import grids as G
+
+        for p in paths:
+            if p and p not in getattr(G, "_EXTRA_SEARCH", []):
+                G._EXTRA_SEARCH.append(str(p))
         return self
 
     def proj(self, definition: str) -> Transform:

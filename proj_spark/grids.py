@@ -1,0 +1,287 @@
+"""NTv2-style horizontal grid datum shifts (the ``+nadgrids=`` /
+``+proj=hgridshift`` capability class).
+
+The reference delegates grid shifts to libproj + downloaded grid files
+(builder knobs /root/reference/src/proj.rs:370-440; the OSTN15 demo at
+/root/reference/src/proj.rs:1632-1638 shows grid-vs-ballpark moving a
+point measurably).  This module implements the on-disk format and the
+interpolation math directly:
+
+  * a minimal **NTv2 (.gsb) binary reader/writer** — the published
+    record layout (11 x 16-byte overview records, 11 x 16-byte subgrid
+    records, then ``GS_COUNT`` nodes of four little-endian float32:
+    lat shift, lon shift, two accuracies, all in arc-seconds with
+    longitudes POSITIVE WEST, nodes ordered longitude-fastest from the
+    south-east corner);
+  * vectorized **bilinear interpolation** of the shift at arbitrary
+    points (the standard NTv2 evaluation; points outside the grid are
+    NaN — a maskable error in the engine's error model);
+  * a deterministic **synthetic shift field** with closed-form node
+    values, so the checked-in fixture is reproducible byte-for-byte
+    and the DuckDB oracle can recompute the identical float32 node
+    values from the formula instead of reading the file.
+
+Shift semantics (documented convention, pinned by tests): forward
+applies source->target as stored —
+
+    lat' = lat + dlat_sec / 3600
+    lon' = lon - dlon_west_sec / 3600   (positive-west shift)
+
+and the inverse iterates the fixed point ``src = tgt - shift(src)``
+(4 iterations, the standard NTv2 reverse evaluation).
+
+Scale shape: a grid is a few MB of float32 loaded ONCE per Python
+worker (module-level cache, the O23 per-worker pattern) and applied to
+whole numpy columns — no per-row work, no shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = [
+    "NTv2Grid",
+    "write_ntv2",
+    "read_ntv2",
+    "load_grid",
+    "grid_shift",
+    "synthetic_shift_field",
+    "synthetic_grid_spec",
+    "write_synthetic_fixture",
+    "GRID_DIR",
+]
+
+GRID_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+
+@dataclass(frozen=True)
+class NTv2Grid:
+    """One parsed NTv2 subgrid.  Extents/increments in arc-seconds,
+    longitudes positive WEST (the NTv2 convention); shift arrays are
+    (nrows, ncols) float32 with row 0 at ``s_lat`` and col 0 at
+    ``e_long`` (the south-east corner), longitude increasing westward."""
+
+    name: str
+    s_lat: float
+    n_lat: float
+    e_long: float
+    w_long: float
+    lat_inc: float
+    long_inc: float
+    dlat_sec: np.ndarray       # (nrows, ncols) float32
+    dlon_west_sec: np.ndarray  # (nrows, ncols) float32
+
+    @property
+    def nrows(self) -> int:
+        return self.dlat_sec.shape[0]
+
+    @property
+    def ncols(self) -> int:
+        return self.dlat_sec.shape[1]
+
+
+def _rec_str(name: str, value: str) -> bytes:
+    return name.encode("ascii").ljust(8) + value.encode("ascii").ljust(8)
+
+
+def _rec_f64(name: str, value: float) -> bytes:
+    return name.encode("ascii").ljust(8) + struct.pack("<d", float(value))
+
+
+def _rec_i32(name: str, value: int) -> bytes:
+    return (name.encode("ascii").ljust(8)
+            + struct.pack("<i", int(value)) + b"\x00" * 4)
+
+
+def write_ntv2(path: str, grid: NTv2Grid,
+               system_f: str = "SRC", system_t: str = "TGT",
+               major: float = 6378137.0, minor: float = 6356752.3141) -> None:
+    """Write a single-subgrid NTv2 .gsb file (little-endian)."""
+    nrows, ncols = grid.dlat_sec.shape
+    out = [
+        _rec_i32("NUM_OREC", 11),
+        _rec_i32("NUM_SREC", 11),
+        _rec_i32("NUM_FILE", 1),
+        _rec_str("GS_TYPE", "SECONDS"),
+        _rec_str("VERSION", "NTv2.0"),
+        _rec_str("SYSTEM_F", system_f),
+        _rec_str("SYSTEM_T", system_t),
+        _rec_f64("MAJOR_F", major),
+        _rec_f64("MINOR_F", minor),
+        _rec_f64("MAJOR_T", major),
+        _rec_f64("MINOR_T", minor),
+        _rec_str("SUB_NAME", grid.name[:8]),
+        _rec_str("PARENT", "NONE"),
+        _rec_str("CREATED", "00000000"),
+        _rec_str("UPDATED", "00000000"),
+        _rec_f64("S_LAT", grid.s_lat),
+        _rec_f64("N_LAT", grid.n_lat),
+        _rec_f64("E_LONG", grid.e_long),
+        _rec_f64("W_LONG", grid.w_long),
+        _rec_f64("LAT_INC", grid.lat_inc),
+        _rec_f64("LONG_INC", grid.long_inc),
+        _rec_i32("GS_COUNT", nrows * ncols),
+    ]
+    nodes = np.zeros((nrows * ncols, 4), dtype="<f4")
+    nodes[:, 0] = grid.dlat_sec.reshape(-1)
+    nodes[:, 1] = grid.dlon_west_sec.reshape(-1)
+    out.append(nodes.tobytes())
+    with open(path, "wb") as f:
+        f.write(b"".join(out))
+
+
+def read_ntv2(path: str) -> NTv2Grid:
+    """Parse a single-subgrid NTv2 .gsb file (the minimal profile this
+    module writes; multi-subgrid files use only the first subgrid)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+
+    def name_at(off: int) -> str:
+        return raw[off:off + 8].decode("ascii", "replace").strip()
+
+    if name_at(0) != "NUM_OREC":
+        raise ValueError(f"not an NTv2 file: {path!r}")
+    n_orec = struct.unpack_from("<i", raw, 8)[0]
+    n_srec = struct.unpack_from("<i", raw, 24)[0]
+    off = 16 * n_orec
+    hdr: dict[str, object] = {}
+    for _ in range(n_srec):
+        key = name_at(off)
+        if key in ("S_LAT", "N_LAT", "E_LONG", "W_LONG",
+                   "LAT_INC", "LONG_INC"):
+            hdr[key] = struct.unpack_from("<d", raw, off + 8)[0]
+        elif key == "GS_COUNT":
+            hdr[key] = struct.unpack_from("<i", raw, off + 8)[0]
+        else:
+            hdr[key] = raw[off + 8:off + 16].decode("ascii", "replace").strip()
+        off += 16
+    count = int(hdr["GS_COUNT"])  # type: ignore[arg-type]
+    nodes = np.frombuffer(raw, dtype="<f4", count=count * 4,
+                          offset=off).reshape(count, 4)
+    ncols = int(round((float(hdr["W_LONG"]) - float(hdr["E_LONG"]))
+                      / float(hdr["LONG_INC"]))) + 1
+    nrows = count // ncols
+    if nrows * ncols != count:
+        raise ValueError(f"NTv2 grid shape mismatch in {path!r}")
+    return NTv2Grid(
+        name=str(hdr.get("SUB_NAME", "")),
+        s_lat=float(hdr["S_LAT"]), n_lat=float(hdr["N_LAT"]),
+        e_long=float(hdr["E_LONG"]), w_long=float(hdr["W_LONG"]),
+        lat_inc=float(hdr["LAT_INC"]), long_inc=float(hdr["LONG_INC"]),
+        dlat_sec=nodes[:, 0].reshape(nrows, ncols).copy(),
+        dlon_west_sec=nodes[:, 1].reshape(nrows, ncols).copy(),
+    )
+
+
+_GRID_CACHE: dict[str, NTv2Grid] = {}
+_EXTRA_SEARCH: list[str] = []  # TransformBuilder.set_search_paths appends
+
+
+def load_grid(name_or_path: str) -> NTv2Grid:
+    """Resolve + parse a grid, cached per process (per Python worker on
+    executors — the reference's per-thread context pattern, O23).
+    Bare names resolve against ``proj_spark/data`` (so a grid checked
+    into the package ships inside the ``--py-files`` zip) and any
+    builder-registered search paths."""
+    g = _GRID_CACHE.get(name_or_path)
+    if g is not None:
+        return g
+    path = name_or_path
+    if not os.path.isabs(path) and not os.path.exists(path):
+        for base in [GRID_DIR, *_EXTRA_SEARCH]:
+            cand = os.path.join(base, name_or_path)
+            if os.path.exists(cand):
+                path = cand
+                break
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"grid {name_or_path!r} not found (searched cwd, {GRID_DIR} "
+            f"and {_EXTRA_SEARCH})")
+    g = read_ntv2(path)
+    _GRID_CACHE[name_or_path] = g
+    return g
+
+
+def grid_shift(grid: NTv2Grid, lon_deg, lat_deg):
+    """Bilinear shift at (lon_deg positive-east, lat_deg) ->
+    (dlon_east_deg, dlat_deg); NaN outside the grid."""
+    lon = np.atleast_1d(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.atleast_1d(np.asarray(lat_deg, dtype=np.float64))
+    lon_w_sec = -lon * 3600.0
+    lat_sec = lat * 3600.0
+    fc = (lon_w_sec - grid.e_long) / grid.long_inc
+    fr = (lat_sec - grid.s_lat) / grid.lat_inc
+    inside = ((fc >= 0.0) & (fc <= grid.ncols - 1)
+              & (fr >= 0.0) & (fr <= grid.nrows - 1))
+    fc_s = np.where(inside, fc, 0.0)
+    fr_s = np.where(inside, fr, 0.0)
+    c0 = np.minimum(np.floor(fc_s).astype(np.int64), grid.ncols - 2)
+    r0 = np.minimum(np.floor(fr_s).astype(np.int64), grid.nrows - 2)
+    c0 = np.maximum(c0, 0)
+    r0 = np.maximum(r0, 0)
+    tx = fc_s - c0
+    ty = fr_s - r0
+    out = []
+    for vals in (grid.dlat_sec, grid.dlon_west_sec):
+        v = vals.astype(np.float64)
+        v00 = v[r0, c0]
+        v01 = v[r0, c0 + 1]
+        v10 = v[r0 + 1, c0]
+        v11 = v[r0 + 1, c0 + 1]
+        interp = (v00 * (1 - ty) * (1 - tx) + v01 * (1 - ty) * tx
+                  + v10 * ty * (1 - tx) + v11 * ty * tx)
+        out.append(np.where(inside, interp, np.nan))
+    dlat_sec, dlon_west_sec = out
+    return -dlon_west_sec / 3600.0, dlat_sec / 3600.0
+
+
+# ---------------------------------------------------------------------------
+# synthetic fixture — smooth deterministic field with a closed form the
+# DuckDB oracle can recompute (float32-rounded, like the file nodes)
+# ---------------------------------------------------------------------------
+def synthetic_shift_field(lon_deg, lat_deg):
+    """Closed-form shift field (arc-seconds): smooth, O(1 arcsec) —
+    the magnitude class of real NAD27->NAD83 / OSTN15 corrections.
+    Mirrored verbatim by the SQL oracle."""
+    lon = np.asarray(lon_deg, dtype=np.float64)
+    lat = np.asarray(lat_deg, dtype=np.float64)
+    lr, pr = np.radians(lon), np.radians(lat)
+    dlat_sec = 0.9 + 0.35 * np.sin(3.0 * lr) * np.cos(4.0 * pr)
+    dlon_west_sec = -1.2 + 0.5 * np.sin(2.0 * lr) * np.sin(3.0 * pr)
+    return dlat_sec, dlon_west_sec
+
+
+def synthetic_grid_spec():
+    """Extent of the checked-in fixture: covers the engine's California
+    test domain (120W..112W, 31N..36N) at 0.25 deg spacing."""
+    return {
+        "s_lat": 31.0 * 3600.0, "n_lat": 36.0 * 3600.0,
+        "e_long": 112.0 * 3600.0, "w_long": 120.0 * 3600.0,
+        "lat_inc": 900.0, "long_inc": 900.0,
+    }
+
+
+def write_synthetic_fixture(path: str | None = None) -> str:
+    """(Re)generate the deterministic fixture; returns the path.
+    Byte-reproducible: node values are float32(closed form at node)."""
+    spec = synthetic_grid_spec()
+    ncols = int(round((spec["w_long"] - spec["e_long"])
+                      / spec["long_inc"])) + 1
+    nrows = int(round((spec["n_lat"] - spec["s_lat"])
+                      / spec["lat_inc"])) + 1
+    lon_w_sec = spec["e_long"] + np.arange(ncols) * spec["long_inc"]
+    lat_sec = spec["s_lat"] + np.arange(nrows) * spec["lat_inc"]
+    LONW, LAT = np.meshgrid(lon_w_sec, lat_sec)
+    dlat, dlonw = synthetic_shift_field(-LONW / 3600.0, LAT / 3600.0)
+    grid = NTv2Grid(
+        name="SYNSHIFT", dlat_sec=dlat.astype("<f4"),
+        dlon_west_sec=dlonw.astype("<f4"), **spec)
+    if path is None:
+        os.makedirs(GRID_DIR, exist_ok=True)
+        path = os.path.join(GRID_DIR, "synthetic_shift.gsb")
+    write_ntv2(path, grid)
+    return path
