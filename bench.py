@@ -78,11 +78,15 @@ def bench_queries(spark, sf_dir):
     run("transform_webmerc", n_orders, lambda: _sink(
         with_transformed(orders, "EPSG:4326", "EPSG:3857", err_col=None)))
     run("transform_utm", n_orders, lambda: _sink(
-        E.q05_utm_fwd(spark, sf_dir)))
+        with_transformed(orders, "EPSG:4326", "EPSG:6366",
+                         out_x="ux", out_y="uy", err_col=None)))
     run("transform_lcc_pipeline", n_orders, lambda: _sink(
         E.q04_lcc_pipeline(spark, sf_dir)))
+    from proj_spark.functions.transform import projstring_udf
+    aeqd_udf = projstring_udf(E._AEQD_PARIS)
     run("transform_aeqd", n_orders, lambda: _sink(
-        E.q56_aeqd_fwd(spark, sf_dir)))
+        orders.select("o_orderkey",
+                      aeqd_udf(F.col("lon"), F.col("lat")).alias("t"))))
     run("cell_index", n_orders, lambda: _sink(
         orders.select(C.cell_col(F.col("lon"), F.col("lat"), 12).alias("cell"))))
     run("tile_assign_rollup", n_orders, lambda: _sink(
@@ -164,18 +168,32 @@ def bench_queries(spark, sf_dir):
     # (200x variance on identical numpy ops until pages are warm) and
     # multi-minute whole-host stalls appear in episodes; reps are
     # INTERLEAVED round-robin so each op's best-of-4 samples four
-    # different time windows instead of one possibly-degraded window
-    results = {name: (float("inf"), rows) for name, rows, _ in ops}
-    for _ in range(4):
-        for name, rows, fn in ops:
-            t0 = time.time()
-            fn()
-            dt = time.time() - t0
-            results[name] = (min(results[name][0], dt), rows)
+    # different time windows instead of one possibly-degraded window.
+    # ALL samples are kept: the JSON reports min AND median per query
+    # (round-4 verdict ask #3), so one noisy rep can't own the record.
+    results = _run_reps(ops, reps=4)
 
     for d in (orders, cust, docs, emb, ev):
         d.unpersist()
     return results
+
+
+def _run_reps(ops, reps: int):
+    """Interleaved round-robin reps; returns {name: (samples, rows)}."""
+    samples = {name: [] for name, _, _ in ops}
+    rows_of = {name: rows for name, rows, _ in ops}
+    for _ in range(reps):
+        for name, _rows, fn in ops:
+            t0 = time.time()
+            fn()
+            samples[name].append(time.time() - t0)
+    return {name: (s, rows_of[name]) for name, s in samples.items()}
+
+
+def _median(s):
+    v = sorted(s)
+    n = len(v)
+    return v[n // 2] if n % 2 else 0.5 * (v[n // 2 - 1] + v[n // 2])
 
 
 def _replicate(df, copies: int, key: str):
@@ -300,13 +318,7 @@ def bench_queries_x10(spark, sf_dir, copies: int = 10):
         verify_images(synthesize_images(spark, n_img).localCheckpoint())))
 
     # best-of-2, interleaved (see bench_queries noise note)
-    results = {name: (float("inf"), rows) for name, rows, _ in ops}
-    for _ in range(2):
-        for name, rows, fn in ops:
-            t0 = time.time()
-            fn()
-            dt = time.time() - t0
-            results[name] = (min(results[name][0], dt), rows)
+    results = _run_reps(ops, reps=2)
 
     for d in (orders, cust, docs, emb):
         d.unpersist()
@@ -527,14 +539,20 @@ def main():
     spark = make_spark(CPUS)
     try:
         results = bench_queries(spark, SF_DIR)
-        total_sec = sum(s for s, _ in results.values())
+        total_sec = sum(min(s) for s, _ in results.values())
         total_rows = sum(r for _, r in results.values())
         payload = {
             "metric": "spatial-join + transform throughput",
             "value": round(total_sec, 3),
             "unit": "sec",
             "rows_per_sec": round(total_rows / total_sec, 1),
-            "queries": {k: round(s, 3) for k, (s, _) in results.items()},
+            # per-query best-of-reps (the steady-state number) AND
+            # median (the noise-resistant one) + rep count, so a single
+            # degraded host episode can't own the round's record
+            "queries": {k: round(min(s), 3) for k, (s, _) in results.items()},
+            "queries_median": {k: round(_median(s), 3)
+                               for k, (s, _) in results.items()},
+            "reps": 4,
             "sf": SF_DIR,
             "cores": CPUS,
         }
@@ -543,9 +561,13 @@ def main():
             # same session, 10x the rows — deltas on the sub-second
             # queries become readable across rounds
             r10 = bench_queries_x10(spark, SF_DIR, copies=copies)
-            t10 = sum(s for s, _ in r10.values())
+            t10 = sum(min(s) for s, _ in r10.values())
             rows10 = sum(r for _, r in r10.values())
-            payload["queries_x10"] = {k: round(s, 3) for k, (s, _) in r10.items()}
+            payload["queries_x10"] = {k: round(min(s), 3)
+                                      for k, (s, _) in r10.items()}
+            payload["queries_x10_median"] = {k: round(_median(s), 3)
+                                             for k, (s, _) in r10.items()}
+            payload["reps_x10"] = 2
             payload["total_x10_sec"] = round(t10, 3)
             payload["rows_per_sec_x10"] = round(rows10 / t10, 1)
             payload["x10_copies"] = copies

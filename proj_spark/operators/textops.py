@@ -687,6 +687,54 @@ def _text_score_cols(c: Column) -> dict:
             "en_score": en_score}
 
 
+def text_profile(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """ONE-SCAN corpus profile: every per-document projection metric
+    this module computes — token stats, quality score, language ID,
+    fingerprint, repetition — as columns of a single select.
+
+    At 100 TB this is the shape that matters: profiling a corpus with
+    five separate operators is five scans; this is one zero-shuffle
+    whole-stage-codegen projection producing all fifteen columns.  The
+    formulas are the SAME column builders the individual operators use
+    (``_text_score_cols`` etc.), so the battery and the single-metric
+    operators can never drift apart."""
+    c = F.col(text_col)
+    norm = normalize_text_col(c)
+    toks = tokens_col(c)
+    nchars = F.length(norm)
+    sc = _text_score_cols(c)
+    en = F.round(sc["en_score"], 6)
+    sh = shingles_col(c, 3)
+    sh2 = shingles_col(c, 2)
+    n_tok = F.size(toks)
+    n2 = F.size(sh2)
+    dup_tok = F.when(
+        n_tok > 0, F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tok
+    ).otherwise(F.lit(0.0))
+    dup_bi = F.when(
+        n2 > 0, F.lit(1.0) - F.size(F.array_distinct(sh2)) / n2
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        nchars.cast("long").alias("n_chars_norm"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.ceil(nchars / F.lit(4.0)).cast("long").alias("n_subwords_est"),
+        F.round(nchars.cast("double") / n_tok, 6).alias("avg_token_len"),
+        F.round(sc["stop_ratio"], 6).alias("stop_ratio"),
+        F.round(sc["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(sc["uniq_ratio"], 6).alias("uniq_ratio"),
+        F.round(sc["quality"], 6).alias("quality"),
+        en.alias("en_score"),
+        F.when(en >= 0.5, F.lit("en")).otherwise(F.lit("other"))
+        .alias("pred_lang"),
+        F.array_min(F.transform(sh, md5_long_col)).alias("min_shingle_hash"),
+        F.md5(norm).alias("text_md5"),
+        F.round(dup_tok, 6).alias("dup_token_ratio"),
+        F.round(dup_bi, 6).alias("dup_bigram_ratio"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality scoring: length, punctuation density, stopword
@@ -738,11 +786,14 @@ URL_RE = r"https?://([A-Za-z0-9.-]+)"
 
 
 def pii_scrub(df: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
+              id_col: str = "doc_id",
+              keep: tuple = ()) -> DataFrame:
     """Mask emails/phone numbers and count what was masked — the
     standard pre-training PII redaction pass.  Pure JVM regex (counts
     from the original text, then two regexp_replace passes), so the
-    scan stays inside whole-stage codegen: no shuffle, no Python."""
+    scan stays inside whole-stage codegen: no shuffle, no Python.
+    ``keep`` carries extra columns through unchanged (lets callers fuse
+    this with other projection passes over one scan)."""
     c = F.col(text_col)
     n_em = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
     n_ph = F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0)))
@@ -753,6 +804,7 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
         n_em.cast("long").alias("n_emails"),
         n_ph.cast("long").alias("n_phones"),
         clean.alias("clean_text"),
+        *[F.col(k) for k in keep],
     )
 
 
@@ -793,7 +845,8 @@ def char_entropy(df: DataFrame, text_col: str = "text",
 
 
 def html_strip(df: DataFrame, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id",
+               keep: tuple = ()) -> DataFrame:
     """Web-corpus text extraction: drop <script>/<style> blocks with
     their content, strip remaining tags, decode the common HTML
     entities, collapse whitespace — the standard pre-cleaning step
@@ -824,7 +877,8 @@ def html_strip(df: DataFrame, text_col: str = "text",
         s = F.regexp_replace(s, ent, rep)
     s = F.trim(F.regexp_replace(s, r"\s+", " "))
     return df.select(F.col(id_col), s.alias("clean_text"),
-                     n_tags.alias("n_tags_stripped"))
+                     n_tags.alias("n_tags_stripped"),
+                     *[F.col(k) for k in keep])
 
 
 def corpus_clean(

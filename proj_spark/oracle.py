@@ -1456,3 +1456,103 @@ def chain_igh_fwd(ch: Chain, lon: str, lat: str,
          f"({_f(cy)} * sin({th}) - sign(phi_{tag}) * {_f(K._IGH_Y0)}) "
          f"ELSE phi_{tag} END))")
     return x, y
+
+
+# ---------------------------------------------------------------------------
+# round-5 battery helpers: the closed-form world projections that used
+# to live inline in the per-query oracles, factored so one battery
+# query can stack many kernels as columns (expressions identical to
+# the formerly-inline q74/q75/q76/q84/q85/q86 oracle bodies).
+# ---------------------------------------------------------------------------
+def sql_mill_fwd(lon: str, lat: str) -> tuple[str, str]:
+    """Miller Cylindrical forward (dialect pair: kernels.mill_fwd)."""
+    a = 6378137.0
+    x = f"({_f(a)} * radians({lon}))"
+    y = f"({_f(a)} * 1.25 * ln(tan(pi()/4.0 + 0.4 * radians({lat}))))"
+    return x, y
+
+
+def sql_gall_fwd(lon: str, lat: str) -> tuple[str, str]:
+    """Gall Stereographic forward (dialect pair: kernels.gall_fwd);
+    y constant pre-multiplied in Python — DuckDB parses adjacent float
+    literals as DECIMALs and overflows on their product."""
+    a = 6378137.0
+    gyf = a * (1.0 + math.sqrt(2.0) / 2.0)
+    x = f"({_f(a)} * radians({lon}) / sqrt(2.0))"
+    y = f"({_f(gyf)} * tan(radians({lat}) / 2.0))"
+    return x, y
+
+
+def sql_hammer_fwd(lon: str, lat: str) -> tuple[str, str]:
+    """Hammer-Aitoff forward (dialect pair: kernels.hammer_fwd)."""
+    a = 6378137.0
+    l_ = f"radians({lon})"
+    p_ = f"radians({lat})"
+    d = f"sqrt(greatest(1.0 + cos({p_}) * cos({l_}/2.0), 1e-300))"
+    x = f"({_f(a)} * 2.0 * sqrt(2.0) * cos({p_}) * sin({l_}/2.0) / {d})"
+    y = f"({_f(a)} * sqrt(2.0) * sin({p_}) / {d})"
+    return x, y
+
+
+def _chain_sinc_al(ch: Chain, lon: str, lat: str) -> tuple[str, str, str]:
+    """Shared Aitoff/Winkel-Tripel intermediate: angular distance al
+    from (0, 0)-centred cos(p)cos(l/2) and its sinc with the 0-limit."""
+    tag = f"ai_{ch.i}"
+    ch.add({f"l_{tag}": f"radians({lon})", f"p_{tag}": f"radians({lat})"})
+    ch.add({f"al_{tag}": (
+        f"acos(least(greatest(cos(p_{tag}) * cos(l_{tag}/2.0), -1.0),"
+        f" 1.0))")})
+    ch.add({f"snc_{tag}": (
+        f"CASE WHEN abs(al_{tag}) < 1e-12 THEN 1.0 "
+        f"ELSE sin(al_{tag})/al_{tag} END")})
+    return f"l_{tag}", f"p_{tag}", f"snc_{tag}"
+
+
+def chain_aitoff_fwd(ch: Chain, lon: str, lat: str) -> tuple[str, str]:
+    """Aitoff forward (dialect pair: kernels.aitoff_fwd)."""
+    a = 6378137.0
+    l_, p_, snc = _chain_sinc_al(ch, lon, lat)
+    x = f"({_f(a)} * 2.0 * cos({p_}) * sin({l_}/2.0) / {snc})"
+    y = f"({_f(a)} * sin({p_}) / {snc})"
+    return x, y
+
+
+def chain_wintri_fwd(ch: Chain, lon: str, lat: str) -> tuple[str, str]:
+    """Winkel Tripel forward (dialect pair: kernels.wintri_fwd):
+    mean of equidistant cylindrical (phi1 = acos(2/pi)) and Aitoff."""
+    a = 6378137.0
+    cp1 = 2.0 / math.pi
+    l_, p_, snc = _chain_sinc_al(ch, lon, lat)
+    x = (f"({_f(a)} * 0.5 * ({l_} * {_f(cp1)}"
+         f" + 2.0*cos({p_})*sin({l_}/2.0)/{snc}))")
+    y = f"({_f(a)} * 0.5 * ({p_} + sin({p_})/{snc}))"
+    return x, y
+
+
+def chain_eck6_fwd(ch: Chain, lon: str, lat: str,
+                   iters: int = 12) -> tuple[str, str]:
+    """Eckert VI forward (dialect pair: kernels.eck6_fwd): unrolled
+    Newton for theta + sin(theta) = (1 + pi/2) sin(phi), mirroring
+    kernels._eck6_theta step for step."""
+    a = 6378137.0
+    c = math.sqrt(2.0 + math.pi)
+    tag = f"e6_{ch.i}"
+    ch.add({f"phi_{tag}": f"radians({lat})", f"lam_{tag}": f"radians({lon})"})
+    ch.add({f"sp_{tag}": f"sin(phi_{tag})"})
+    ch.add({f"rhs_{tag}": f"({_f(1.0 + 0.5 * math.pi)} * sp_{tag})"})
+    th = f"t0_{tag}"
+    ch.add({th: f"phi_{tag}"})
+    for i in range(iters):
+        nxt = f"t{i + 1}_{tag}"
+        step = (f"(({th} + sin({th}) - rhs_{tag})"
+                f" / greatest(1.0 + cos({th}), 1e-9))")
+        ch.add({nxt: (
+            f"least(greatest({th} - {step}, {_f(-math.pi / 2)}), "
+            f"{_f(math.pi / 2)})")})
+        th = nxt
+    ch.add({f"tf_{tag}": (
+        f"(CASE WHEN abs(sp_{tag}) >= 1.0 - 1e-14 "
+        f"THEN sign(sp_{tag}) * {_f(math.pi / 2)} ELSE {th} END)")})
+    x = f"({_f(a)} * lam_{tag} * (1.0 + cos(tf_{tag})) / {_f(c)})"
+    y = f"({_f(a)} * 2.0 * tf_{tag} / {_f(c)})"
+    return x, y

@@ -563,3 +563,49 @@ def test_char_shingle_minhash_mode(spark):
            .select(shingles_col(F.col("t"), 3, unit="char").alias("s"))
            .collect()[0]["s"])
     assert got == ["abc", "bcd", "cde"]
+
+
+def test_text_profile_matches_individual_operators(spark):
+    """The q06 battery (text_profile) can never drift from the
+    single-metric operators: every shared column must agree row for
+    row with token_stats / quality_score / langid_score /
+    doc_fingerprint / repetition_score on the same input."""
+    import pandas as pd
+
+    from proj_spark.operators.textops import (doc_fingerprint,
+                                              langid_score,
+                                              quality_score,
+                                              repetition_score,
+                                              text_profile, token_stats)
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(30),
+        "text": [
+            "The quick brown fox jumps over the lazy dog again and again"
+            if i % 3 == 0 else
+            f"zzz kj qq{i} !!! ??? ###" if i % 3 == 1 else
+            f"a document with some repeated repeated words words {i}"
+            for i in range(30)
+        ],
+    }))
+    prof = text_profile(docs).toPandas().set_index("doc_id").sort_index()
+    singles = {}
+    for fn in (token_stats, quality_score, langid_score, doc_fingerprint,
+               repetition_score):
+        part = fn(docs).toPandas().set_index("doc_id").sort_index()
+        for c in part.columns:
+            singles[c] = part[c]
+    # token_stats' avg_token_len is rounded only in the gate query;
+    # round here to the profile's contract before comparing
+    singles["avg_token_len"] = singles["avg_token_len"].round(6)
+    for col in ("n_chars_norm", "n_tokens", "n_subwords_est",
+                "avg_token_len", "stop_ratio", "punct_ratio",
+                "uniq_ratio", "quality", "en_score", "pred_lang",
+                "min_shingle_hash", "text_md5", "dup_token_ratio",
+                "dup_bigram_ratio"):
+        got = prof[col]
+        want = singles[col]
+        if got.dtype.kind == "f":
+            assert (got - want).abs().max() < 1e-9, col
+        else:
+            assert (got == want).all(), col
