@@ -117,6 +117,12 @@ _ORTHO_CA = "+proj=ortho +lat_0=37.0 +lon_0=-120.0 +ellps=WGS84 +units=m"
 _CASS_CA = "+proj=cass +lat_0=36.0 +lon_0=-116.5 +ellps=GRS80 +units=m"
 _GNOM_CA = "+proj=gnom +lat_0=36.0 +lon_0=-116.5 +R=6371000 +units=m"
 _MERC_TS = "+proj=merc +lat_ts=56.5 +ellps=GRS80"
+# control points sit 5 thousandths off the 0.01-deg point lattice AND
+# their great circle keeps >=70 m clearance from every lattice
+# position (measured over the full key-modulus cycle), so the y ~ 0
+# cancellation band never meets a gate row at oracle precision
+_TPEQD_CA = ("+proj=tpeqd +lat_1=36.035 +lon_1=-120.045 "
+             "+lat_2=34.075 +lon_2=-115.065 +R=6371000 +units=m")
 
 # battery A: cylindrical / pseudocylindrical world projections
 _WORLD_A = [
@@ -140,11 +146,11 @@ _REGIONAL = [
     ("utm", "EPSG:6366", "ut"), ("sterea", "EPSG:3844", "ro"),
     ("eqdc", "ESRI:102031", "ro"), ("krovak", "EPSG:5514", "cz"),
     ("omerc", "EPSG:29873", "bo"), ("stere_s", "EPSG:3031", "an"),
-    ("stere_n", "EPSG:3413", "ar"),
+    ("stere_n", "EPSG:3413", "ar"), ("nzmg", "EPSG:27200", "nz"),
 ]
 _REGIONAL_KINDS = {"ca": "california", "ut": "utm11", "ro": "romania",
                    "cz": "czech", "bo": "borneo", "an": "antarctic",
-                   "ar": "arctic"}
+                   "ar": "arctic", "nz": "nz"}
 
 
 def _battery(df, members):
@@ -195,7 +201,7 @@ def q03_proj_regional(spark, sf_dir):
     members = [(nm, proj_udf("EPSG:4326", code), f"lon_{suf}", f"lat_{suf}")
                for nm, code, suf in _REGIONAL]
     for nm, pstr in (("ortho", _ORTHO_CA), ("cass", _CASS_CA),
-                     ("gnom", _GNOM_CA)):
+                     ("gnom", _GNOM_CA), ("tpeqd", _TPEQD_CA)):
         members.append((nm, projstring_udf(pstr), "lon_ca", "lat_ca"))
     return _battery(df, members)
 
@@ -1265,6 +1271,7 @@ def oracle_sql() -> dict[str, str]:
     lon_bo, lat_bo = O.lonlat_exprs("o_orderkey", "borneo")
     lon_an, lat_an = O.lonlat_exprs("o_orderkey", "antarctic")
     lon_ar, lat_ar = O.lonlat_exprs("o_orderkey", "arctic")
+    lon_nz, lat_nz = O.lonlat_exprs("o_orderkey", "nz")
     ch = O.Chain(
         f"SELECT o_orderkey, {lon_ca} AS lon_ca, {lat_ca} AS lat_ca, "
         f"{lon_u} AS lon_ut, {lat_u} AS lat_ut, "
@@ -1272,7 +1279,8 @@ def oracle_sql() -> dict[str, str]:
         f"{lon_cz} AS lon_cz, {lat_cz} AS lat_cz, "
         f"{lon_bo} AS lon_bo, {lat_bo} AS lat_bo, "
         f"{lon_an} AS lon_an, {lat_an} AS lat_an, "
-        f"{lon_ar} AS lon_ar, {lat_ar} AS lat_ar FROM orders")
+        f"{lon_ar} AS lon_ar, {lat_ar} AS lat_ar, "
+        f"{lon_nz} AS lon_nz, {lat_nz} AS lat_nz FROM orders")
     bc = [
         ("lcc", *O.sql_lcc_fwd("lon_ca", "lat_ca", "EPSG:2230")),
         ("aea", *O.chain_aea_fwd(ch, "lon_ca", "lat_ca", "EPSG:3309",
@@ -1291,9 +1299,12 @@ def oracle_sql() -> dict[str, str]:
                                            "EPSG:3031")),
         ("stere_n", *O.sql_stere_polar_fwd("lon_ar", "lat_ar",
                                            "EPSG:3413")),
+        ("nzmg", *O.chain_nzmg_fwd(ch, "lon_nz", "lat_nz",
+                                   "EPSG:27200")),
         ("ortho", *O.sql_ortho_fwd("lon_ca", "lat_ca", _ORTHO_CA)),
         ("cass", *O.sql_cass_fwd("lon_ca", "lat_ca", _CASS_CA)),
         ("gnom", *O.sql_gnom_fwd("lon_ca", "lat_ca", _GNOM_CA)),
+        ("tpeqd", *O.sql_tpeqd_fwd("lon_ca", "lat_ca", _TPEQD_CA)),
     ]
     out["q03_proj_regional"] = ch.finish(_battery_select(bc))
 

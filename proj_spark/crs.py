@@ -610,6 +610,13 @@ for entry in [
        area=Area(160.6, -55.95, -171.2, -25.88),
        area_name="New Zealand.",
        datum_name="New Zealand Geodetic Datum 2000", datum_code=6167),
+    _e("EPSG:4272", "NZGD49", "geographic", "+proj=longlat +ellps=intl",
+       towgs84=(59.47, -5.04, 187.44, 0.47, -0.1, 1.024, -4.5993),
+       axis_order="ne", unit="deg", datum_ellps="intl",
+       area=Area(165.87, -47.65, 179.27, -33.89),
+       area_name="New Zealand - North Island, South Island, Stewart "
+                 "Island - onshore.",
+       datum_name="New Zealand Geodetic Datum 1949", datum_code=6272),
     _e("EPSG:4314", "DHDN", "geographic", "+proj=longlat +ellps=bessel",
        towgs84=(598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7),
        axis_order="ne", unit="deg", datum_ellps="bessel",
@@ -643,6 +650,16 @@ for entry in [
                  "Island - onshore.",
        datum_name="New Zealand Geodetic Datum 2000", datum_code=6167,
        base_geog="EPSG:4167", base_geog_name="NZGD2000"),
+    _e("EPSG:27200", "NZGD49 / New Zealand Map Grid", "projected",
+       "+proj=nzmg +lat_0=-41 +lon_0=173 +x_0=2510000 +y_0=6023150 "
+       "+ellps=intl +units=m",
+       towgs84=(59.47, -5.04, 187.44, 0.47, -0.1, 1.024, -4.5993),
+       datum_ellps="intl",
+       area=Area(165.87, -47.65, 179.27, -33.89),
+       area_name="New Zealand - North Island, South Island, Stewart "
+                 "Island - onshore.",
+       datum_name="New Zealand Geodetic Datum 1949", datum_code=6272,
+       base_geog="EPSG:4272", base_geog_name="NZGD49"),
     _e("EPSG:3577", "GDA94 / Australian Albers", "projected",
        "+proj=aea +lat_0=0 +lon_0=132 +lat_1=-18 +lat_2=-36 "
        "+x_0=0 +y_0=0 +ellps=GRS80 +units=m",

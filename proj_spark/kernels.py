@@ -2524,6 +2524,188 @@ def igh_inv(x, y, P):
             np.where(in_moll, phi_m, phi_s))
 
 
+# ---------------------------------------------------------------------------
+# tpeqd — Two-Point Equidistant (Snyder PP-1395 ch. 17; spherical, on
+# the semi-major axis like PROJ tpeqd).  Defining property: the PLANAR
+# distance from the image of P to the image of each control point
+# equals the great-circle distance on the sphere — the projection used
+# for "distance from either of two cities" maps.  Control points map
+# to (-+ z02/2, 0) on the x axis; a point's image is the two-circle
+# intersection, side chosen by which side of the control great circle
+# the point lies on (sign of the vector triple product).
+# ---------------------------------------------------------------------------
+def _unit_vec(lam, phi):
+    cp = np.cos(phi)
+    return np.stack([cp * np.cos(lam), cp * np.sin(lam), np.sin(phi)])
+
+
+def tpeqd_setup(params, a, es):
+    phi1 = np.radians(float(params["lat_1"]))
+    lam1 = np.radians(float(params["lon_1"]))
+    phi2 = np.radians(float(params["lat_2"]))
+    lam2 = np.radians(float(params["lon_2"]))
+    cz = (np.sin(phi1) * np.sin(phi2)
+          + np.cos(phi1) * np.cos(phi2) * np.cos(lam2 - lam1))
+    z02 = float(np.arccos(np.clip(cz, -1.0, 1.0)))
+    # 1e-7 rad ~ 0.6 m: below that the two-circle geometry is
+    # degenerate (and fp noise alone reaches ~1.5e-8 for coincident
+    # inputs, so a tighter guard would not even trip)
+    if z02 < 1e-7 or np.pi - z02 < 1e-7:
+        raise ValueError(
+            "tpeqd: control points must be distinct and non-antipodal")
+    v1 = _unit_vec(lam1, phi1)
+    v2 = _unit_vec(lam2, phi2)
+    n = np.cross(v1, v2)  # normal of the control great circle
+    # azimuth at P1 toward P2 (for the inverse's spherical direct step)
+    a12 = float(np.arctan2(
+        np.cos(phi2) * np.sin(lam2 - lam1),
+        np.cos(phi1) * np.sin(phi2)
+        - np.sin(phi1) * np.cos(phi2) * np.cos(lam2 - lam1)))
+    return {"phi1": phi1, "lam1": lam1, "phi2": phi2, "lam2": lam2,
+            "z02": z02, "n": n, "a12": a12}
+
+
+def tpeqd_fwd(lam, phi, P):
+    lam = np.atleast_1d(np.asarray(lam, dtype=np.float64))
+    phi = np.atleast_1d(np.asarray(phi, dtype=np.float64))
+    sp, cp = np.sin(phi), np.cos(phi)
+    z1 = np.arccos(np.clip(
+        np.sin(P["phi1"]) * sp
+        + np.cos(P["phi1"]) * cp * np.cos(lam - P["lam1"]), -1.0, 1.0))
+    z2 = np.arccos(np.clip(
+        np.sin(P["phi2"]) * sp
+        + np.cos(P["phi2"]) * cp * np.cos(lam - P["lam2"]), -1.0, 1.0))
+    c = P["z02"]
+    x = (z1 * z1 - z2 * z2) / (2.0 * c)
+    y2 = z1 * z1 - (x + 0.5 * c) ** 2
+    v = _unit_vec(lam, phi)
+    side = P["n"][0] * v[0] + P["n"][1] * v[1] + P["n"][2] * v[2]
+    y = np.sign(side) * np.sqrt(np.maximum(y2, 0.0))
+    return x, y
+
+
+def tpeqd_inv(x, y, P):
+    x = np.atleast_1d(np.asarray(x, dtype=np.float64))
+    y = np.atleast_1d(np.asarray(y, dtype=np.float64))
+    c = P["z02"]
+    z1 = np.hypot(x + 0.5 * c, y)
+    z2 = np.hypot(x - 0.5 * c, y)
+    # interior angle at P1 between the P1->P2 direction and P1->P
+    # (spherical law of cosines), side resolved by the y sign
+    z1s = np.where(z1 < 1e-12, 1.0, z1)
+    cos_ang = ((np.cos(z2) - np.cos(c) * np.cos(z1))
+               / (np.sin(c) * np.sin(z1s)))
+    ang = np.arccos(np.clip(cos_ang, -1.0, 1.0))
+    az = P["a12"] - np.sign(y) * ang
+    sz, cz = np.sin(z1), np.cos(z1)
+    phi = farcsin(np.clip(
+        np.sin(P["phi1"]) * cz + np.cos(P["phi1"]) * sz * np.cos(az),
+        -1.0, 1.0))
+    lam = P["lam1"] + np.arctan2(
+        sz * np.sin(az),
+        np.cos(P["phi1"]) * cz - np.sin(P["phi1"]) * sz * np.cos(az))
+    # centre-coincident rows: z1 == 0 -> exactly P1
+    at1 = z1 < 1e-12
+    if np.any(at1):
+        phi = np.where(at1, P["phi1"], phi)
+        lam = np.where(at1, P["lam1"], lam)
+    return adjlon(lam), phi
+
+
+# ---------------------------------------------------------------------------
+# nzmg — New Zealand Map Grid (EPSG method 9811): 6th-order complex
+# conformal polynomial over an isometric-latitude series — the
+# published LINZ definition (constants as republished by the public
+# PROJ/proj4js implementations).  dphi is measured in 1e5-arcsec units
+# about lat_0 = -41 deg; the framework scales by a (intl 1924) and
+# adds the 2510000/6023150 false origin.
+# ---------------------------------------------------------------------------
+_NZMG_RAD_TO_SEC5 = 2.062648062470963551564733573  # rad -> 1e5 arcsec
+_NZMG_SEC5_TO_RAD = 0.4848136811095359935899141023
+# psi(dphi) series (10 terms)
+_NZMG_TPSI = np.array([
+    0.6399175073, -0.1358797613, 0.063294409, -0.02526853, 0.0117879,
+    -0.0055161, 0.0026906, -0.001333, 0.00067, -0.00034])
+# dphi(psi) series (9 terms, inverse)
+_NZMG_TPHI = np.array([
+    1.5627014243, 0.5185406398, -0.03333098, -0.1052906, -0.0368594,
+    0.007317, 0.01220, 0.00394, -0.0013])
+# complex forward coefficients B1..B6
+_NZMG_BF = np.array([
+    0.7557853228 + 0.0j,
+    0.249204646 + 0.003371507j,
+    -0.001541739 + 0.041058560j,
+    -0.10162907 + 0.01727609j,
+    -0.26623489 - 0.36249218j,
+    -0.6870983 - 1.1651967j])
+# complex inverse-start coefficients C1..C6
+_NZMG_CF = np.array([
+    1.3231270439 + 0.0j,
+    -0.577245789 - 0.007809598j,
+    0.508307513 - 0.112208952j,
+    -0.15094762 + 0.18200602j,
+    1.01418179 + 1.64497696j,
+    1.9660549 + 2.5127645j])
+
+
+def _zpoly1(z, coefs):
+    """w = sum_k coefs[k-1] * z^k (complex Horner, zero constant)."""
+    w = np.full_like(z, coefs[-1])
+    for c in coefs[-2::-1]:
+        w = w * z + c
+    return w * z
+
+
+def nzmg_setup(params, a, es):
+    return {"phi0": np.radians(float(params.get("lat_0", -41.0)))}
+
+
+def nzmg_fwd(lam, phi, P):
+    lam = np.atleast_1d(np.asarray(lam, dtype=np.float64))
+    phi = np.atleast_1d(np.asarray(phi, dtype=np.float64))
+    dphi = (phi - P["phi0"]) * _NZMG_RAD_TO_SEC5
+    psi = np.zeros_like(dphi)
+    for t in _NZMG_TPSI[::-1]:
+        psi = psi * dphi + t
+    psi *= dphi
+    z = psi + 1j * lam
+    w = _zpoly1(z, _NZMG_BF)
+    return w.imag, w.real
+
+
+def nzmg_inv(x, y, P, iters: int = 10):
+    x = np.atleast_1d(np.asarray(x, dtype=np.float64))
+    y = np.atleast_1d(np.asarray(y, dtype=np.float64))
+    w = y + 1j * x
+    # published inverse-start polynomial, then Newton on the forward
+    z = _zpoly1(w, _NZMG_CF)
+    for _ in range(iters):
+        f = _zpoly1(z, _NZMG_BF) - w
+        # d/dz of sum B_k z^k = sum k B_k z^(k-1)
+        d = np.zeros_like(z)
+        for k in range(len(_NZMG_BF), 0, -1):
+            d = d * z + k * _NZMG_BF[k - 1]
+        z = z - f / d
+    psi = z.real
+    dphi = np.zeros_like(psi)
+    for t in _NZMG_TPHI[::-1]:
+        dphi = dphi * psi + t
+    dphi *= psi
+    # the published 9-term tphi series alone is ~1e-4 m; two Newton
+    # steps on the exact forward tpsi series polish to fp precision
+    for _ in range(2):
+        f = np.zeros_like(dphi)
+        for t in _NZMG_TPSI[::-1]:
+            f = f * dphi + t
+        f *= dphi
+        d = np.zeros_like(dphi)
+        for k in range(len(_NZMG_TPSI), 0, -1):
+            d = d * dphi + k * _NZMG_TPSI[k - 1]
+        dphi = dphi - (f - psi) / d
+    return adjlon(z.imag), P["phi0"] + dphi * _NZMG_SEC5_TO_RAD
+
+
+
 PROJECTIONS = {
     "longlat": (longlat_setup, longlat_fwd, longlat_inv),
     "latlong": (longlat_setup, longlat_fwd, longlat_inv),
@@ -2564,4 +2746,6 @@ PROJECTIONS = {
     "gall": (gall_setup, gall_fwd, gall_inv),
     "vandg": (vandg_setup, vandg_fwd, vandg_inv),
     "igh": (igh_setup, igh_fwd, igh_inv),
+    "tpeqd": (tpeqd_setup, tpeqd_fwd, tpeqd_inv),
+    "nzmg": (nzmg_setup, nzmg_fwd, nzmg_inv),
 }

@@ -139,6 +139,11 @@ def lonlat_exprs(key: str, kind: str = "world") -> tuple[str, str]:
             f"(({key}) % 3600) / 10.0 - 180.0 + 0.05",
             f"-89.5 + (({key}) % 280) / 10.0 + 0.05",
         )
+    if kind == "nz":
+        return (
+            f"166.5 + (({key}) % 1150) / 100.0",
+            f"-46.5 + (({key}) % 1200) / 100.0",
+        )
     raise ValueError(kind)
 
 
@@ -1555,4 +1560,89 @@ def chain_eck6_fwd(ch: Chain, lon: str, lat: str,
         f"THEN sign(sp_{tag}) * {_f(math.pi / 2)} ELSE {th} END)")})
     x = f"({_f(a)} * lam_{tag} * (1.0 + cos(tf_{tag})) / {_f(c)})"
     y = f"({_f(a)} * 2.0 * tf_{tag} / {_f(c)})"
+    return x, y
+
+
+def sql_tpeqd_fwd(lon: str, lat: str, proj: str) -> tuple[str, str]:
+    """Two-Point Equidistant forward (dialect pair: kernels.tpeqd_fwd,
+    spherical): great-circle distances to the two control points, the
+    planar two-circle intersection, side by the sign of the vector
+    triple product (v1 x v2) . v — every constant embedded as a
+    float64 literal."""
+    import numpy as np
+
+    from . import kernels as K
+    from .crs import parse_proj_string
+
+    p = parse_proj_string(proj)[0]
+    R = float(p.get("R", 6371000.0))
+    P = K.tpeqd_setup(p, R, 0.0)
+    c = P["z02"]
+    n = P["n"]
+    lam = f"radians({lon})"
+    phi = f"radians({lat})"
+    sp, cp = f"sin({phi})", f"cos({phi})"
+    z1 = (f"acos(least(greatest({_f(math.sin(P['phi1']))}*{sp}"
+          f" + {_f(math.cos(P['phi1']))}*{cp}*cos({lam} - {_f(P['lam1'])}),"
+          f" -1.0), 1.0))")
+    z2 = (f"acos(least(greatest({_f(math.sin(P['phi2']))}*{sp}"
+          f" + {_f(math.cos(P['phi2']))}*{cp}*cos({lam} - {_f(P['lam2'])}),"
+          f" -1.0), 1.0))")
+    x = f"(({z1}*{z1} - {z2}*{z2}) / {_f(2.0 * c)})"
+    y2 = f"({z1}*{z1} - ({x} + {_f(0.5 * c)})*({x} + {_f(0.5 * c)}))"
+    side = (f"({_f(float(n[0]))}*{cp}*cos({lam})"
+            f" + {_f(float(n[1]))}*{cp}*sin({lam})"
+            f" + {_f(float(n[2]))}*{sp})")
+    sgn = (f"(CASE WHEN {side} > 0.0 THEN 1.0"
+           f" WHEN {side} < 0.0 THEN -1.0 ELSE 0.0 END)")
+    y = f"({sgn} * sqrt(greatest({y2}, 0.0)))"
+    return f"({_f(R)} * {x})", f"({_f(R)} * {y})"
+
+
+def chain_nzmg_fwd(ch: Chain, lon: str, lat: str,
+                   code: str = "EPSG:27200") -> tuple[str, str]:
+    """4326 -> New Zealand Map Grid: Helmert shift to NZGD49, dphi in
+    1e5-arcsec units, the 10-term psi series, then the 6th-order
+    complex Horner unrolled as real/imaginary column pairs (dialect
+    pair: kernels.nzmg_fwd)."""
+    from . import kernels as K
+    from .crs import EPSG, parse_proj_string
+
+    entry = EPSG[code]
+    params = parse_proj_string(entry.proj)[0]
+    a, _es = K.ellipsoid(params)
+    phi0 = math.radians(float(params.get("lat_0", -41.0)))
+    lam0 = math.radians(float(params.get("lon_0", 173.0)))
+    x0 = float(params.get("x_0", 0.0))
+    y0 = float(params.get("y_0", 0.0))
+    lam_c, phi_c = chain_datum_shift(
+        ch, lon, lat, "WGS84", entry.datum_ellps, dst_towgs84=entry.towgs84,
+        out=("nzlam", "nzphi"))
+    tag = f"nz_{ch.i}"
+    ch.add({f"dp_{tag}": (
+        f"((({phi_c}) - {_f(phi0)}) * {_f(K._NZMG_RAD_TO_SEC5)})")})
+    # psi Horner (real, 10 terms)
+    psi = _f(float(K._NZMG_TPSI[-1]))
+    for t in K._NZMG_TPSI[-2::-1]:
+        psi = f"({psi} * dp_{tag} + {_f(float(t))})"
+    ch.add({f"psi_{tag}": f"({psi} * dp_{tag})",
+            f"zl_{tag}": f"(({lam_c}) - {_f(lam0)})"})
+    # complex Horner over z = psi + i*dlam (zero constant, times z)
+    wr, wi = _f(float(K._NZMG_BF[-1].real)), _f(float(K._NZMG_BF[-1].imag))
+    step = 0
+    for b in K._NZMG_BF[-2::-1]:
+        step += 1
+        ch.add({
+            f"wr{step}_{tag}": (
+                f"(({wr})*psi_{tag} - ({wi})*zl_{tag} + {_f(float(b.real))})"),
+            f"wi{step}_{tag}": (
+                f"(({wr})*zl_{tag} + ({wi})*psi_{tag} + {_f(float(b.imag))})"),
+        })
+        wr, wi = f"wr{step}_{tag}", f"wi{step}_{tag}"
+    ch.add({
+        f"fr_{tag}": f"(({wr})*psi_{tag} - ({wi})*zl_{tag})",
+        f"fi_{tag}": f"(({wr})*zl_{tag} + ({wi})*psi_{tag})",
+    })
+    x = f"({_f(a)} * fi_{tag} + {_f(x0)})"
+    y = f"({_f(a)} * fr_{tag} + {_f(y0)})"
     return x, y

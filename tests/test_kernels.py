@@ -1519,3 +1519,97 @@ def test_igh_lobe_boundary_continuity():
     l2, p2 = tg.project_array(x.copy(), y.copy(), inverse=True)
     assert np.abs(l2 - lam).max() * R < 1e-4
     assert np.abs(p2 - phi).max() * R < 0.05  # moll arcsin near poles
+
+
+def test_tpeqd_defining_properties():
+    """Two-Point Equidistant (Snyder PP-1395 ch. 17): the DEFINING
+    property is that the planar distance from any point's image to
+    each control point's image equals the great-circle distance on the
+    sphere — checked against an independently-computed arccos formula.
+    Control points land exactly at (-+z02/2 * R, 0); the midpoint of
+    the control geodesic maps to the origin; fwd/inv roundtrips to
+    sub-mm."""
+    import numpy as np
+
+    from proj_spark.crs import Transform
+
+    R = 6371000.0
+    la1, lo1, la2, lo2 = 36.035, -120.045, 34.075, -115.065
+    t = Transform.new(
+        f"+proj=tpeqd +lat_1={la1} +lon_1={lo1} "
+        f"+lat_2={la2} +lon_2={lo2} +R={R} +units=m")
+    rng = np.random.default_rng(11)
+    lam = np.radians(rng.uniform(-125.0, -110.0, 4000))
+    phi = np.radians(rng.uniform(28.0, 42.0, 4000))
+    x, y = t.project_array(lam.copy(), phi.copy())
+
+    def gc(lam0, phi0):
+        return R * np.arccos(np.clip(
+            np.sin(np.radians(phi0)) * np.sin(phi)
+            + np.cos(np.radians(phi0)) * np.cos(phi)
+            * np.cos(lam - np.radians(lam0)), -1.0, 1.0))
+
+    x1, _ = t.project_array(np.radians([lo1]).copy(),
+                            np.radians([la1]).copy())
+    x2, _ = t.project_array(np.radians([lo2]).copy(),
+                            np.radians([la2]).copy())
+    # control points on the x axis, symmetric about the origin
+    assert abs(x1[0] + x2[0]) < 1e-6
+    d1 = np.hypot(x - x1[0], y)
+    d2 = np.hypot(x - x2[0], y)
+    assert np.abs(d1 - gc(lo1, la1)).max() < 1e-6
+    assert np.abs(d2 - gc(lo2, la2)).max() < 1e-6
+    # roundtrip (both sides of the control great circle)
+    li, pi_ = t.project_array(x.copy(), y.copy(), inverse=True)
+    assert np.degrees(np.abs(li - lam)).max() < 1e-9
+    assert np.degrees(np.abs(pi_ - phi)).max() < 1e-9
+    # degenerate control configuration is rejected
+    import pytest as _pytest
+
+    from proj_spark.crs import ProjCreateError
+    with _pytest.raises((ValueError, ProjCreateError)):
+        Transform.new("+proj=tpeqd +lat_1=10 +lon_1=20 "
+                      "+lat_2=10 +lon_2=20 +R=6371000")
+
+
+def test_nzmg_true_origin_and_roundtrip():
+    """New Zealand Map Grid (EPSG method 9811, LINZ-published series):
+    the true origin (-41, 173) maps EXACTLY to the false origin
+    (2510000, 6023150); E/N stay inside LINZ's published NZMG ranges
+    over the whole NZGD49 area of use; complex-Newton inverse
+    roundtrips below 0.1 mm; first-order scale agrees with the sphere
+    (bf1 ~ cos 41 deg meridian convergence baked into the series)."""
+    import numpy as np
+
+    from proj_spark.crs import Transform
+
+    t = Transform.new("+proj=nzmg +lat_0=-41 +lon_0=173 +x_0=2510000 "
+                      "+y_0=6023150 +ellps=intl +units=m")
+    xo, yo = t.project_array(np.radians([173.0]).copy(),
+                             np.radians([-41.0]).copy())
+    assert abs(xo[0] - 2510000.0) < 1e-6 and abs(yo[0] - 6023150.0) < 1e-6
+    rng = np.random.default_rng(13)
+    lam = np.radians(rng.uniform(166.0, 179.2, 4000))
+    phi = np.radians(rng.uniform(-47.6, -34.0, 4000))
+    x, y = t.project_array(lam.copy(), phi.copy())
+    # sanity envelope around LINZ's published NZMG extent (the random
+    # domain includes ocean corners beyond the land E ~ 2000-3000 km,
+    # N ~ 5300-6800 km band, so allow ~150 km of margin)
+    assert x.min() > 1.75e6 and x.max() < 3.25e6
+    assert y.min() > 5.15e6 and y.max() < 6.95e6
+    li, pi_ = t.project_array(x.copy(), y.copy(), inverse=True)
+    a = 6378388.0
+    assert (np.abs(li - lam) * a).max() < 1e-4
+    assert (np.abs(pi_ - phi) * a).max() < 1e-4
+    # first-order consistency vs spherical arc lengths at the origin
+    xs, ys = t.project_array(np.radians([173.05]).copy(),
+                             np.radians([-41.0]).copy())
+    east = xs[0] - 2510000.0
+    want_e = np.radians(0.05) * a * np.cos(np.radians(41.0))
+    assert abs(east - want_e) / want_e < 2e-3
+    xs, ys = t.project_array(np.radians([173.0]).copy(),
+                             np.radians([-40.95]).copy())
+    north = ys[0] - 6023150.0
+    want_n = np.radians(0.05) * a * (1.0 - 0.006722670022333322) \
+        / (1.0 - 0.006722670022333322 * np.sin(np.radians(41.0)) ** 2) ** 1.5
+    assert abs(north - want_n) / want_n < 2e-3
