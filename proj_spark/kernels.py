@@ -2596,7 +2596,12 @@ def tpeqd_inv(x, y, P):
     cos_ang = ((np.cos(z2) - np.cos(c) * np.cos(z1))
                / (np.sin(c) * np.sin(z1s)))
     ang = np.arccos(np.clip(cos_ang, -1.0, 1.0))
-    az = P["a12"] - np.sign(y) * ang
+    # side factor is +-1, never 0: for an exactly-on-axis point beyond
+    # a control point (y = +-0, ang = pi) np.sign's 0 would cancel the
+    # half-turn and reflect the point; with +-1 both signs agree
+    # modulo 2*pi wherever y = 0
+    side = np.where(y >= 0.0, 1.0, -1.0)
+    az = P["a12"] - side * ang
     sz, cz = np.sin(z1), np.cos(z1)
     phi = farcsin(np.clip(
         np.sin(P["phi1"]) * cz + np.cos(P["phi1"]) * sz * np.cos(az),

@@ -1569,8 +1569,6 @@ def sql_tpeqd_fwd(lon: str, lat: str, proj: str) -> tuple[str, str]:
     planar two-circle intersection, side by the sign of the vector
     triple product (v1 x v2) . v — every constant embedded as a
     float64 literal."""
-    import numpy as np
-
     from . import kernels as K
     from .crs import parse_proj_string
 

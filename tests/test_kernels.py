@@ -1563,6 +1563,17 @@ def test_tpeqd_defining_properties():
     li, pi_ = t.project_array(x.copy(), y.copy(), inverse=True)
     assert np.degrees(np.abs(li - lam)).max() < 1e-9
     assert np.degrees(np.abs(pi_ - phi)).max() < 1e-9
+    # exactly-on-axis inverse, incl. BEYOND each control point (y=+-0
+    # with interior angle pi — the np.sign(0) reflection regression)
+    from proj_spark.kernels import tpeqd_fwd, tpeqd_inv, tpeqd_setup
+    P = tpeqd_setup({"lat_1": la1, "lon_1": lo1,
+                     "lat_2": la2, "lon_2": lo2}, R, 0.0)
+    c = P["z02"]
+    xa = np.array([-0.9 * c, -0.4 * c, 0.0, 0.4 * c, 0.9 * c])
+    la_, ph_ = tpeqd_inv(xa, np.zeros_like(xa), P)
+    xb, yb = tpeqd_fwd(la_, ph_, P)
+    assert np.abs(xb - xa).max() < 1e-12
+    assert np.abs(yb).max() < 1e-7
     # degenerate control configuration is rejected
     import pytest as _pytest
 
