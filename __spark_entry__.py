@@ -560,7 +560,45 @@ def q29_media_verify(spark, sf_dir):
 
     sub = fx.mapInPandas(
         _verify, "image_id string, kind string, all_ok boolean")
-    return base.unionByName(jpeg).unionByName(sub)
+
+    # round-5 PROGRESSIVE part: SOF2 fixtures must decode
+    # byte-identical to the baseline encode of the same raster (the
+    # coefficient path through all 10 scans is exact), clear PSNR>=40
+    # vs the source, and keep their size
+    from proj_spark.sources.datagen import synthesize_jpeg_progressive
+
+    pg = synthesize_jpeg_progressive(spark, 80,
+                                     partitions=8).localCheckpoint()
+
+    def _verify_prog(batches):
+        import numpy as np
+
+        from proj_spark.sources.datagen import (raster_smooth_for,
+                                                splitmix64)
+        from proj_spark.sources.images import psnr
+        from proj_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for image_id, data, w, h, sub_ in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["subsampling"]):
+                seq = np.array([int(image_id[2:])], dtype=np.uint64)
+                seed = int(splitmix64(seq)[0])
+                src = raster_smooth_for(seed, int(w), int(h))
+                dec = decode_jpeg(bytes(data))
+                base_dec = decode_jpeg(
+                    encode_jpeg(src, 90, subsampling=sub_))
+                ok = (dec.shape[0] == int(h) and dec.shape[1] == int(w)
+                      and bool(psnr(src, dec) >= 40.0)
+                      and np.array_equal(dec, base_dec))
+                rows.append((image_id, "prog:" + sub_, ok))
+            yield pd.DataFrame(rows, columns=["image_id", "kind",
+                                              "all_ok"])
+
+    prog = pg.mapInPandas(
+        _verify_prog, "image_id string, kind string, all_ok boolean")
+    return base.unionByName(jpeg).unionByName(sub).unionByName(prog)
 
 
 def q35_av_verify(spark, sf_dir):
@@ -1666,6 +1704,13 @@ FROM scored WHERE rank <= 5
         f"CASE WHEN ((({h67} >> 21) & 1) = 1) THEN '4:2:0' ELSE '4:2:2' END "
         "AS kind, true AS all_ok",
     )
+    ch = O.Chain("SELECT i FROM unnest(range(0, 80)) AS t(i)")
+    h29p = O.chain_splitmix64(ch, "i", "h29p")
+    _jpegprog = ch.finish(
+        "printf('pg%012d', i) AS image_id, "
+        f"'prog:' || CASE WHEN ((({h29p} >> 23) & 1) = 1) "
+        "THEN '4:2:0' ELSE '4:4:4' END AS kind, true AS all_ok",
+    )
     out["q29_media_verify"] = f"""
 SELECT printf('img%012d', i) AS image_id, 'base' AS kind, true AS all_ok
 FROM unnest(range(0, 200)) AS t(i)
@@ -1673,6 +1718,8 @@ UNION ALL
 SELECT * FROM ({_jpeg444})
 UNION ALL
 SELECT * FROM ({_jpegsub})
+UNION ALL
+SELECT * FROM ({_jpegprog})
 """
 
     # ---- q28/q32/q33: LSH paths, gated by embedding the deterministic

@@ -214,3 +214,38 @@ def synthesize_images(spark: SparkSession, n: int,
             )
 
     return rng_df.mapInPandas(_gen, schema=IMAGES_DDL)
+
+
+def synthesize_jpeg_progressive(spark: SparkSession, n: int,
+                                quality: int = 90,
+                                partitions: int | None = None) -> DataFrame:
+    """Deterministic PROGRESSIVE JPEG fixture table (round-5: the SOF2
+    path): smooth rasters through ``encode_jpeg_progressive`` with the
+    subsampling ("4:2:0" or "4:4:4") chosen by a splitmix64 bit so the
+    SQL oracle can replicate the selection.
+    Columns: image_id, bytes, w, h, subsampling."""
+    rng_df = spark.range(0, n, 1,
+                         partitions or spark.sparkContext.defaultParallelism)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import encode_jpeg_progressive
+
+        for pdf in batches:
+            seq = pdf["id"].to_numpy(dtype=np.uint64)
+            meta = meta_for(seq)
+            rows = []
+            for i in range(len(seq)):
+                seed = int(meta["hash"][i])
+                w, h = int(meta["w"][i]), int(meta["h"][i])
+                sub = "4:2:0" if (seed >> 23) & 1 else "4:4:4"
+                arr = raster_smooth_for(seed, w, h)
+                data = encode_jpeg_progressive(arr, quality,
+                                               subsampling=sub)
+                rows.append((f"pg{int(seq[i]):012d}", bytearray(data),
+                             w, h, sub))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "bytes", "w", "h", "subsampling"])
+
+    return rng_df.mapInPandas(
+        _gen,
+        "image_id string, bytes binary, w int, h int, subsampling string")

@@ -13,8 +13,13 @@ a REAL baseline JPEG implementation of the public ITU-T T.81 spec:
   * decoder: marker parser (DQT/DHT/SOF0/SOS), canonical Huffman
     decode over the generic sampling-factor MCU walk, dequantize +
     inverse zigzag + IDCT, triangular ("fancy") 2x chroma upsampling,
-    YCbCr->RGB.  Baseline sequential only; progressive (SOF2) raises
-    ``NotImplementedError`` with a clear message.
+    YCbCr->RGB.  Round 5 adds PROGRESSIVE (SOF2) both ways: a
+    libjpeg-style 10-scan script with spectral selection AND one level
+    of successive approximation (DC first/refine, per-component AC
+    bands, AC refinement with buffered correction bits, EOB runs on
+    decode).  The coefficient path is exact, so decoding a progressive
+    encode is byte-identical to decoding the baseline encode of the
+    same image (pinned in tests).
 
 The DCT/IDCT, color transforms, quantization and block (de)packing are
 vectorized over all blocks at once; only the entropy coder walks
@@ -33,7 +38,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_jpeg", "decode_jpeg"]
+__all__ = ["encode_jpeg", "encode_jpeg_progressive", "decode_jpeg"]
 
 # ---------------------------------------------------------------------------
 # Annex K tables
@@ -347,6 +352,203 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90,
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder (round-5: closes the "progressive raises" gap)
+# ---------------------------------------------------------------------------
+# libjpeg-style 10-scan script: interleaved DC first/refine, per-
+# component AC bands with one level of successive approximation for
+# luma and chroma.  Entries: (comps, Ss, Se, Ah, Al).
+_PROG_SCRIPT = (
+    ((0, 1, 2), 0, 0, 0, 1),   # DC first (point transform 1)
+    ((0,), 1, 5, 0, 2),        # Y low AC band, coarse
+    ((2,), 1, 63, 0, 1),       # Cr full AC band, coarse
+    ((1,), 1, 63, 0, 1),       # Cb full AC band, coarse
+    ((0,), 6, 63, 0, 2),       # Y high AC band, coarse
+    ((0,), 1, 63, 2, 1),       # Y AC refine 2 -> 1
+    ((0, 1, 2), 0, 0, 1, 0),   # DC refine (LSB)
+    ((2,), 1, 63, 1, 0),       # Cr AC refine
+    ((1,), 1, 63, 1, 0),       # Cb AC refine
+    ((0,), 1, 63, 1, 0),       # Y AC refine
+)
+
+
+def _enc_dc_scan(w: _BitWriter, comp_zz, samp, mcux, mcuy, comps,
+                 ah: int, al: int):
+    """Interleaved DC scan: first pass codes diffs of (dc >> Al)
+    (arithmetic shift — two's complement keeps v == (v>>1<<1)|(v&1)),
+    refinement emits the raw Al bit per block, no Huffman."""
+    preds = {c: 0 for c in comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in comps:
+                hi, vi = samp[c]
+                t = 0 if c == 0 else 1
+                bpl = mcux * hi
+                for by in range(vi):
+                    for bx in range(hi):
+                        b = (my * vi + by) * bpl + (mx * hi + bx)
+                        dc = int(comp_zz[c][b][0])
+                        if ah == 0:
+                            v = dc >> al
+                            diff = v - preds[c]
+                            preds[c] = v
+                            s = _category(diff)
+                            code, ln = _ENC_DC[t][s]
+                            w.put(code, ln)
+                            if s:
+                                w.put(diff if diff >= 0
+                                      else diff + (1 << s) - 1, s)
+                        else:
+                            w.put((dc >> al) & 1, 1)
+
+
+def _enc_ac_first(w: _BitWriter, zz, ss: int, se: int, al: int, ac_codes):
+    """AC first scan for one block (T.81 G.1.2.2), EOB0-only (no EOB-
+    run accumulation, so the Annex K tables suffice)."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (v >> al) if v >= 0 else -((-v) >> al)
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac_codes[0xF0]
+            w.put(code, ln)
+            r -= 16
+        s = _category(t)
+        code, ln = ac_codes[(r << 4) | s]
+        w.put(code, ln)
+        w.put(t if t >= 0 else t + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        code, ln = ac_codes[0x00]  # EOB (run length 1)
+        w.put(code, ln)
+
+
+def _enc_ac_refine(w: _BitWriter, zz, ss: int, se: int, al: int, ac_codes):
+    """AC refinement scan for one block (T.81 G.1.2.3 / the libjpeg
+    encode_mcu_AC_refine structure): newly-significant coefficients
+    get (run<<4)|1 + sign, already-nonzero ones a buffered correction
+    bit emitted after the next symbol; EOB0-only."""
+    absv = [(abs(int(zz[k])) >> al) for k in range(ss, se + 1)]
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        if absv[k - ss] == 1:
+            eob = k
+    r = 0
+    pend: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            code, ln = ac_codes[0xF0]
+            w.put(code, ln)
+            r -= 16
+            for bit in pend:
+                w.put(bit, 1)
+            pend = []
+        if t > 1:
+            pend.append(t & 1)
+            continue
+        code, ln = ac_codes[(r << 4) | 1]
+        w.put(code, ln)
+        r = 0
+        w.put(1 if int(zz[k]) >= 0 else 0, 1)
+        for bit in pend:
+            w.put(bit, 1)
+        pend = []
+    if r > 0 or pend:
+        code, ln = ac_codes[0x00]
+        w.put(code, ln)
+        for bit in pend:
+            w.put(bit, 1)
+
+
+def _comp_true_blocks(h, w, hi, vi, hmax, vmax):
+    """Non-interleaved scans walk the component's TRUE block grid
+    (ceil of the scaled sample dims), not the MCU-padded one."""
+    hc = -(-h * vi // vmax)
+    wc = -(-w * hi // hmax)
+    return -(-hc // 8), -(-wc // 8)
+
+
+def encode_jpeg_progressive(rgb: np.ndarray, quality: int = 90,
+                            subsampling: str = "4:4:4") -> bytes:
+    """8-bit RGB -> PROGRESSIVE JFIF bytes (SOF2): spectral selection
+    + one level of successive approximation over the libjpeg-style
+    10-scan script above.  Quantized coefficients are identical to
+    :func:`encode_jpeg` at the same quality/subsampling, so decoding
+    both must give byte-identical pixels (pinned in tests)."""
+    assert rgb.ndim == 3 and rgb.shape[2] == 3 and rgb.dtype == np.uint8
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"unknown subsampling {subsampling!r}; "
+                         f"one of {sorted(_SUBSAMPLING)}")
+    samp = _SUBSAMPLING[subsampling]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    h, w = rgb.shape[:2]
+    qt = (_quality_scale(_Q_LUM, quality), _quality_scale(_Q_CHR, quality))
+    ycc = _rgb_to_ycbcr(rgb.astype(np.float64))
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    comp_zz = []
+    for c, (hi, vi) in enumerate(samp):
+        plane = _downsample_box(ycc[..., c], hmax // hi, vmax // vi)
+        hc, wc = mcuy * vi * 8, mcux * hi * 8
+        p = np.pad(plane,
+                   ((0, hc - plane.shape[0]), (0, wc - plane.shape[1])),
+                   mode="edge")
+        blocks = _to_blocks(p) - 128.0
+        coef = np.einsum("ij,njk,lk->nil", _DCT8, blocks, _DCT8)
+        q = np.round(coef / qt[0 if c == 0 else 1][None]).astype(np.int32)
+        comp_zz.append(q.reshape(-1, 64)[:, _ZIGZAG])
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    for tid, t in enumerate(qt):
+        zz = t.reshape(-1)[_ZIGZAG].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz.tobytes()
+    # SOF2 (progressive DCT, Huffman)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for c, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
+        hi, vi = samp[c]
+        out += struct.pack(">BBB", cid, (hi << 4) | vi, tq)
+    for cls, tid, (bits, vals) in ((0, 0, _DC_LUM), (0, 1, _DC_CHR),
+                                   (1, 0, _AC_LUM), (1, 1, _AC_CHR)):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals),
+                                         (cls << 4) | tid)
+        out += bytes(bits) + bytes(vals)
+
+    for comps, ss, se, ah, al in _PROG_SCRIPT:
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps),
+                                         len(comps))
+        for c in comps:
+            tq = 0 if c == 0 else 1
+            out += struct.pack(">BB", c + 1, (tq << 4) | tq)
+        out += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        bw = _BitWriter()
+        if ss == 0:
+            _enc_dc_scan(bw, comp_zz, samp, mcux, mcuy, comps, ah, al)
+        else:
+            (c,) = comps
+            hi, vi = samp[c]
+            hb, wb = _comp_true_blocks(h, w, hi, vi, hmax, vmax)
+            act = _ENC_AC[0 if c == 0 else 1]
+            enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+            for by in range(hb):
+                for bx in range(wb):
+                    enc(bw, comp_zz[c][by * mcux * hi + bx], ss, se, al,
+                        act)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 class _BitReader:
@@ -420,8 +622,156 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+# ---------------------------------------------------------------------------
+# progressive scan decoders (T.81 G.2 / the libjpeg decode_mcu_*
+# structure).  Coefficients accumulate in int32 zigzag arrays; bit ops
+# on two's-complement values are safe because magnitudes at scan level
+# Al are multiples of 2^(Al+1), so bit Al of the stored value is 0
+# exactly when the magnitude bit is.
+# ---------------------------------------------------------------------------
+def _dec_ac_first(br: _BitReader, zz, ss: int, se: int, al: int, act,
+                  state: dict):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _read_symbol(br, act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            state["eobrun"] = (1 << r) - 1 + (br.bits(r) if r else 0)
+            return
+        k += r
+        if k > se:
+            raise ValueError("AC band overflow in progressive scan")
+        zz[k] = _extend(br.bits(s), s) << al
+        k += 1
+
+
+def _dec_ac_refine(br: _BitReader, zz, ss: int, se: int, al: int, act,
+                   state: dict):
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _read_symbol(br, act)
+            r, s = rs >> 4, rs & 15
+            if s == 0 and r != 15:
+                state["eobrun"] = (1 << r) + (br.bits(r) if r else 0)
+                break
+            newv = 0
+            if s:
+                if s != 1:
+                    raise ValueError("bad refinement symbol")
+                newv = p1 if br.bit() else m1
+            # skip r zero-history slots; every nonzero-history slot
+            # passed consumes one correction bit
+            while k <= se:
+                v = int(zz[k])
+                if v != 0:
+                    if br.bit() and (v & p1) == 0:
+                        zz[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                zz[k] = newv
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            v = int(zz[k])
+            if v != 0:
+                if br.bit() and (v & p1) == 0:
+                    zz[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _run_progressive_scan(data: bytes, pos: int, seg: bytes, comps,
+                          coeffs, huff, dc_preds, frame, hmax, vmax,
+                          mcux, mcuy) -> int:
+    """Decode one progressive scan; returns the position of the next
+    marker after the scan's entropy segment."""
+    h, w, _nc = frame
+    ns = seg[0]
+    sel = []
+    for i in range(ns):
+        cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+        ci = next(j for j, c in enumerate(comps) if c["id"] == cid)
+        sel.append((ci, tabs >> 4, tabs & 15))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ahal = seg[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 15
+    br = _BitReader(data, pos)
+    state = {"eobrun": 0}
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if ah == 0:
+            for ci, _, _ in sel:
+                dc_preds[ci] = 0
+        if ns > 1:  # interleaved DC scan: standard MCU walk
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, td, _ta in sel:
+                        c = comps[ci]
+                        hi, vi = c["hi"], c["vi"]
+                        bpl = mcux * hi
+                        for by in range(vi):
+                            for bx in range(hi):
+                                b = (my * vi + by) * bpl + (mx * hi + bx)
+                                zz = coeffs[ci][b]
+                                if ah == 0:
+                                    s = _read_symbol(br, huff[(0, td)])
+                                    d = _extend(br.bits(s), s) if s else 0
+                                    dc_preds[ci] += d
+                                    zz[0] = dc_preds[ci] << al
+                                elif br.bit():
+                                    zz[0] = int(zz[0]) | (1 << al)
+        else:
+            ci, td, _ta = sel[0]
+            c = comps[ci]
+            hi, vi = c["hi"], c["vi"]
+            hb, wb = _comp_true_blocks(h, w, hi, vi, hmax, vmax)
+            for by in range(hb):
+                for bx in range(wb):
+                    zz = coeffs[ci][by * mcux * hi + bx]
+                    if ah == 0:
+                        s = _read_symbol(br, huff[(0, td)])
+                        d = _extend(br.bits(s), s) if s else 0
+                        dc_preds[ci] += d
+                        zz[0] = dc_preds[ci] << al
+                    elif br.bit():
+                        zz[0] = int(zz[0]) | (1 << al)
+    else:
+        if ns != 1:
+            raise ValueError("interleaved AC scan is illegal (T.81)")
+        ci, _td, ta = sel[0]
+        c = comps[ci]
+        hi, vi = c["hi"], c["vi"]
+        hb, wb = _comp_true_blocks(h, w, hi, vi, hmax, vmax)
+        act = huff[(1, ta)]
+        dec = _dec_ac_first if ah == 0 else _dec_ac_refine
+        for by in range(hb):
+            for bx in range(wb):
+                dec(br, coeffs[ci][by * mcux * hi + bx], ss, se, al,
+                    act, state)
+    # resync: skip residual padding/stuffing up to the next marker
+    p = br.pos
+    while p + 1 < len(data) and not (data[p] == 0xFF
+                                     and data[p + 1] != 0x00):
+        p += 1
+    return p
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> 8-bit RGB numpy array."""
+    """Baseline OR progressive JFIF bytes -> 8-bit RGB numpy array."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -430,10 +780,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None
     comps: list[dict] = []
     scan_order: list[dict] = []
+    progressive = False
+    prog_coeffs: list[np.ndarray] | None = None
+    prog_geom = None
+    dc_preds: list[int] = []
 
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # FF fill bytes before a marker are legal
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -458,7 +814,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17:p + 17 + n])
                 huff[(cls, tid)] = _build_decode(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1 (baseline/extended seq.)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 seq., SOF2 progr.
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -469,11 +825,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError(f"invalid sampling factors {hi}x{vi}")
                 comps.append({"id": cid, "tq": tq, "hi": hi, "vi": vi})
             frame = (h, w, nc)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
+            progressive = marker == 0xC2
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals (DRI)")
         elif marker == 0xDA:  # SOS
+            if progressive:
+                if prog_coeffs is None:
+                    h, w, nc = frame
+                    hmax = max(c["hi"] for c in comps)
+                    vmax = max(c["vi"] for c in comps)
+                    mcux = -(-w // (8 * hmax))
+                    mcuy = -(-h // (8 * vmax))
+                    prog_geom = (hmax, vmax, mcux, mcuy)
+                    prog_coeffs = [
+                        np.zeros((mcuy * c["vi"] * mcux * c["hi"], 64),
+                                 dtype=np.int32) for c in comps]
+                    dc_preds = [0] * nc
+                pos = _run_progressive_scan(
+                    data, pos + seglen, seg, comps, prog_coeffs, huff,
+                    dc_preds, frame, *prog_geom)
+                continue
             ns = seg[0]
             for i in range(ns):
                 cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
@@ -483,6 +854,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pos += seglen
             break
         pos += seglen
+    if progressive:
+        if prog_coeffs is None:
+            raise ValueError("progressive JPEG without any scan")
+        # reuse the shared IDCT/upsample tail: component order == SOF
+        scan_order = [dict(c) for c in comps]
     if frame is None or not scan_order:
         raise ValueError("JPEG without SOF/SOS")
 
@@ -496,42 +872,45 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 f"vs max {hmax}x{vmax}")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    coeffs = [np.zeros((mcuy * sc["vi"] * mcux * sc["hi"], 64),
-                       dtype=np.float64) for sc in scan_order]
-    br = _BitReader(data, pos)
-    preds = [0] * nc
-    # interleaved MCU walk mirroring the encoder (T.81 A.2.3): each
-    # component contributes its vi x hi raster of blocks per MCU
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, sc in enumerate(scan_order):
-                dct = huff[(0, sc["dc"])]
-                act = huff[(1, sc["ac"])]
-                hi, vi = sc["hi"], sc["vi"]
-                bpl = mcux * hi
-                for by in range(vi):
-                    for bx in range(hi):
-                        b = (my * vi + by) * bpl + (mx * hi + bx)
-                        s = _read_symbol(br, dct)
-                        diff = _extend(br.bits(s), s) if s else 0
-                        preds[ci] += diff
-                        zz = coeffs[ci][b]
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _read_symbol(br, act)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError(
-                                    "AC coefficient index overflow")
-                            zz[k] = _extend(br.bits(s), s)
-                            k += 1
+    if progressive:
+        coeffs = prog_coeffs
+    else:
+        coeffs = [np.zeros((mcuy * sc["vi"] * mcux * sc["hi"], 64),
+                           dtype=np.float64) for sc in scan_order]
+        br = _BitReader(data, pos)
+        preds = [0] * nc
+        # interleaved MCU walk mirroring the encoder (T.81 A.2.3): each
+        # component contributes its vi x hi raster of blocks per MCU
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, sc in enumerate(scan_order):
+                    dct = huff[(0, sc["dc"])]
+                    act = huff[(1, sc["ac"])]
+                    hi, vi = sc["hi"], sc["vi"]
+                    bpl = mcux * hi
+                    for by in range(vi):
+                        for bx in range(hi):
+                            b = (my * vi + by) * bpl + (mx * hi + bx)
+                            s = _read_symbol(br, dct)
+                            diff = _extend(br.bits(s), s) if s else 0
+                            preds[ci] += diff
+                            zz = coeffs[ci][b]
+                            zz[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _read_symbol(br, act)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError(
+                                        "AC coefficient index overflow")
+                                zz[k] = _extend(br.bits(s), s)
+                                k += 1
 
     planes = []
     for ci, sc in enumerate(scan_order):

@@ -120,11 +120,14 @@ def test_jpeg_decode_image_dispatch_and_errors():
     assert psnr(arr, dec) >= 40.0
     with pytest.raises(ValueError):
         decode_image(b"\x00\x01" + data[2:], "jpg")  # missing SOI
-    # flip SOF0 -> SOF2: progressive must raise a clear error
+    # flip SOF0 -> SOF2: since round 5 progressive is SUPPORTED, so
+    # this hand-mangled stream (a sequential full-band scan under a
+    # progressive frame header) is now a MALFORMED progressive file
+    # and must fail loudly, not decode garbage
     prog = bytearray(data)
     idx = bytes(prog).find(b"\xff\xc0")
     prog[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(bytes(prog), "jpg")
     with pytest.raises(NotImplementedError):
         decode_image(data, "webp")  # still-stubbed formats
@@ -202,3 +205,67 @@ def test_jpeg_420_sof_declares_sampling_factors():
     assert comps[1] == 0x22  # Y: 2x2
     assert comps[4] == 0x11 and comps[7] == 0x11  # Cb, Cr: 1x1
     assert len(data) < len(encode_jpeg(arr, 90, subsampling="4:4:4"))
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """Progressive (SOF2, 10-scan spectral selection + successive
+    approximation) carries the SAME quantized coefficients as the
+    baseline encode, so decoding both must give byte-identical pixels
+    — across subsamplings, odd sizes, smooth and noisy content."""
+    import numpy as np
+
+    from proj_spark.sources.datagen import raster_for
+    from proj_spark.sources.jpeg import (decode_jpeg, encode_jpeg,
+                                         encode_jpeg_progressive)
+
+    rng = np.random.default_rng(41)
+    cases = [(24, 16, "4:4:4"), (37, 29, "4:2:0"), (16, 16, "4:2:2"),
+             (61, 43, "4:2:0"), (8, 8, "4:4:4"), (33, 17, "4:4:0")]
+    for i, (w, h, sub) in enumerate(cases):
+        src = raster_for(9000 + i, w, h)
+        base = decode_jpeg(encode_jpeg(src, 90, subsampling=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(src, 90,
+                                                   subsampling=sub))
+        assert np.array_equal(base, prog), (w, h, sub)
+    noisy = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(noisy, 85, "4:2:0"))
+    prog = decode_jpeg(encode_jpeg_progressive(noisy, 85, "4:2:0"))
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_container_structure():
+    """The progressive container is structurally real: SOF2 frame,
+    ten SOS scans (the libjpeg-style script), no SOF0; every scan
+    header carries a legal Ss/Se/Ah/Al progression."""
+    import numpy as np
+
+    from proj_spark.sources.datagen import raster_for
+    from proj_spark.sources.jpeg import encode_jpeg_progressive
+
+    data = encode_jpeg_progressive(raster_for(77, 40, 24), 90, "4:2:0")
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    # marker scan (skip entropy segments by hunting FF xx pairs where
+    # xx is a known marker byte — sufficient for structure counting)
+    n_sos = data.count(b"\xff\xda")
+    assert data.count(b"\xff\xc2") == 1  # SOF2
+    assert b"\xff\xc0" not in data or data.find(b"\xff\xc0") > len(data)
+    assert n_sos == 10
+    # spectral-selection sanity on the first SOS header
+    p = data.find(b"\xff\xda")
+    ns = data[p + 4]
+    ss, se = data[p + 5 + 2 * ns], data[p + 6 + 2 * ns]
+    assert (ss, se) == (0, 0) and ns == 3  # DC-first scan leads
+
+
+def test_jpeg_progressive_psnr_and_rejects_nothing_needed():
+    """Progressive decode clears the PSNR>=40 invariant on the smooth
+    fixture rasters at quality 90 (same bar as baseline)."""
+    from proj_spark.sources.datagen import raster_smooth_for
+    from proj_spark.sources.images import psnr
+    from proj_spark.sources.jpeg import (decode_jpeg,
+                                         encode_jpeg_progressive)
+
+    for seed, w, h, sub in ((5, 33, 21, "4:2:0"), (6, 48, 32, "4:4:4")):
+        src = raster_smooth_for(seed, w, h)
+        dec = decode_jpeg(encode_jpeg_progressive(src, 90, sub))
+        assert psnr(src, dec) >= 40.0
