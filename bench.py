@@ -150,6 +150,26 @@ def bench_queries(spark, sf_dir):
     imgs_pyr = synthesize_images(spark, n_img).localCheckpoint()
     run("tile_pyramid", n_img, lambda: _sink(
         tile_pyramid(imgs_pyr, zooms=(0, 1, 2), tile=16)))
+    # round-5 progressive JPEG decode throughput (SOF2 multi-scan
+    # entropy path; fixtures encoded once outside the timed region)
+    from proj_spark.sources.datagen import synthesize_jpeg_progressive
+    n_prog = 800
+    prog_fx = synthesize_jpeg_progressive(spark, n_prog).localCheckpoint()
+
+    def _dec_prog(batches):
+        import pandas as _pd
+
+        from proj_spark.sources.jpeg import decode_jpeg
+
+        for pdf in batches:
+            n = 0
+            for b in pdf["bytes"]:
+                decode_jpeg(bytes(b))
+                n += 1
+            yield _pd.DataFrame({"n": [n]})
+
+    run("jpeg_progressive", n_prog, lambda: _sink(
+        prog_fx.mapInPandas(_dec_prog, "n int")))
     from proj_spark.operators.joins import radius_join
     run("radius_join", n_cust, lambda: _sink(
         radius_join(cust, E._knn_queries(spark, sf_dir), 500_000.0,

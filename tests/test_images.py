@@ -248,7 +248,7 @@ def test_jpeg_progressive_container_structure():
     # xx is a known marker byte — sufficient for structure counting)
     n_sos = data.count(b"\xff\xda")
     assert data.count(b"\xff\xc2") == 1  # SOF2
-    assert b"\xff\xc0" not in data or data.find(b"\xff\xc0") > len(data)
+    assert b"\xff\xc0" not in data  # no SOF0 (FF is stuffed in entropy)
     assert n_sos == 10
     # spectral-selection sanity on the first SOS header
     p = data.find(b"\xff\xda")
