@@ -29,7 +29,7 @@ from proj_spark.operators import tiles as TILES
 from proj_spark.operators import textops as TX
 from proj_spark.operators import ann as ANN
 from proj_spark.operators.geometry import geom_linestring, transform_geometry
-from proj_spark.operators.joins import haversine_col, knn_join, pip_anti_join, pip_join
+from proj_spark.operators.joins import knn_join, pip_anti_join, pip_join
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
