@@ -219,6 +219,11 @@ class _BitWriter:
             pad = 8 - self.nbits
             self.put((1 << pad) - 1, pad)  # 1-fill, per spec
 
+    def restart(self, m: int):
+        """Byte-align and emit RSTm (T.81 restart marker, m in 0..7)."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 def _encode_block(w: _BitWriter, zz: np.ndarray, pred: int,
                   dc_codes, ac_codes) -> int:
@@ -274,13 +279,17 @@ def _downsample_box(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
 
 
 def encode_jpeg(rgb: np.ndarray, quality: int = 90,
-                subsampling: str = "4:4:4") -> bytes:
+                subsampling: str = "4:4:4",
+                restart_interval: int = 0) -> bytes:
     """8-bit RGB HxWx3 -> baseline JFIF bytes.
 
     ``subsampling`` picks the chroma layout: "4:4:4" (default, MCU =
     one block per component — byte-identical to the pre-subsampling
     encoder), "4:2:2" (chroma halved horizontally, 16x8 MCU) or
-    "4:2:0" (chroma halved both ways, 16x16 MCU with 4 Y blocks)."""
+    "4:2:0" (chroma halved both ways, 16x16 MCU with 4 Y blocks).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTm marker
+    every that many MCUs (DC predictors reset, byte-aligned) — the
+    error-resilience feature most camera/web JPEGs carry."""
     assert rgb.ndim == 3 and rgb.shape[2] == 3 and rgb.dtype == np.uint8
     if subsampling not in _SUBSAMPLING:
         raise ValueError(f"unknown subsampling {subsampling!r}; "
@@ -325,6 +334,9 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90,
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals),
                                          (cls << 4) | tid)
         out += bytes(bits) + bytes(vals)
+    ri = int(restart_interval)
+    if ri > 0:  # DRI
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 12, 3)
     for cid, t in ((1, 0x00), (2, 0x11), (3, 0x11)):
@@ -335,6 +347,9 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90,
     # vi x hi raster of blocks (T.81 A.2.3 interleaved order)
     bw = _BitWriter()
     preds = [0, 0, 0]
+    n_mcu = mcuy * mcux
+    done = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
             for c, (hi, vi) in enumerate(samp):
@@ -345,6 +360,11 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90,
                         b = (my * vi + by) * bpl + (mx * hi + bx)
                         preds[c] = _encode_block(bw, comp_zz[c][b], preds[c],
                                                  _ENC_DC[t], _ENC_AC[t])
+            done += 1
+            if ri and done % ri == 0 and done < n_mcu:
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0, 0, 0]
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -372,13 +392,22 @@ _PROG_SCRIPT = (
 
 
 def _enc_dc_scan(w: _BitWriter, comp_zz, samp, mcux, mcuy, comps,
-                 ah: int, al: int):
+                 ah: int, al: int, ri: int = 0):
     """Interleaved DC scan: first pass codes diffs of (dc >> Al)
     (arithmetic shift — two's complement keeps v == (v>>1<<1)|(v&1)),
-    refinement emits the raw Al bit per block, no Huffman."""
+    refinement emits the raw Al bit per block, no Huffman.  ``ri`` > 0
+    emits RSTm every ri MCUs (predictors reset, counter per scan)."""
     preds = {c: 0 for c in comps}
+    n_mcu = mcuy * mcux
+    done = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if ri and done and done % ri == 0:
+                w.restart(rst)
+                rst = (rst + 1) & 7
+                preds = {c: 0 for c in comps}
+            done += 1
             for c in comps:
                 hi, vi = samp[c]
                 t = 0 if c == 0 else 1
@@ -475,7 +504,8 @@ def _comp_true_blocks(h, w, hi, vi, hmax, vmax):
 
 
 def encode_jpeg_progressive(rgb: np.ndarray, quality: int = 90,
-                            subsampling: str = "4:4:4") -> bytes:
+                            subsampling: str = "4:4:4",
+                            restart_interval: int = 0) -> bytes:
     """8-bit RGB -> PROGRESSIVE JFIF bytes (SOF2): spectral selection
     + one level of successive approximation over the libjpeg-style
     10-scan script above.  Quantized coefficients are identical to
@@ -521,6 +551,9 @@ def encode_jpeg_progressive(rgb: np.ndarray, quality: int = 90,
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals),
                                          (cls << 4) | tid)
         out += bytes(bits) + bytes(vals)
+    ri = int(restart_interval)
+    if ri > 0:  # DRI (restart cadence applies per scan, counter resets)
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)
 
     for comps, ss, se, ah, al in _PROG_SCRIPT:
         out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps),
@@ -531,15 +564,22 @@ def encode_jpeg_progressive(rgb: np.ndarray, quality: int = 90,
         out += struct.pack(">BBB", ss, se, (ah << 4) | al)
         bw = _BitWriter()
         if ss == 0:
-            _enc_dc_scan(bw, comp_zz, samp, mcux, mcuy, comps, ah, al)
+            _enc_dc_scan(bw, comp_zz, samp, mcux, mcuy, comps, ah, al,
+                         ri)
         else:
             (c,) = comps
             hi, vi = samp[c]
             hb, wb = _comp_true_blocks(h, w, hi, vi, hmax, vmax)
             act = _ENC_AC[0 if c == 0 else 1]
             enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+            done = 0
+            rst = 0
             for by in range(hb):
                 for bx in range(wb):
+                    if ri and done and done % ri == 0:
+                        bw.restart(rst)
+                        rst = (rst + 1) & 7
+                    done += 1
                     enc(bw, comp_zz[c][by * mcux * hi + bx], ss, se, al,
                         act)
         bw.flush()
@@ -570,8 +610,9 @@ class _BitReader:
             if nxt == 0x00:
                 self.pos += 2
             elif 0xD0 <= nxt <= 0xD7:
-                raise ValueError("restart markers not supported "
-                                 "(this encoder never emits DRI)")
+                raise ValueError(
+                    "restart marker inside an entropy run (corrupt "
+                    "stream or wrong restart interval)")
             else:
                 raise ValueError("hit marker inside entropy segment")
         else:
@@ -592,6 +633,21 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def sync_restart(self, m: int):
+        """Discard padding bits, skip stuffed/fill bytes, consume the
+        expected RSTm marker (T.81 E.1.4: the modulo-8 counter makes
+        desync detectable)."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d) and not (d[p] == 0xFF and d[p + 1] != 0x00):
+            p += 1
+        if p + 1 >= len(d) or d[p] != 0xFF or d[p + 1] != 0xD0 + (m & 7):
+            got = d[p:p + 2].hex() if p + 1 < len(d) else "EOF"
+            raise ValueError(f"expected RST{m & 7}, got {got}")
+        self.pos = p + 2
 
 
 def _build_decode(bits, vals):
@@ -695,7 +751,7 @@ def _dec_ac_refine(br: _BitReader, zz, ss: int, se: int, al: int, act,
 
 def _run_progressive_scan(data: bytes, pos: int, seg: bytes, comps,
                           coeffs, huff, dc_preds, frame, hmax, vmax,
-                          mcux, mcuy) -> int:
+                          mcux, mcuy, dri: int = 0) -> int:
     """Decode one progressive scan; returns the position of the next
     marker after the scan's entropy segment."""
     h, w, _nc = frame
@@ -717,8 +773,17 @@ def _run_progressive_scan(data: bytes, pos: int, seg: bytes, comps,
             for ci, _, _ in sel:
                 dc_preds[ci] = 0
         if ns > 1:  # interleaved DC scan: standard MCU walk
+            done = 0
+            rst = 0
             for my in range(mcuy):
                 for mx in range(mcux):
+                    if dri and done and done % dri == 0:
+                        br.sync_restart(rst)
+                        rst = (rst + 1) & 7
+                        if ah == 0:
+                            for ci_, _, _ in sel:
+                                dc_preds[ci_] = 0
+                    done += 1
                     for ci, td, _ta in sel:
                         c = comps[ci]
                         hi, vi = c["hi"], c["vi"]
@@ -739,8 +804,16 @@ def _run_progressive_scan(data: bytes, pos: int, seg: bytes, comps,
             c = comps[ci]
             hi, vi = c["hi"], c["vi"]
             hb, wb = _comp_true_blocks(h, w, hi, vi, hmax, vmax)
+            done = 0
+            rst = 0
             for by in range(hb):
                 for bx in range(wb):
+                    if dri and done and done % dri == 0:
+                        br.sync_restart(rst)
+                        rst = (rst + 1) & 7
+                        if ah == 0:
+                            dc_preds[ci] = 0
+                    done += 1
                     zz = coeffs[ci][by * mcux * hi + bx]
                     if ah == 0:
                         s = _read_symbol(br, huff[(0, td)])
@@ -758,8 +831,15 @@ def _run_progressive_scan(data: bytes, pos: int, seg: bytes, comps,
         hb, wb = _comp_true_blocks(h, w, hi, vi, hmax, vmax)
         act = huff[(1, ta)]
         dec = _dec_ac_first if ah == 0 else _dec_ac_refine
+        done = 0
+        rst = 0
         for by in range(hb):
             for bx in range(wb):
+                if dri and done and done % dri == 0:
+                    br.sync_restart(rst)
+                    rst = (rst + 1) & 7
+                    state["eobrun"] = 0
+                done += 1
                 dec(br, coeffs[ci][by * mcux * hi + bx], ss, se, al,
                     act, state)
     # resync: skip residual padding/stuffing up to the next marker
@@ -784,6 +864,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     prog_coeffs: list[np.ndarray] | None = None
     prog_geom = None
     dc_preds: list[int] = []
+    dri = 0
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -826,8 +907,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "tq": tq, "hi": hi, "vi": vi})
             frame = (h, w, nc)
             progressive = marker == 0xC2
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals (DRI)")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            (dri,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if progressive:
                 if prog_coeffs is None:
@@ -843,7 +924,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     dc_preds = [0] * nc
                 pos = _run_progressive_scan(
                     data, pos + seglen, seg, comps, prog_coeffs, huff,
-                    dc_preds, frame, *prog_geom)
+                    dc_preds, frame, *prog_geom, dri=dri)
                 continue
             ns = seg[0]
             for i in range(ns):
@@ -879,10 +960,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                            dtype=np.float64) for sc in scan_order]
         br = _BitReader(data, pos)
         preds = [0] * nc
+        n_mcu = mcuy * mcux
+        done = 0
+        rst = 0
         # interleaved MCU walk mirroring the encoder (T.81 A.2.3): each
         # component contributes its vi x hi raster of blocks per MCU
         for my in range(mcuy):
             for mx in range(mcux):
+                if dri and done and done % dri == 0:
+                    br.sync_restart(rst)
+                    rst = (rst + 1) & 7
+                    preds = [0] * nc
+                done += 1
                 for ci, sc in enumerate(scan_order):
                     dct = huff[(0, sc["dc"])]
                     act = huff[(1, sc["ac"])]

@@ -269,3 +269,37 @@ def test_jpeg_progressive_psnr_and_rejects_nothing_needed():
         src = raster_smooth_for(seed, w, h)
         dec = decode_jpeg(encode_jpeg_progressive(src, 90, sub))
         assert psnr(src, dec) >= 40.0
+
+
+def test_jpeg_restart_markers_roundtrip_and_desync_detection():
+    """DRI/RSTn support (round 5): sequential AND progressive encodes
+    with restart intervals decode byte-identical to their no-restart
+    twins (predictor resets + byte alignment are lossless), and a
+    corrupted modulo-8 restart counter is DETECTED, not decoded into
+    garbage (T.81 E.1.4)."""
+    import numpy as np
+
+    from proj_spark.sources.datagen import raster_for
+    from proj_spark.sources.jpeg import (decode_jpeg, encode_jpeg,
+                                         encode_jpeg_progressive)
+
+    for i, (w, h, sub, ri) in enumerate([(40, 24, "4:2:0", 1),
+                                         (37, 29, "4:2:0", 3),
+                                         (24, 16, "4:4:4", 2)]):
+        src = raster_for(4200 + i, w, h)
+        plain = decode_jpeg(encode_jpeg(src, 90, sub))
+        seq = decode_jpeg(encode_jpeg(src, 90, sub, restart_interval=ri))
+        prog = decode_jpeg(encode_jpeg_progressive(src, 90, sub,
+                                                   restart_interval=ri))
+        assert np.array_equal(plain, seq), (w, h, sub, ri)
+        assert np.array_equal(plain, prog), (w, h, sub, ri)
+    # a stream with restarts actually contains RST markers
+    data = encode_jpeg(raster_for(9, 40, 24), 90, "4:2:0",
+                       restart_interval=1)
+    assert any(bytes([0xFF, 0xD0 + k]) in data for k in range(8))
+    # wrong restart counter -> loud failure
+    bad = bytearray(data)
+    idx = data.find(b"\xff\xd0")
+    bad[idx + 1] = 0xD5
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
