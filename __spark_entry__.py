@@ -137,7 +137,7 @@ _WORLD_B = [
     ("wintri", "ESRI:54042"), ("hammer", "ESRI:54044"),
     ("aitoff", "ESRI:54043"), ("bonne", "ESRI:54024"),
     ("eqearth", "EPSG:8857"), ("vandg", "ESRI:54029"),
-    ("igh", "ESRI:54052"),
+    ("igh", "ESRI:54052"), ("poly", "ESRI:54021"),
 ]
 # battery C: regional grids + polar stereographic, each over its own
 # CRS-area-of-use point band (suffix = the lon/lat pair it projects)
@@ -1301,6 +1301,7 @@ def oracle_sql() -> dict[str, str]:
         ("eqearth", *O.chain_eqearth_fwd(ch, "lon", "lat", "EPSG:8857")),
         ("vandg", *O.sql_vandg_fwd("lon", "lat")),
         ("igh", *O.chain_igh_fwd(ch, "lon", "lat")),
+        ("poly", *O.sql_poly_fwd("lon", "lat", "ESRI:54021")),
         ("aeqd", *O.chain_aeqd_fwd(ch, "lon", "lat", _AEQD_PARIS)),
     ]
     out["q02_proj_world_b"] = ch.finish(_battery_select(bb))

@@ -2711,6 +2711,161 @@ def nzmg_inv(x, y, P, iters: int = 10):
 
 
 
+# ---------------------------------------------------------------------------
+# poly — American Polyconic (EPSG method 9818, Snyder PP-1395 ch. 18,
+# ellipsoidal closed forward): every parallel is a non-concentric
+# circular arc of radius N*cot(phi), true to scale; the central
+# meridian is true to scale (y == M - M0 exactly there).  Inverse =
+# finite-difference 2D Newton on the closed forward (the vandg_inv
+# polish pattern) from the (A, x/cos A) start.
+# ---------------------------------------------------------------------------
+_POLY_EPS = 1e-10
+
+
+def poly_setup(params, a, es):
+    en = _enfn(es)
+    phi0 = np.radians(float(params.get("lat_0", 0.0)))
+    ml0 = float(_mlfn(phi0, np.sin(phi0), np.cos(phi0), en))
+    return {"es": es, "en": en, "ml0": ml0}
+
+
+def poly_fwd(lam, phi, P):
+    lam = np.atleast_1d(np.asarray(lam, dtype=np.float64))
+    phi = np.atleast_1d(np.asarray(phi, dtype=np.float64))
+    sp, cp = fsin(phi), fcos(phi)
+    on_eq = np.abs(phi) < _POLY_EPS
+    sp_s = np.where(on_eq, 1.0, sp)  # guard the cot() out of the math
+    cot = cp / sp_s
+    nprime = 1.0 / np.sqrt(1.0 - P["es"] * sp * sp)  # N in a-units
+    E = lam * sp
+    ml = _mlfn(phi, sp, cp, P["en"])
+    x = np.where(on_eq, lam, nprime * cot * np.sin(E))
+    y = np.where(on_eq, -P["ml0"],
+                 ml - P["ml0"] + nprime * cot * (1.0 - np.cos(E)))
+    return x, y
+
+
+def poly_inv(x, y, P):
+    """Inverse via the parallel-arc geometry: each parallel maps to a
+    circle of radius R = N*cot(phi) centred at (0, M - M0 + R); with
+    D = y - (M - M0) the membership equation is the CONDITIONED form
+    G(phi) = x^2 + D^2 - 2 D R (no R^2 term, finite as R ~ 1/phi near
+    the equator).  G has spurious roots at world extent (|E| > pi/2
+    arcs curl back), so the solver scans a latitude grid for ALL sign
+    changes, bisects each bracket, and keeps the root whose forward
+    image reproduces (x, y) — then lambda = E / sin(phi) off the arc
+    angle.  Fully vectorized; the forward check makes the selection
+    exact rather than heuristic."""
+    x = np.atleast_1d(np.asarray(x, dtype=np.float64))
+    y = np.atleast_1d(np.asarray(y, dtype=np.float64))
+    n = x.shape[0]
+    on_eq = np.abs(y + P["ml0"]) < _POLY_EPS
+
+    def G(ph):
+        sp, cp = np.sin(ph), np.cos(ph)
+        sp_s = np.where(np.abs(sp) < 1e-14, 1e-14, sp)
+        R = cp / sp_s / np.sqrt(1.0 - P["es"] * sp * sp)
+        D = y[..., None] if ph.ndim == 2 else y
+        D = D - (_mlfn(ph, sp, cp, P["en"]) - P["ml0"])
+        return x[..., None] * x[..., None] + D * D - 2.0 * D * R \
+            if ph.ndim == 2 else x * x + D * D - 2.0 * D * R
+
+    m = 385
+    grid = np.linspace(-HALFPI + 1e-6, HALFPI - 1e-6, m)
+    gg = G(np.broadcast_to(grid, (n, m)))
+    flips = np.signbit(gg[:, :-1]) != np.signbit(gg[:, 1:])
+    best_phi = np.zeros(n)
+    best_lam = np.zeros(n)
+    best_err = np.full(n, np.inf)
+    # up to 4 brackets per point (world-extent arcs curl at most twice)
+    for _cand in range(4):
+        idx = np.argmax(flips, axis=1)
+        has = flips[np.arange(n), idx]
+        flips[np.arange(n), idx] = False
+        lo = grid[idx].copy()
+        hi = grid[idx + 1].copy()
+        for _ in range(45):
+            mid = 0.5 * (lo + hi)
+            gm = G(mid)
+            gl = G(lo)
+            left = np.signbit(gm) != np.signbit(gl)
+            hi = np.where(left, mid, hi)
+            lo = np.where(left, lo, mid)
+        ph = 0.5 * (lo + hi)
+        sp, cp = np.sin(ph), np.cos(ph)
+        sp_s = np.where(np.abs(sp) < 1e-14, 1e-14, sp)
+        R = cp / sp_s / np.sqrt(1.0 - P["es"] * sp * sp)
+        D = y - (_mlfn(ph, sp, cp, P["en"]) - P["ml0"])
+        s = np.sign(R)
+        E = np.arctan2(x * s, (R - D) * s)
+        lam = E / sp_s
+        fx, fy = poly_fwd(lam, ph, P)
+        err = np.hypot(fx - x, fy - y)
+        err = np.where(has & (np.abs(lam) <= np.pi + 1e-9), err, np.inf)
+        take = err < best_err
+        best_phi = np.where(take, ph, best_phi)
+        best_lam = np.where(take, lam, best_lam)
+        best_err = np.minimum(best_err, err)
+    # near-equator rows: the true root's bracket contains the R ~
+    # 1/phi pole, so bisection lands on the singularity and the
+    # forward check rejects it.  There |E| = |lam*sin(phi)| is tiny,
+    # the map is locally monotonic, and a plain 2-D finite-difference
+    # Newton from (x, A) converges — exactly the regime where the
+    # global scan is blind.
+    need = best_err > 1e-12
+    if np.any(need):
+        lam_n = x.copy()
+        phi_n = np.clip(y + P["ml0"], -HALFPI + 1e-9, HALFPI - 1e-9)
+        h = 1e-8
+        for _ in range(12):
+            fx, fy = poly_fwd(lam_n, phi_n, P)
+            dxl, dyl = poly_fwd(lam_n + h, phi_n, P)
+            dxp, dyp = poly_fwd(lam_n, phi_n + h, P)
+            j11 = (dxl - fx) / h
+            j21 = (dyl - fy) / h
+            j12 = (dxp - fx) / h
+            j22 = (dyp - fy) / h
+            det = j11 * j22 - j12 * j21
+            det = np.where(np.abs(det) < 1e-30, 1e-30, det)
+            rx, ry = fx - x, fy - y
+            lam_n = lam_n - (rx * j22 - ry * j12) / det
+            phi_n = np.clip(phi_n - (ry * j11 - rx * j21) / det,
+                            -HALFPI + 1e-9, HALFPI - 1e-9)
+        fx, fy = poly_fwd(lam_n, phi_n, P)
+        err_n = np.hypot(fx - x, fy - y)
+        take = need & (err_n < best_err)
+        best_phi = np.where(take, phi_n, best_phi)
+        best_lam = np.where(take, lam_n, best_lam)
+        best_err = np.where(take, err_n, best_err)
+    # final polish: a few Newton steps FROM the winning candidate
+    # (locally the map is regular there, so this squeezes the last
+    # bisection/fallback residual to fp level); keep only improvements
+    lam_p, phi_p = best_lam.copy(), best_phi.copy()
+    h = 1e-8
+    for _ in range(4):
+        fx, fy = poly_fwd(lam_p, phi_p, P)
+        dxl, dyl = poly_fwd(lam_p + h, phi_p, P)
+        dxp, dyp = poly_fwd(lam_p, phi_p + h, P)
+        j11 = (dxl - fx) / h
+        j21 = (dyl - fy) / h
+        j12 = (dxp - fx) / h
+        j22 = (dyp - fy) / h
+        det = j11 * j22 - j12 * j21
+        det = np.where(np.abs(det) < 1e-30, 1e-30, det)
+        rx, ry = fx - x, fy - y
+        lam_p = lam_p - (rx * j22 - ry * j12) / det
+        phi_p = np.clip(phi_p - (ry * j11 - rx * j21) / det,
+                        -HALFPI + 1e-9, HALFPI - 1e-9)
+    fx, fy = poly_fwd(lam_p, phi_p, P)
+    err_p = np.hypot(fx - x, fy - y)
+    take = err_p < best_err
+    best_phi = np.where(take, phi_p, best_phi)
+    best_lam = np.where(take, lam_p, best_lam)
+    phi = np.where(on_eq, 0.0, best_phi)
+    lam = np.where(on_eq, x, best_lam)
+    return adjlon(lam), phi
+
+
 PROJECTIONS = {
     "longlat": (longlat_setup, longlat_fwd, longlat_inv),
     "latlong": (longlat_setup, longlat_fwd, longlat_inv),
@@ -2753,4 +2908,5 @@ PROJECTIONS = {
     "igh": (igh_setup, igh_fwd, igh_inv),
     "tpeqd": (tpeqd_setup, tpeqd_fwd, tpeqd_inv),
     "nzmg": (nzmg_setup, nzmg_fwd, nzmg_inv),
+    "poly": (poly_setup, poly_fwd, poly_inv),
 }

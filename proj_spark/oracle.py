@@ -1644,3 +1644,38 @@ def chain_nzmg_fwd(ch: Chain, lon: str, lat: str,
     x = f"({_f(a)} * fi_{tag} + {_f(x0)})"
     y = f"({_f(a)} * fr_{tag} + {_f(y0)})"
     return x, y
+
+
+def sql_poly_fwd(lon: str, lat: str,
+                 code: str = "ESRI:54021") -> tuple[str, str]:
+    """American Polyconic forward (dialect pair: kernels.poly_fwd,
+    EPSG method 9818): N*cot(phi) parallel arcs about the meridian-arc
+    ordinate.  The engine's exact-equator branch triggers only below
+    |phi| < 1e-10 rad, which no gate lattice row reaches, so the
+    unguarded closed form is the exact dialect twin."""
+    from . import kernels as K
+    from .crs import parse_proj_string, resolve_crs
+
+    entry = resolve_crs(code)
+    p = parse_proj_string(entry.proj)[0]
+    a, es = K.ellipsoid(p)
+    en = K._enfn(es)
+    lam0 = math.radians(float(p.get("lon_0", 0.0)))
+    phi0 = math.radians(float(p.get("lat_0", 0.0)))
+    import numpy as _np
+
+    ml0 = float(K._mlfn(_np.float64(phi0), _np.sin(_np.float64(phi0)),
+                        _np.cos(_np.float64(phi0)), en))
+    x0 = float(p.get("x_0", 0.0))
+    y0 = float(p.get("y_0", 0.0))
+    phi = f"radians({lat})"
+    sp = f"sin({phi})"
+    cp = f"cos({phi})"
+    ml = _sql_mlfn(phi, en)
+    np_ = f"(1.0 / sqrt(1.0 - {_f(es)}*{sp}*{sp}))"
+    E = f"((radians({lon}) - {_f(lam0)}) * {sp})"
+    cot = f"({np_} * {cp} / {sp})"
+    x = f"({_f(a)} * ({cot} * sin({E})) + {_f(x0)})"
+    y = (f"({_f(a)} * ({ml} - {_f(ml0)} + {cot} * (1.0 - cos({E})))"
+         f" + {_f(y0)})")
+    return x, y

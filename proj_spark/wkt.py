@@ -230,6 +230,17 @@ _METHODS = {
         ("y_0", "False northing", 8807,
          "false_northing", "False_Northing", _P_LEN, 0.0),
     ]),
+    "poly": ("American Polyconic", 9818,
+             "American_Polyconic", "Polyconic", [
+        ("lat_0", "Latitude of natural origin", 8801,
+         "latitude_of_natural_origin", "Latitude_Of_Origin", _P_ANG, 0.0),
+        ("lon_0", "Longitude of natural origin", 8802,
+         "longitude_of_natural_origin", "Central_Meridian", _P_ANG, 0.0),
+        ("x_0", "False easting", 8806,
+         "false_easting", "False_Easting", _P_LEN, 0.0),
+        ("y_0", "False northing", 8807,
+         "false_northing", "False_Northing", _P_LEN, 0.0),
+    ]),
     "nzmg": ("New Zealand Map Grid", 9811,
              "New_Zealand_Map_Grid", "New_Zealand_Map_Grid", [
         ("lat_0", "Latitude of natural origin", 8801,

@@ -1624,3 +1624,46 @@ def test_nzmg_true_origin_and_roundtrip():
     want_n = np.radians(0.05) * a * (1.0 - 0.006722670022333322) \
         / (1.0 - 0.006722670022333322 * np.sin(np.radians(41.0)) ** 2) ** 1.5
     assert abs(north - want_n) / want_n < 2e-3
+
+
+def test_poly_defining_properties():
+    """American Polyconic (EPSG 9818, Snyder ch. 18) pinned by its
+    defining properties: the central meridian is TRUE TO SCALE (y is
+    exactly the meridian arc, x = 0), the equator is x = a*lam
+    exactly, every parallel is a circular arc of radius N*cot(phi)
+    about (0, M - M0 + N*cot(phi)) (deviation at fp epsilon), and the
+    scan+bisection inverse roundtrips worldwide below 1e-4 m incl.
+    the near-equator pole-of-R band."""
+    import numpy as np
+
+    from proj_spark import kernels as K
+    from proj_spark.crs import Transform
+
+    a, es = K.ellipsoid({"ellps": "WGS84"})
+    P = K.poly_setup({}, a, es)
+    lats = np.radians(np.linspace(-80, 80, 41))
+    xm, ym = K.poly_fwd(np.zeros_like(lats), lats, P)
+    ml = K._mlfn(lats, np.sin(lats), np.cos(lats), P["en"])
+    assert np.abs(xm).max() == 0.0
+    assert np.abs(ym - ml).max() == 0.0
+    xe, ye = K.poly_fwd(np.array([0.7]), np.array([0.0]), P)
+    assert xe[0] == 0.7 and ye[0] == 0.0
+    # parallel-arc radius property at phi = 40
+    p0 = np.radians(40.0)
+    lams = np.radians(np.array([-150.0, -60.0, 30.0, 170.0]))
+    px, py = K.poly_fwd(lams, np.full(4, p0), P)
+    sp, cp = np.sin(p0), np.cos(p0)
+    R = cp / sp / np.sqrt(1.0 - es * sp * sp)
+    cy = K._mlfn(p0, sp, cp, P["en"]) - P["ml0"] + R
+    assert np.abs(np.hypot(px, py - cy) - R).max() < 1e-14
+    # worldwide + near-equator roundtrip through the Transform surface
+    t = Transform.new_known_crs("EPSG:4326", "ESRI:54021")
+    rng = np.random.default_rng(17)
+    lam = np.radians(np.concatenate([rng.uniform(-179, 179, 3000),
+                                     rng.uniform(-179, 179, 1000)]))
+    phi = np.radians(np.concatenate([rng.uniform(-84, 84, 3000),
+                                     rng.uniform(-0.9, 0.9, 1000)]))
+    x, y = t.project_array(lam.copy(), phi.copy())
+    li, pi_ = t.project_array(x.copy(), y.copy(), inverse=True)
+    assert (np.abs(li - lam) * a).max() < 1e-4
+    assert (np.abs(pi_ - phi) * a).max() < 1e-4
