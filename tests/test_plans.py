@@ -354,3 +354,15 @@ def test_hygiene_battery_plan_zero_shuffle_jvm_only(spark):
     p = _plan(out)
     assert "Exchange" not in p
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_hgridshift_transform_plan_single_arrow_stage(spark):
+    """The NTv2 grid-shift pipeline rides the same one-ArrowEvalPython
+    no-shuffle shape as every other transform; the grid loads once per
+    worker (module cache), never through the plan."""
+    import __spark_entry__ as E
+
+    out = E.q05_hgridshift(spark, "/root/testdata/sf0.001")
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("ArrowEvalPython") == 1, phys
+    assert "Exchange" not in phys, phys
