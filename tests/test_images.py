@@ -303,3 +303,37 @@ def test_jpeg_restart_markers_roundtrip_and_desync_detection():
     bad[idx + 1] = 0xD5
     with pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
+
+
+def test_jpeg_decoder_bounded_on_malformed_input():
+    """Corpus-robustness: truncations and byte flips over sequential
+    (with restarts) and progressive streams must always terminate
+    quickly with either a clean exception or a well-formed uint8
+    HxWx3 array — never a hang, never a malformed result object."""
+    import numpy as np
+
+    from proj_spark.sources.datagen import raster_for
+    from proj_spark.sources.jpeg import (decode_jpeg, encode_jpeg,
+                                         encode_jpeg_progressive)
+
+    src = raster_for(11, 33, 21)
+    streams = (encode_jpeg(src, 90, "4:2:0", restart_interval=2),
+               encode_jpeg_progressive(src, 90, "4:2:0"))
+    rng = np.random.default_rng(3)
+    for data in streams:
+        for cut in range(4, len(data), 23):
+            try:
+                out = decode_jpeg(data[:cut])
+            except Exception:
+                continue
+            assert out.dtype == np.uint8 and out.ndim == 3
+        for _ in range(150):
+            b = bytearray(data)
+            i = int(rng.integers(2, len(b)))
+            b[i] = int(rng.integers(0, 256))
+            try:
+                out = decode_jpeg(bytes(b))
+            except Exception:
+                continue
+            assert out.dtype == np.uint8 and out.ndim == 3
+            assert out.shape[2] == 3
