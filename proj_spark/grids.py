@@ -139,6 +139,11 @@ def read_ntv2(path: str) -> NTv2Grid:
     module writes; multi-subgrid files use only the first subgrid)."""
     with open(path, "rb") as f:
         raw = f.read()
+    return read_ntv2_bytes(raw, path)
+
+
+def read_ntv2_bytes(raw: bytes, path: str = "<bytes>") -> NTv2Grid:
+    """Parse NTv2 from raw bytes (the zip-shipped resource path)."""
 
     def name_at(off: int) -> str:
         return raw[off:off + 8].decode("ascii", "replace").strip()
@@ -198,9 +203,26 @@ def load_grid(name_or_path: str) -> NTv2Grid:
                 path = cand
                 break
     if not os.path.exists(path):
+        # zip-shipped package data: on spark-submit executors the
+        # package lives INSIDE the --py-files zip, where filesystem
+        # os.path.exists cannot see — importlib.resources reads the
+        # bytes through the zip importer (this is what actually makes
+        # "the grid rides the artifact" true; pinned by the real
+        # spark-submit test)
+        if not os.path.isabs(name_or_path):
+            try:
+                from importlib import resources
+
+                data = (resources.files("proj_spark") / "data"
+                        / name_or_path).read_bytes()
+                g = read_ntv2_bytes(data, name_or_path)
+                _GRID_CACHE[name_or_path] = g
+                return g
+            except (FileNotFoundError, ModuleNotFoundError, OSError):
+                pass
         raise FileNotFoundError(
-            f"grid {name_or_path!r} not found (searched cwd, {GRID_DIR} "
-            f"and {_EXTRA_SEARCH})")
+            f"grid {name_or_path!r} not found (searched cwd, {GRID_DIR}, "
+            f"{_EXTRA_SEARCH} and package data)")
     g = read_ntv2(path)
     _GRID_CACHE[name_or_path] = g
     return g
