@@ -1203,14 +1203,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_proj_world_a": q01_proj_world_a,
         "q02_proj_world_b": q02_proj_world_b,
         "q03_proj_regional": q03_proj_regional,
+        "q04_lcc_pipeline": q04_lcc_pipeline,
         "q05_hgridshift": q05_hgridshift,
         "q06_text_profile": q06_text_profile,
         "q07_geodesic_rings": q07_geodesic_rings,
         "q08_hygiene": q08_hygiene,
-        "q26_embed_neardup": q26_embed_neardup,
-        "q29_media_verify": q29_media_verify,
-        "q35_av_verify": q35_av_verify,
-        "q04_lcc_pipeline": q04_lcc_pipeline,
         "q09_unitconvert_axisswap": q09_unitconvert_axisswap,
         "q10_transform_bounds": q10_transform_bounds,
         "q11_cell_assign": q11_cell_assign,
@@ -1221,34 +1218,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_pip_anti": q16_pip_anti,
         "q17_knn": q17_knn,
         "q18_dedup_exact": q18_dedup_exact,
+        "q19_phash_dedup_groups": q19_phash_dedup_groups,
+        "q20_geohash_rollup": q20_geohash_rollup,
+        "q21_decontaminate": q21_decontaminate,
+        "q22_tile_pyramid": q22_tile_pyramid,
         "q23_minhash_lsh": q23_minhash_lsh,
         "q24_simhash_pairs": q24_simhash_pairs,
         "q25_ann_topk": q25_ann_topk,
+        "q26_embed_neardup": q26_embed_neardup,
         "q27_geom_transform": q27_geom_transform,
         "q28_ann_lsh": q28_ann_lsh,
+        "q29_media_verify": q29_media_verify,
         "q30_images_tiles": q30_images_tiles,
         "q31_minhash_groups": q31_minhash_groups,
+        "q32_geodesic_distance": q32_geodesic_distance,
         "q33_ann_recall": q33_ann_recall,
         "q34_ann_ivf": q34_ann_ivf,
+        "q35_av_verify": q35_av_verify,
+        "q36_url_domains": q36_url_domains,
+        "q37_top_ngrams": q37_top_ngrams,
+        "q38_stream_phash_dedup": q38_stream_phash_dedup,
+        "q39_radius_join": q39_radius_join,
         "q40_events_windowed": q40_events_windowed,
         "q41_user_sessions": q41_user_sessions,
         "q42_pricing_rollup": q42_pricing_rollup,
         "q43_region_revenue": q43_region_revenue,
         "q44_ann_ivf_trained": q44_ann_ivf_trained,
         "q45_dedup_full": q45_dedup_full,
+        "q46_char_entropy": q46_char_entropy,
         "q47_phash_neardup": q47_phash_neardup,
-        "q19_phash_dedup_groups": q19_phash_dedup_groups,
-        "q32_geodesic_distance": q32_geodesic_distance,
-        "q20_geohash_rollup": q20_geohash_rollup,
-        "q21_decontaminate": q21_decontaminate,
-        "q36_url_domains": q36_url_domains,
-        "q22_tile_pyramid": q22_tile_pyramid,
-        "q37_top_ngrams": q37_top_ngrams,
-        "q38_stream_phash_dedup": q38_stream_phash_dedup,
-        "q39_radius_join": q39_radius_join,
         "q48_asof_join": q48_asof_join,
         "q49_corpus_clean": q49_corpus_clean,
-        "q46_char_entropy": q46_char_entropy,
         "q50_minhash_char": q50_minhash_char,
     }
 
