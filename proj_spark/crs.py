@@ -369,7 +369,12 @@ class HGridShiftStep(_StepBase):
         if "grids" not in params:
             raise ProjCreateError("hgridshift: +grids= is required")
         self.inv_flag = bool(params.get("inv", False))
-        self.grids_name = str(params["grids"])
+        # ship the EXECUTOR-resolvable reference, not the raw token: a
+        # grid found through driver-side search paths (set_search_paths
+        # fills a driver-only module global) pins to its absolute path;
+        # package-data grids keep the bare name so they re-resolve per
+        # worker through the --py-files zip importer
+        self.grids_name = G.resolve_grid_name(str(params["grids"]))
         # resolve eagerly so a missing grid fails at construction (the
         # reference errors at proj_create time too), but keep only the
         # NAME on self: the step is closure-captured into executor UDFs

@@ -113,3 +113,106 @@ def test_hgridshift_spark_surface(spark):
     assert rows[0]["err"] is None and abs(got_lon - (-118.0)) < 1e-2
     assert abs(got_lon - (-118.0)) > 1e-5  # actually shifted
     assert rows[2]["err"] is not None  # outside grid -> masked row
+
+
+# ---------------------------------------------------------------------------
+# round 6: multi-subgrid files, byte-order detection, executor-safe
+# search-path resolution
+# ---------------------------------------------------------------------------
+def test_multigrid_fixture_child_priority():
+    """Two-subgrid file (parent coarse / child dense, the NTv2_0 /
+    OSTN15 hierarchy shape): points inside the child box take the
+    child's finer field, parent-only points the parent's, outside NaN
+    — and the checked-in fixture is generator-reproducible."""
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "syn2.gsb")
+        G.write_synthetic_multigrid_fixture(p)
+        checked_in = os.path.join(G.GRID_DIR, "synthetic_shift2.gsb")
+        assert open(checked_in, "rb").read() == open(p, "rb").read()
+    f = G.load_grid("synthetic_shift2.gsb")
+    assert len(f.subgrids) == 2
+    assert [g.name for g in f.subgrids] == ["SYNCHILD", "SYNSHIFT"]
+    assert f.root.name == "SYNSHIFT"  # delegation targets the top grid
+    lon = np.array([-117.5, -113.0, -150.0])
+    lat = np.array([34.0, 32.0, 10.0])
+    dlon, dlat = G.grid_shift(f, lon, lat)
+    parent_only = G.load_grid("synthetic_shift.gsb")
+    dlon_p, dlat_p = G.grid_shift(parent_only, lon, lat)
+    assert abs(dlat[0] - dlat_p[0]) > 1e-6     # child refinement applied
+    assert dlat[1] == dlat_p[1]                # parent region identical
+    assert np.isnan(dlat[2]) and np.isnan(dlon[2])
+    # the child field evaluated directly agrees with the file lookup
+    want_dlat, want_dlonw = G.synthetic_shift_field_child(lon[0], lat[0])
+    # node-exact check at an exact child node
+    nlon, nlat = -117.50, 34.00   # multiples of 0.05 inside the child
+    dl, dp = G.grid_shift(f, np.array([nlon]), np.array([nlat]))
+    wdlat, wdlonw = G.synthetic_shift_field_child(nlon, nlat)
+    assert abs(dp[0] * 3600.0 - np.float32(wdlat)) < 1e-6
+    assert abs(-dl[0] * 3600.0 - np.float32(wdlonw)) < 1e-6
+
+
+def test_big_endian_ntv2_reads():
+    """Byte-swapped NTv2 (the original Canadian grid byte order) parses
+    to the identical grid — detected from NUM_OREC."""
+    import os
+    import struct
+
+    raw = open(os.path.join(G.GRID_DIR, "synthetic_shift.gsb"), "rb").read()
+    out = bytearray(raw)
+    for i in range(22):  # 11 overview + 11 subgrid records
+        o = 16 * i
+        k = raw[o:o + 8].decode("ascii", "replace").strip()
+        if k in ("NUM_OREC", "NUM_SREC", "NUM_FILE", "GS_COUNT"):
+            out[o + 8:o + 12] = raw[o + 8:o + 12][::-1]
+        elif k in ("MAJOR_F", "MINOR_F", "MAJOR_T", "MINOR_T", "S_LAT",
+                   "N_LAT", "E_LONG", "W_LONG", "LAT_INC", "LONG_INC"):
+            out[o + 8:o + 16] = raw[o + 8:o + 16][::-1]
+    out[352:] = np.frombuffer(raw, dtype="<f4", offset=352) \
+        .byteswap().tobytes()
+    f_le = G.read_ntv2_bytes(raw, "le")
+    f_be = G.read_ntv2_bytes(bytes(out), "be")
+    assert np.array_equal(f_be.dlat_sec, f_le.dlat_sec)
+    assert f_be.s_lat == f_le.s_lat
+
+
+def test_corrupt_header_fails_fast():
+    """Implausible record counts fail with a clear error instead of a
+    runaway record loop (the big-endian NUM_SREC=1.8e8 failure mode)."""
+    import os
+
+    raw = open(os.path.join(G.GRID_DIR, "synthetic_shift.gsb"), "rb").read()
+    bad = raw[:8] + b"\xff\xff\xff\x7f" + raw[12:]
+    with pytest.raises(ValueError, match="implausible"):
+        G.read_ntv2_bytes(bad, "corrupt")
+    # truncated node block
+    with pytest.raises(ValueError, match="GS_COUNT|truncated"):
+        G.read_ntv2_bytes(raw[: len(raw) // 2], "trunc")
+
+
+def test_search_path_grid_pins_absolute_path(tmp_path):
+    """A grid resolved through TransformBuilder.set_search_paths (a
+    driver-side global that does NOT exist on executors) must ship its
+    ABSOLUTE path in the step, so executor workers re-resolve without
+    the driver's search state (round-6 fix; package-data grids keep
+    the bare name so they ride the --py-files zip)."""
+    import os
+
+    p = tmp_path / "local_shift.gsb"
+    G.write_synthetic_fixture(str(p))
+    G._EXTRA_SEARCH.append(str(tmp_path))
+    try:
+        t = Transform.new(
+            "+proj=pipeline +step +proj=hgridshift +grids=local_shift.gsb")
+        step = t._steps[0]
+        assert os.path.isabs(step.grids_name)
+        assert step.grids_name == str(p)
+        # package-data grids keep the bare zip-resolvable name
+        t2 = Transform.new(
+            "+proj=pipeline +step +proj=hgridshift "
+            "+grids=synthetic_shift.gsb")
+        assert t2._steps[0].grids_name == "synthetic_shift.gsb"
+    finally:
+        G._EXTRA_SEARCH.remove(str(tmp_path))
