@@ -1764,26 +1764,46 @@ class TransformBuilder:
     /root/reference/src/network.rs)."""
 
     def __init__(self):
-        self._network = False
+        pass
 
     def enable_network(self, enable: bool):
-        if enable:
-            raise NotImplementedError(
-                "grid download is out of scope: ship NTv2 grids with the "
-                "job (--py-files; see proj_spark.grids) instead of "
-                "fetching them (reference network layer: "
-                "/root/reference/src/network.rs)"
-            )
-        self._network = False
+        """Switch grid download on/off (ProjBuilder::enable_network,
+        /root/reference/src/proj.rs:370-383).  With networking on,
+        grids that resolve nowhere locally are fetched from the URL
+        endpoint with the reference's retry/backoff semantics into the
+        bounded on-disk cache (proj_spark.network, O22)."""
+        from . import network
+
+        network.enable_network(enable)
         return self
 
+    def network_enabled(self) -> bool:
+        """ProjBuilder::network_enabled (src/proj.rs:342-345)."""
+        from . import network
+
+        return network.is_network_enabled()
+
+    def set_url_endpoint(self, endpoint: str):
+        """ProjBuilder::set_url_endpoint (src/proj.rs:433-440)."""
+        from . import network
+
+        network.set_url_endpoint(endpoint)
+        return self
+
+    def get_url_endpoint(self) -> str:
+        """ProjBuilder::get_url_endpoint (src/proj.rs:349-353)."""
+        from . import network
+
+        return network.get_url_endpoint()
+
     def grid_cache_enable(self, enable: bool):
-        # local grids are cached per worker by proj_spark.grids; there
-        # is no download cache to size because there is no download
-        if enable:
-            raise NotImplementedError(
-                "no download cache: local grids cache per worker "
-                "automatically (proj_spark.grids.load_grid)")
+        """Enable/disable the bounded download cache — 300 MB default,
+        like libproj's (ProjBuilder::grid_cache_enable,
+        /root/reference/src/proj.rs:417-431).  Parsed-grid memoization
+        per worker (O23) is separate and always on."""
+        from . import network
+
+        network.grid_cache_enable(enable)
         return self
 
     def set_search_paths(self, *paths):

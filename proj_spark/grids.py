@@ -302,18 +302,29 @@ def resolve_grid_name(name_or_path: str) -> str:
             return os.path.abspath(cand)
     if os.path.exists(name_or_path):
         return os.path.abspath(name_or_path)
-    return name_or_path  # zip-only package data or network: bare name
+    from . import network
+
+    if network.is_network_enabled():
+        # fetch ONCE on the driver at construction time and pin the
+        # cache path — Python UDF workers are separate processes whose
+        # network module state is fresh (off), so they must never need
+        # to re-fetch; they open the file the driver cached (point
+        # PROJ_SPARK_GRID_CACHE at a shared filesystem on a cluster)
+        try:
+            return network.fetch_grid(name_or_path)
+        except network.DownloadError:
+            pass  # fall through: maybe zip-only package data
+    return name_or_path  # zip-only package data: bare name
 
 
-def load_grid(name_or_path: str) -> NTv2File:
-    """Resolve + parse a grid, cached per process (per Python worker on
-    executors — the reference's per-thread context pattern, O23).
-    Bare names resolve against ``proj_spark/data`` (so a grid checked
-    into the package ships inside the ``--py-files`` zip) and any
-    builder-registered search paths."""
-    g = _GRID_CACHE.get(name_or_path)
-    if g is not None:
-        return g
+def read_resource_bytes(name_or_path: str) -> bytes:
+    """Resolve a grid reference to raw bytes: cwd/absolute path, then
+    ``proj_spark/data`` on disk, builder-registered search paths, the
+    --py-files zip importer (spark-submit executors — the package lives
+    INSIDE the zip where os.path.exists cannot see; importlib.resources
+    reads through the zip importer, pinned by the real spark-submit
+    test), and finally the network fetcher's bounded on-disk cache when
+    networking is enabled (reference O22, src/network.rs)."""
     path = name_or_path
     if not os.path.isabs(path) and not os.path.exists(path):
         for base in [GRID_DIR, *_EXTRA_SEARCH]:
@@ -321,28 +332,49 @@ def load_grid(name_or_path: str) -> NTv2File:
             if os.path.exists(cand):
                 path = cand
                 break
-    if not os.path.exists(path):
-        # zip-shipped package data: on spark-submit executors the
-        # package lives INSIDE the --py-files zip, where filesystem
-        # os.path.exists cannot see — importlib.resources reads the
-        # bytes through the zip importer (this is what actually makes
-        # "the grid rides the artifact" true; pinned by the real
-        # spark-submit test)
-        if not os.path.isabs(name_or_path):
-            try:
-                from importlib import resources
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return f.read()
+    if not os.path.isabs(name_or_path):
+        try:
+            from importlib import resources
 
-                data = (resources.files("proj_spark") / "data"
-                        / name_or_path).read_bytes()
-                g = read_ntv2_bytes(data, name_or_path)
-                _GRID_CACHE[name_or_path] = g
-                return g
-            except (FileNotFoundError, ModuleNotFoundError, OSError):
-                pass
-        raise FileNotFoundError(
-            f"grid {name_or_path!r} not found (searched cwd, {GRID_DIR}, "
-            f"{_EXTRA_SEARCH} and package data)")
-    g = read_ntv2(path)
+            return (resources.files("proj_spark") / "data"
+                    / name_or_path).read_bytes()
+        except (FileNotFoundError, ModuleNotFoundError, OSError):
+            pass
+        from . import network
+
+        if network.is_network_enabled():
+            cached = network.fetch_grid(name_or_path)
+            with open(cached, "rb") as f:
+                return f.read()
+    raise FileNotFoundError(
+        f"grid {name_or_path!r} not found (searched cwd, {GRID_DIR}, "
+        f"{_EXTRA_SEARCH} and package data"
+        f"{' and network' if _network_hint() else ''})")
+
+
+def _network_hint() -> bool:
+    try:
+        from . import network
+
+        return network.is_network_enabled()
+    except Exception:
+        return False
+
+
+def load_grid(name_or_path: str) -> NTv2File:
+    """Resolve + parse a grid, cached per process (per Python worker on
+    executors — the reference's per-thread context pattern, O23).
+    Bare names resolve against ``proj_spark/data`` (so a grid checked
+    into the package ships inside the ``--py-files`` zip), any
+    builder-registered search paths, and — when ``enable_network`` is
+    on — the bounded network grid cache (O22)."""
+    g = _GRID_CACHE.get(name_or_path)
+    if g is not None:
+        return g
+    g = read_ntv2_bytes(read_resource_bytes(name_or_path), name_or_path)
     _GRID_CACHE[name_or_path] = g
     return g
 

@@ -326,13 +326,17 @@ def test_area_antimeridian_rule():
     assert not bool(area.contains(0.0, 0.0))
 
 
-def test_builder_network_out_of_scope():
-    # O21/O22 consciously unsupported (SURVEY.md §7 risk 6)
+def test_builder_network_surface():
+    # O22 closed round 6 (proj_spark.network): the builder toggles are
+    # live; deep coverage lives in tests/test_network.py
     from proj_spark.crs import TransformBuilder
 
     b = TransformBuilder()
-    with pytest.raises(NotImplementedError):
-        b.enable_network(True)
+    assert not b.network_enabled()  # off by default, like the reference
+    b.enable_network(True)
+    assert b.network_enabled()
+    b.enable_network(False)
+    assert not b.network_enabled()
     t = b.proj_known_crs("EPSG:2230", "EPSG:26946")
     x, y = t.convert(4760096.421921, 3744293.729449)
     assert abs(x - 1450880.2910605022) < M
