@@ -190,13 +190,22 @@ def parse_proj_string(definition: str) -> list[dict]:
 # ---------------------------------------------------------------------------
 class _StepBase:
     """One pipeline step: apply(x, y, forward) -> (x, y).  Invalid points
-    come back NaN; error text accumulates on the owning Transform."""
+    come back NaN; error text accumulates on the owning Transform.
+
+    ``apply3`` carries z through the step (the reference's PJ_COORD is
+    always x/y/z/t — z is set on every call, /root/reference/src/
+    proj.rs:951-957, 1022-1030).  Horizontal steps pass z through
+    untouched; vertical steps (vgridshift) adjust z and leave x/y."""
 
     has_inverse = True
     inv_flag = False
 
     def apply(self, x, y, forward=True):
         raise NotImplementedError
+
+    def apply3(self, x, y, z, forward=True):
+        x2, y2 = self.apply(x, y, forward=forward)
+        return x2, y2, z
 
 
 class ProjStep(_StepBase):
@@ -402,6 +411,52 @@ class HGridShiftStep(_StepBase):
         return np.radians(cur_lon), np.radians(cur_lat)
 
 
+class VGridShiftStep(_StepBase):
+    """``+proj=vgridshift +grids=<file.gtx> [+multiplier=f]`` — GTX
+    geoid/vertical datum shift (the vertical half of the reference's
+    grid capability class; z rides PJ_COORD on every reference call,
+    /root/reference/src/proj.rs:951-957, 1022-1030).
+
+    Semantics (pinned by tests): geodetic radians in x/y (unchanged);
+    forward ``z' = z + multiplier * N(lon, lat)`` — the grid stores the
+    vertical-datum->ellipsoid shift, so forward is orthometric->
+    ellipsoidal ``h = H + N``.  The horizontal position is unchanged,
+    so the inverse ``z' = z - multiplier * N`` is exact.  Points
+    outside the grid get z=NaN — maskable, the row-wise error model.
+    Evaluated through the 2D path the step is a no-op (no z to shift).
+
+    The grid loads once per Python worker (vgrids.load_geoid cache,
+    the O23 pattern) and evaluates on whole numpy columns."""
+
+    def __init__(self, params: dict):
+        from . import vgrids as V
+
+        if "grids" not in params:
+            raise ProjCreateError("vgridshift: +grids= is required")
+        self.inv_flag = bool(params.get("inv", False))
+        self.multiplier = float(params.get("multiplier", 1.0))
+        from . import grids as G
+
+        self.grids_name = G.resolve_grid_name(str(params["grids"]))
+        V.load_geoid(self.grids_name)  # fail at construction, like O1
+        self.params = dict(params)
+
+    def apply(self, x, y, forward=True):
+        return x, y
+
+    def apply3(self, x, y, z, forward=True):
+        from . import vgrids as V
+
+        forward = forward != self.inv_flag
+        grid = V.load_geoid(self.grids_name)
+        lon = np.degrees(np.asarray(x, dtype=np.float64))
+        lat = np.degrees(np.asarray(y, dtype=np.float64))
+        n = V.geoid_undulation(grid, lon, lat)
+        zv = np.asarray(z, dtype=np.float64)
+        sign = 1.0 if forward else -1.0
+        return x, y, zv + sign * self.multiplier * n
+
+
 class DegRadStep(_StepBase):
     """Boundary degrees<->radians conversion added by CRS normalization
     (the analog of proj_normalize_for_visualization's unitconvert,
@@ -420,6 +475,8 @@ def make_step(params: dict) -> _StepBase:
         return AxisSwapStep(params)
     if name == "hgridshift":
         return HGridShiftStep(params)
+    if name == "vgridshift":
+        return VGridShiftStep(params)
     if name in ("noop", "pop", "push"):
         s = _StepBase()
         s.apply = lambda x, y, forward=True: (x, y)  # type: ignore[assignment]
@@ -1586,6 +1643,44 @@ class Transform:
         if errors == "mask":
             return x, y, err
         return x, y
+
+    def _run3(self, x, y, z, forward=True, errors="strict"):
+        """Like _run with z carried through every step (the reference
+        sets z on every PJ_COORD, /root/reference/src/proj.rs:951-957,
+        1022-1030); vertical steps (vgridshift) act on it."""
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        z = np.asarray(z, dtype=np.float64)
+        scalar = x.ndim == 0
+        x = np.atleast_1d(x).copy()
+        y = np.atleast_1d(y).copy()
+        z = np.broadcast_to(np.atleast_1d(z), x.shape).copy()
+        steps = self._steps if forward else list(reversed(self._steps))
+        for s in steps:
+            x, y, z = s.apply3(x, y, z, forward=forward)
+        bad = ~(np.isfinite(x) & np.isfinite(y) & np.isfinite(z))
+        if errors == "strict" and bad.any():
+            raise ProjError(
+                f"The conversion failed with the following error: {INVALID_COORD}"
+            )
+        err = None
+        if errors == "mask":
+            err = np.where(bad, INVALID_COORD, None)
+        if scalar:
+            x, y, z = x[0], y[0], z[0]
+            err = err[0] if err is not None else None
+        if errors == "mask":
+            return x, y, z, err
+        return x, y, z
+
+    def convert_array3(self, x, y, z, errors: str = "strict"):
+        """3D conversion, pipeline-forward — the z-carrying convert
+        (reference z flow: src/proj.rs:1022-1030)."""
+        return self._run3(x, y, z, forward=True, errors=errors)
+
+    def project_array3(self, x, y, z, inverse: bool = False,
+                       errors: str = "strict"):
+        return self._run3(x, y, z, forward=not inverse, errors=errors)
 
     def project(self, x, y, inverse: bool = False, errors: str = "strict"):
         """Forward (or inverse) projection; geodetic radians domain for

@@ -30,6 +30,7 @@ from ..crs import Transform
 __all__ = [
     "proj_udf",
     "projstring_udf",
+    "projstring_udf3",
     "with_transformed",
     "transform_crs_to_crs",
     "get_transform",
@@ -119,6 +120,42 @@ def projstring_udf(definition: str, input_units: str = "deg",
             ox = np.degrees(ox)
             oy = np.degrees(oy)
         return pd.DataFrame({"x": ox, "y": oy, "err": err})
+
+    return _udf
+
+
+def projstring_udf3(definition: str, input_units: str = "deg",
+                    inverse: bool = False, errors: str = "mask"):
+    """Arrow-batched UDF ``(x, y, z) -> struct<x,y,z,err>`` for a
+    z-carrying pipeline (vgridshift and friends; the reference sets z
+    on every PJ_COORD, /root/reference/src/proj.rs:951-957, 1022-1030).
+    z is in the pipeline's vertical units (meters for GTX geoids) and
+    is untouched by ``input_units``."""
+
+    @pandas_udf("x double, y double, z double, err string")
+    def _udf(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.DataFrame:
+        key = ("projstring3", definition, input_units, inverse)
+        t = _TRANSFORM_CACHE.get(key)
+        if t is None:
+            t = Transform.new(definition)
+            _TRANSFORM_CACHE[key] = t
+        xv = x.to_numpy(dtype=np.float64, na_value=np.nan)
+        yv = y.to_numpy(dtype=np.float64, na_value=np.nan)
+        zv = z.to_numpy(dtype=np.float64, na_value=np.nan)
+        if input_units == "deg" and not inverse:
+            xv = np.radians(xv)
+            yv = np.radians(yv)
+        if errors == "strict":
+            ox, oy, oz = t._run3(xv, yv, zv, forward=not inverse,
+                                 errors="strict")
+            err = np.full(len(ox), None, dtype=object)
+        else:
+            ox, oy, oz, err = t._run3(xv, yv, zv, forward=not inverse,
+                                      errors="mask")
+        if input_units == "deg" and inverse:
+            ox = np.degrees(ox)
+            oy = np.degrees(oy)
+        return pd.DataFrame({"x": ox, "y": oy, "z": oz, "err": err})
 
     return _udf
 

@@ -25,9 +25,10 @@ def build(out_zip: str | None = None) -> str:
     pkg_root = os.path.join(REPO, "proj_spark")
     for base, _dirs, files in os.walk(pkg_root):
         for fn in files:
-            # .gsb: NTv2 grid fixtures under proj_spark/data ride the
-            # zip so executors can resolve bare grid names (grids.py)
-            if not fn.endswith((".py", ".gsb")):
+            # .gsb/.gtx: grid fixtures under proj_spark/data ride the
+            # zip so executors can resolve bare grid names (grids.py,
+            # vgrids.py)
+            if not fn.endswith((".py", ".gsb", ".gtx")):
                 continue
             full = os.path.join(base, fn)
             members.append((full, os.path.relpath(full, REPO)))
