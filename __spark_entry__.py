@@ -123,6 +123,12 @@ _MERC_TS = "+proj=merc +lat_ts=56.5 +ellps=GRS80"
 # cancellation band never meets a gate row at oracle precision
 _TPEQD_CA = ("+proj=tpeqd +lat_1=36.035 +lon_1=-120.045 "
              "+lat_2=34.075 +lon_2=-115.065 +R=6371000 +units=m")
+# satellite over the CA band's central meridian: every gate point is
+# deep inside the visible disc, so the vis-check NaN branch never
+# fires at oracle precision (round-6: first gate coverage of the geos
+# inverse closing the last partial kernel)
+_GEOS_CA = ("+proj=geos +lon_0=-117.0 +h=35785831.0 "
+            "+ellps=WGS84 +units=m")
 
 # battery A: cylindrical / pseudocylindrical world projections
 _WORLD_A = [
@@ -201,7 +207,8 @@ def q03_proj_regional(spark, sf_dir):
     members = [(nm, proj_udf("EPSG:4326", code), f"lon_{suf}", f"lat_{suf}")
                for nm, code, suf in _REGIONAL]
     for nm, pstr in (("ortho", _ORTHO_CA), ("cass", _CASS_CA),
-                     ("gnom", _GNOM_CA), ("tpeqd", _TPEQD_CA)):
+                     ("gnom", _GNOM_CA), ("tpeqd", _TPEQD_CA),
+                     ("geossat", _GEOS_CA)):
         members.append((nm, projstring_udf(pstr), "lon_ca", "lat_ca"))
     return _battery(df, members)
 
@@ -1344,6 +1351,7 @@ def oracle_sql() -> dict[str, str]:
         ("cass", *O.sql_cass_fwd("lon_ca", "lat_ca", _CASS_CA)),
         ("gnom", *O.sql_gnom_fwd("lon_ca", "lat_ca", _GNOM_CA)),
         ("tpeqd", *O.sql_tpeqd_fwd("lon_ca", "lat_ca", _TPEQD_CA)),
+        ("geossat", *O.sql_geos_fwd("lon_ca", "lat_ca", _GEOS_CA)),
     ]
     out["q03_proj_regional"] = ch.finish(_battery_select(bc))
 

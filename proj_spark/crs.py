@@ -242,7 +242,7 @@ class ProjStep(_StepBase):
             self.P["_h_over_a"] = float(params["h"]) / self.a
         self.is_angular = name in ("longlat", "latlong")
         self.params = dict(params)
-        self.has_inverse = name != "geos"
+        self.has_inverse = True
 
     def apply(self, x, y, forward=True):
         forward = forward != self.inv_flag

@@ -1051,7 +1051,31 @@ def geos_fwd(lam, phi, P, a=None):
 
 
 def geos_inv(x, y, P):
-    raise NotImplementedError("geos inverse not required by reference tests")
+    # Inverse of the CGMS "normalized geostationary projection"
+    # (LRIT/HRIT Global Specification 2.6 §4.4; same geometry as the
+    # forward above): intersect the satellite view ray with the
+    # normalized ellipsoid u^2 + v^2 + w^2/(1-es) = 1.  The scan-angle
+    # pair recovers the ray direction, the nearer quadratic root is
+    # the visible surface point; rays missing the ellipsoid (negative
+    # discriminant) are invalid -> NaN (maskable error).
+    radius_p2 = P["one_es"]
+    radius_g_1 = P["_h_over_a"]
+    radius_g = 1.0 + radius_g_1
+    Vz = ftan(np.asarray(y, dtype=np.float64) / radius_g_1)
+    Vy = ftan(np.asarray(x, dtype=np.float64) / radius_g_1) * np.hypot(1.0, Vz)
+    qa = 1.0 + Vy * Vy + (Vz * Vz) / radius_p2
+    det = radius_g * radius_g - qa * (radius_g * radius_g - 1.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        k = (radius_g - np.sqrt(det)) / qa  # nearer root = visible side
+        vx = radius_g - k
+        vy = k * Vy
+        vz = k * Vz
+        lam = np.arctan2(vy, vx)
+        phi = np.arctan((vz / np.hypot(vx, vy)) / radius_p2)
+    bad = ~(det >= 0.0)
+    lam = np.where(bad, np.nan, lam)
+    phi = np.where(bad, np.nan, phi)
+    return lam, phi
 
 
 # ---------------------------------------------------------------------------

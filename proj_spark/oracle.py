@@ -1563,6 +1563,41 @@ def chain_eck6_fwd(ch: Chain, lon: str, lat: str,
     return x, y
 
 
+def sql_geos_fwd(lon: str, lat: str, proj: str) -> tuple[str, str]:
+    """Geostationary-satellite-view forward (dialect pair:
+    kernels.geos_fwd — the CGMS normalized geostationary projection,
+    ellipsoidal): geocentric latitude, surface radius, the satellite->
+    point vector, then the two scan angles scaled by h.  Caller's
+    domain must be fully visible from the satellite (the vis check is
+    a NaN/NULL domain error, not a value)."""
+    import math
+
+    from . import kernels as K
+    from .crs import parse_proj_string
+
+    params = parse_proj_string(proj)[0]
+    a, es = K.ellipsoid(params)
+    one_es = 1.0 - es
+    radius_p = math.sqrt(one_es)
+    rg1 = float(params["h"]) / a
+    rg = 1.0 + rg1
+    lam0 = math.radians(float(params.get("lon_0", 0.0)))
+    lam = f"(radians({lon}) - {_f(lam0)})"
+    phi = f"radians({lat})"
+    phi_c = f"atan({_f(one_es)} * tan({phi}))"
+    r = (f"({_f(radius_p)} / sqrt(({_f(radius_p)} * cos({phi_c}))"
+         f" * ({_f(radius_p)} * cos({phi_c}))"
+         f" + sin({phi_c}) * sin({phi_c})))")
+    vx = f"({r} * cos({lam}) * cos({phi_c}))"
+    vy = f"({r} * sin({lam}) * cos({phi_c}))"
+    vz = f"({r} * sin({phi_c}))"
+    tmp = f"({_f(rg)} - {vx})"
+    x = (f"({_f(a)} * ({_f(rg1)} * atan({vy}"
+         f" / sqrt({vz} * {vz} + {tmp} * {tmp}))))")
+    y = f"({_f(a)} * ({_f(rg1)} * atan({vz} / {tmp})))"
+    return x, y
+
+
 def sql_tpeqd_fwd(lon: str, lat: str, proj: str) -> tuple[str, str]:
     """Two-Point Equidistant forward (dialect pair: kernels.tpeqd_fwd,
     spherical): great-circle distances to the two control points, the

@@ -1671,3 +1671,34 @@ def test_poly_defining_properties():
     li, pi_ = t.project_array(x.copy(), y.copy(), inverse=True)
     assert (np.abs(li - lam) * a).max() < 1e-4
     assert (np.abs(pi_ - phi) * a).max() < 1e-4
+
+
+def test_geos_inverse_roundtrip_and_geometry():
+    """Round-6: the geos INVERSE (was the one partial kernel).  The
+    ray-ellipsoid intersection recovers fwd inputs to sub-um over the
+    visible disc; sub-satellite point is the origin; rays that miss
+    the ellipsoid are invalid (maskable)."""
+    t = Transform.new(
+        "+proj=geos +lon_0=0.00 +lat_0=0.00 +a=6378169.00 "
+        "+b=6356583.80 +h=35785831.0")
+    lon = np.linspace(-70, 70, 25)
+    lat = np.linspace(-65, 65, 23)
+    LON, LAT = np.meshgrid(lon, lat)
+    lam, phi = np.radians(LON).ravel(), np.radians(LAT).ravel()
+    x, y, e = t.project_array(lam.copy(), phi.copy(), errors="mask")
+    vis = np.array([v is None for v in e])
+    assert vis.sum() > 500  # most of the +/-70 deg disc is visible
+    l2, p2, e2 = t.project_array(x.copy(), y.copy(), inverse=True,
+                                 errors="mask")
+    err_m = np.hypot((l2 - lam) * 6.4e6, (p2 - phi) * 6.4e6)[vis]
+    assert np.nanmax(err_m) < 1e-6
+    # sub-satellite point: exact origin both ways
+    x0, y0 = t.project(0.0, 0.0)
+    assert x0 == 0.0 and y0 == 0.0
+    l0, p0 = t.project(0.0, 0.0, inverse=True)
+    assert l0 == 0.0 and p0 == 0.0
+    # a scan angle pointing past the limb misses the ellipsoid
+    _, _, e3 = t.project_array(np.array([6.0e6]), np.array([0.0]),
+                               inverse=True, errors="mask")
+    assert e3[0] == "Invalid coordinate"
+    assert t.has_inverse  # the capability is now declared, too
