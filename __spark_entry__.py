@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from proj_spark import oracle as O
-from proj_spark.functions.transform import proj_udf, projstring_udf, with_transformed
+from proj_spark.functions.transform import (proj_udf, projstring_udf,
+                                             projstring_udf3,
+                                             with_transformed)
 from proj_spark.operators import cells as CELLS
 from proj_spark.operators import tiles as TILES
 from proj_spark.operators import textops as TX
@@ -214,21 +216,58 @@ def q03_proj_regional(spark, sf_dir):
 
 
 def q05_hgridshift(spark, sf_dir):
-    # NTv2 grid datum shift (round-5: closes the last reference
-    # capability class, /root/reference/src/proj.rs:370-440): bilinear
-    # interpolation of the checked-in synthetic .gsb fixture over
-    # california-band points.  The oracle embeds the grid's float32
-    # node values as SQL literals and replicates the interpolation
-    # arithmetic op for op (proj_spark/grids.py:209-239).
+    # Grid datum shifts + the row-wise error model in one slot
+    # (round 6; reference anchors /root/reference/src/proj.rs:370-440,
+    # 1632-1638 for grids, :1905-1944 for error semantics):
+    #  * lon_sh/lat_sh — MULTI-SUBGRID NTv2 shift (synthetic_shift2.gsb:
+    #    coarse parent + 5x denser child; each point resolves to the
+    #    densest containing subgrid), with every 11th row pushed 40 deg
+    #    west OUTSIDE the grid -> null + err_grid (mask mode);
+    #  * h_ell — GTX vgridshift (z = H + N(lon,lat), the vertical grid
+    #    class; z rides the pipeline like the reference's PJ_COORD);
+    #  * ym_bad/err_lat — deliberately invalid latitudes (>90 deg on
+    #    every 13th row) through Mercator in row-wise mask mode.
+    # The oracle embeds all three grids' float32 nodes as SQL literals
+    # and replicates interpolation + subgrid choice + the error CASEs
+    # op for op (proj_spark/grids.py, vgrids.py).
+    # Three pandas UDFs over one scan fuse into ONE ArrowEvalPython
+    # stage (the battery plan shape, pinned in test_plans.py).
     df = _pts(spark, sf_dir, "orders", "o_orderkey", "california")
-    udf = projstring_udf(
-        "+proj=pipeline +step +proj=hgridshift +grids=synthetic_shift.gsb",
+    df = df.select(
+        "o_orderkey", "lon", "lat",
+        (F.col("lon") + F.when(F.col("o_orderkey") % 11 == 0,
+                               F.lit(-40.0)).otherwise(F.lit(0.0))
+         ).alias("lon_g"),
+        (F.col("lat") + F.when(F.col("o_orderkey") % 13 == 0,
+                               F.lit(90.0)).otherwise(F.lit(0.0))
+         ).alias("lat_m"),
+        (F.lit(100.0) + (F.col("o_orderkey") % 50).cast("double")
+         ).alias("h0"),
+    )
+    udf_h = projstring_udf(
+        "+proj=pipeline +step +proj=hgridshift +grids=synthetic_shift2.gsb",
         input_units="deg")
-    t = udf(F.col("lon"), F.col("lat"))
-    return df.select("o_orderkey", t.alias("t")).select(
+    udf_v = projstring_udf3(
+        "+proj=pipeline +step +proj=vgridshift +grids=synthetic_geoid.gtx",
+        input_units="deg")
+    udf_m = projstring_udf(_MERC_TS, input_units="deg")
+    mid = df.select(
         "o_orderkey",
-        _round(F.degrees(F.col("t.x")), 7).alias("lon_sh"),
-        _round(F.degrees(F.col("t.y")), 7).alias("lat_sh"),
+        udf_h(F.col("lon_g"), F.col("lat")).alias("th"),
+        udf_v(F.col("lon"), F.col("lat"), F.col("h0")).alias("tv"),
+        udf_m(F.col("lon"), F.col("lat_m")).alias("tm"),
+    )
+    return mid.select(
+        "o_orderkey",
+        F.when(F.col("th.err").isNull(),
+               _round(F.degrees(F.col("th.x")), 7)).alias("lon_sh"),
+        F.when(F.col("th.err").isNull(),
+               _round(F.degrees(F.col("th.y")), 7)).alias("lat_sh"),
+        F.col("th.err").alias("err_grid"),
+        _round(F.col("tv.z"), 6).alias("h_ell"),
+        F.when(F.col("tm.err").isNull(),
+               _round(F.col("tm.y"), 1)).alias("ym_bad"),
+        F.col("tm.err").alias("err_lat"),
     )
 
 
@@ -1370,46 +1409,111 @@ def oracle_sql() -> dict[str, str]:
     # replicated op for op (engine path: functions/transform.py
     # projstring_udf deg input -> grids.grid_shift -> F.degrees)
     from proj_spark import grids as _G
+    from proj_spark import vgrids as _V
 
-    _grid = _G.load_grid("synthetic_shift.gsb")
-    _spec = _G.synthetic_grid_spec()
-    _nc = _grid.ncols
-    _gla = ", ".join(repr(float(v)) for v in _grid.dlat_sec.ravel())
-    _glo = ", ".join(repr(float(v)) for v in _grid.dlon_west_sec.ravel())
+    _gfile = _G.load_grid("synthetic_shift2.gsb")
+    _child = _gfile.subgrids[0]   # densest-first: SYNCHILD
+    _parent = _gfile.subgrids[1]  # SYNSHIFT
+    _geoid = _V.load_geoid("synthetic_geoid.gtx")
     _C1 = repr(math.pi / 180.0)    # np.radians multiplier
     _C2 = repr(180.0 / math.pi)    # np.degrees multiplier
+
+    def _arr(vals) -> str:
+        return "[" + ", ".join(repr(float(v)) for v in vals.ravel()) \
+            + "]::DOUBLE[]"
+
+    def _grid_cols(tag: str, g, fc: str, fr: str) -> str:
+        # per-grid bilinear scaffolding columns (mirrors
+        # grids._grid_shift_one / vgrids.geoid_undulation op for op)
+        nc, nr = g.ncols, g.nrows
+        return (
+            f"greatest(least(floor({fc}), {float(nc - 2)!r}), 0.0)"
+            f" AS c0_{tag},"
+            f" greatest(least(floor({fr}), {float(nr - 2)!r}), 0.0)"
+            f" AS r0_{tag},"
+            f" ({fc} >= 0.0 AND {fc} <= {float(nc - 1)!r}"
+            f" AND {fr} >= 0.0 AND {fr} <= {float(nr - 1)!r})"
+            f" AS in_{tag}"
+        )
+
+    def _interp(tag: str, arr: str, nc: int) -> str:
+        i = f"i_{tag}"
+        tx, ty = f"tx_{tag}", f"ty_{tag}"
+        return (f"({arr}[{i}]*(1.0-{ty})*(1.0-{tx})"
+                f" + {arr}[{i}+1]*(1.0-{ty})*{tx}"
+                f" + {arr}[{i}+{nc}]*{ty}*(1.0-{tx})"
+                f" + {arr}[{i}+{nc}+1]*{ty}*{tx})")
+
+    _ym_bad = O.sql_merc_ell_fwd("lon0", "lat_m")[1]
+    _lat_lim = repr(math.pi / 2.0 + 1e-12)  # kernels.HALFPI + LAT_EPS
     out["q05_hgridshift"] = f"""
-WITH g AS (SELECT [{_gla}]::DOUBLE[] AS gla, [{_glo}]::DOUBLE[] AS glo),
+WITH g AS (SELECT
+    {_arr(_parent.dlat_sec)} AS pla, {_arr(_parent.dlon_west_sec)} AS plo,
+    {_arr(_child.dlat_sec)} AS cla, {_arr(_child.dlon_west_sec)} AS clo,
+    {_arr(_geoid.values)} AS gn),
 pts AS (
-  SELECT o_orderkey,
-         (({lon_ca}) * {_C1}) * {_C2} AS lon,
-         (({lat_ca}) * {_C1}) * {_C2} AS lat
+  SELECT o_orderkey, ({lon_ca}) AS lon0, ({lat_ca}) AS lat0,
+         (({lon_ca}) + CASE WHEN o_orderkey % 11 = 0
+                            THEN -40.0 ELSE 0.0 END) AS lon_g,
+         (({lat_ca}) + CASE WHEN o_orderkey % 13 = 0
+                            THEN 90.0 ELSE 0.0 END) AS lat_m,
+         (100.0 + CAST(o_orderkey % 50 AS DOUBLE)) AS h0
   FROM orders),
-f AS (
-  SELECT o_orderkey, lon, lat,
-         ((-lon * 3600.0) - {_spec["e_long"]!r}) / {_spec["long_inc"]!r} AS fc,
-         ((lat * 3600.0) - {_spec["s_lat"]!r}) / {_spec["lat_inc"]!r} AS fr
+rp AS (
+  SELECT *, (lon_g * {_C1}) * {_C2} AS glon, (lat0 * {_C1}) * {_C2} AS glat,
+         (lon0 * {_C1}) * {_C2} AS vlon, (lat0 * {_C1}) * {_C2} AS vlat
   FROM pts),
+f AS (
+  SELECT *,
+    ((-glon * 3600.0) - {_parent.e_long!r}) / {_parent.long_inc!r} AS fc_p,
+    ((glat * 3600.0) - {_parent.s_lat!r}) / {_parent.lat_inc!r} AS fr_p,
+    ((-glon * 3600.0) - {_child.e_long!r}) / {_child.long_inc!r} AS fc_c,
+    ((glat * 3600.0) - {_child.s_lat!r}) / {_child.lat_inc!r} AS fr_c,
+    ((vlon - 360.0 * floor((vlon - {_geoid.ll_lon!r}) / 360.0))
+     - {_geoid.ll_lon!r}) / {_geoid.dlon!r} AS fc_g,
+    (vlat - {_geoid.ll_lat!r}) / {_geoid.dlat!r} AS fr_g
+  FROM rp),
 c AS (
-  SELECT *, greatest(least(floor(fc), {float(_nc - 2)!r}), 0.0) AS c0,
-            greatest(least(floor(fr), {float(_grid.nrows - 2)!r}), 0.0) AS r0
+  SELECT *, {_grid_cols("p", _parent, "fc_p", "fr_p")},
+            {_grid_cols("c", _child, "fc_c", "fr_c")},
+            {_grid_cols("g", _geoid, "fc_g", "fr_g")}
   FROM f),
 t AS (
-  SELECT *, fc - c0 AS tx, fr - r0 AS ty,
-         (CAST(r0 AS BIGINT) * {_nc} + CAST(c0 AS BIGINT) + 1) AS i00
+  SELECT *,
+    fc_p - c0_p AS tx_p, fr_p - r0_p AS ty_p,
+    (CAST(r0_p AS BIGINT) * {_parent.ncols} + CAST(c0_p AS BIGINT) + 1)
+      AS i_p,
+    fc_c - c0_c AS tx_c, fr_c - r0_c AS ty_c,
+    (CAST(r0_c AS BIGINT) * {_child.ncols} + CAST(c0_c AS BIGINT) + 1)
+      AS i_c,
+    fc_g - c0_g AS tx_g, fr_g - r0_g AS ty_g,
+    (CAST(r0_g AS BIGINT) * {_geoid.ncols} + CAST(c0_g AS BIGINT) + 1)
+      AS i_g
   FROM c),
 v AS (
-  SELECT o_orderkey, lon, lat,
-    (gla[i00]*(1.0-ty)*(1.0-tx) + gla[i00+1]*(1.0-ty)*tx
-     + gla[i00+{_nc}]*ty*(1.0-tx) + gla[i00+{_nc}+1]*ty*tx) AS dlat_sec,
-    (glo[i00]*(1.0-ty)*(1.0-tx) + glo[i00+1]*(1.0-ty)*tx
-     + glo[i00+{_nc}]*ty*(1.0-tx) + glo[i00+{_nc}+1]*ty*tx) AS dlonw_sec
+  SELECT o_orderkey, lon0, lat_m, glon, glat, h0, in_p, in_c,
+    CASE WHEN in_c THEN {_interp("c", "cla", _child.ncols)}
+         WHEN in_p THEN {_interp("p", "pla", _parent.ncols)} END
+      AS dlat_sec,
+    CASE WHEN in_c THEN {_interp("c", "clo", _child.ncols)}
+         WHEN in_p THEN {_interp("p", "plo", _parent.ncols)} END
+      AS dlonw_sec,
+    {_interp("g", "gn", _geoid.ncols)} AS undul
   FROM t CROSS JOIN g)
 SELECT o_orderkey,
-  round((((lon + (-dlonw_sec / 3600.0)) * {_C1}) * 180.0) / pi(), 7)
-    AS lon_sh,
-  round((((lat + (dlat_sec / 3600.0)) * {_C1}) * 180.0) / pi(), 7)
-    AS lat_sh
+  CASE WHEN in_c OR in_p THEN
+    round((((glon + (-dlonw_sec / 3600.0)) * {_C1}) * 180.0) / pi(), 7)
+  END AS lon_sh,
+  CASE WHEN in_c OR in_p THEN
+    round((((glat + (dlat_sec / 3600.0)) * {_C1}) * 180.0) / pi(), 7)
+  END AS lat_sh,
+  CASE WHEN in_c OR in_p THEN NULL
+       ELSE 'Invalid coordinate' END AS err_grid,
+  round(h0 + undul, 6) AS h_ell,
+  CASE WHEN abs(radians(lat_m)) > {_lat_lim} THEN NULL
+       ELSE round({_ym_bad}, 1) END AS ym_bad,
+  CASE WHEN abs(radians(lat_m)) > {_lat_lim}
+       THEN 'Invalid coordinate' END AS err_lat
 FROM v
 """
 

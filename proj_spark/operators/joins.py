@@ -480,6 +480,7 @@ def radius_join(
     level: int | None = None,
     max_level: int = 14,
     max_broadcast_rows: int = 4_000_000,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """RANGE (distance-within) join: every (query, point) pair with
     great-circle distance <= ``radius_m`` — the task brief's "range
@@ -501,11 +502,18 @@ def radius_join(
     points table is never shuffled — then one codegen haversine
     filter.  Output: (query_id, point_id, dist_m).
 
-    Broadcast guard (round-4 ADVICE): near the poles ``rx`` saturates
-    to the full longitude circle, so a large queries table or a large
-    radius at high latitude can explode past what a driver can
-    broadcast.  The exploded row count is estimated first (one tiny
-    aggregate over the queries side — by contract the small side); past
+    Broadcast guard (round-4 ADVICE, tightened round 6): near the
+    poles ``rx`` saturates to the full longitude circle, so a large
+    queries table or a large radius at high latitude can explode past
+    what a driver can broadcast.  ``broadcast_queries`` controls the
+    plan: True forces the broadcast (NO action at plan-construction
+    time — fully lazy, the caller vouches for the size), False forces
+    the shuffle fallback, and None (default) guards cheaply: a
+    LIMIT-bounded count (stops scanning past the threshold) combined
+    with the static per-query worst-case ring size
+    ``(2*(n//2+1)+1) * (2*ry+1)`` proves most real queries sides safe
+    without evaluating the ring lineage; only when that bound is
+    inconclusive does the refined per-row ring estimate run.  Past
     ``max_broadcast_rows`` the join falls back to a shuffle hash join
     with a warning instead of dying in the broadcast with an opaque
     OOM.  The fallback shuffles the points table once on ``cell``.
@@ -560,23 +568,37 @@ def radius_join(
         query_id_col, "q_lon", "q_lat",
         F.shiftleft(morton, 5).bitwiseOR(F.lit(level)).alias("cand_cell"),
     ).dropDuplicates([query_id_col, "cand_cell"])  # polar wrap collisions
-    # pre-explosion estimate: sum over queries of the ring size
-    # (2rx+1)(2ry+1) — an upper bound on the exploded rows (the lat
-    # clamp and wrap-dedup only shrink it)
-    est = queries.select(
-        ((F.lit(2) * rx + F.lit(1)) * F.lit(2 * ry + 1)).alias("__c")
-    ).agg(F.sum("__c")).first()[0]
-    if est is not None and est > max_broadcast_rows:
-        import warnings
+    # decide broadcast vs shuffle.  Caller override first (True = no
+    # plan-time action at all); else prove safety with the static
+    # worst-case ring size and a LIMIT-bounded count; else fall back
+    # to the refined per-row estimate (sum of (2rx+1)(2ry+1), an upper
+    # bound on exploded rows — the lat clamp and wrap-dedup shrink it)
+    if broadcast_queries is None:
+        worst_per_query = (2 * (n // 2 + 1) + 1) * (2 * ry + 1)
+        threshold = max_broadcast_rows // worst_per_query
+        probe = queries.limit(threshold + 1).count() if threshold > 0 else 1
+        if probe <= threshold:
+            too_big = False
+        else:
+            est = queries.select(
+                ((F.lit(2) * rx + F.lit(1)) * F.lit(2 * ry + 1)).alias("__c")
+            ).agg(F.sum("__c")).first()[0]
+            too_big = est is not None and est > max_broadcast_rows
+    else:
+        too_big = not broadcast_queries
+    if too_big:
+        if broadcast_queries is None:
+            import warnings
 
-        warnings.warn(
-            f"radius_join: exploded query rings estimated at {est} rows "
-            f"(> max_broadcast_rows={max_broadcast_rows}); falling back "
-            f"to a shuffle join — the points table WILL be shuffled on "
-            f"cell.  Reduce the radius, the query count, or pass a "
-            f"larger max_broadcast_rows to restore the broadcast plan.",
-            stacklevel=2,
-        )
+            warnings.warn(
+                f"radius_join: exploded query rings estimated at {est} "
+                f"rows (> max_broadcast_rows={max_broadcast_rows}); "
+                f"falling back to a shuffle join — the points table "
+                f"WILL be shuffled on cell.  Reduce the radius, the "
+                f"query count, or pass a larger max_broadcast_rows to "
+                f"restore the broadcast plan.",
+                stacklevel=2,
+            )
         cand = pts.join(q, pts["cell"] == q["cand_cell"], "inner")
     else:
         cand = pts.join(F.broadcast(q), pts["cell"] == q["cand_cell"], "inner")

@@ -642,3 +642,39 @@ def test_radius_join_broadcast_guard_falls_back_to_shuffle(spark):
     a = {(r.query_id, r.point_id) for r in bc.collect()}
     b = {(r.query_id, r.point_id) for r in sh.collect()}
     assert a == b and len(a) > 0
+
+
+def test_radius_join_broadcast_override_is_lazy(spark):
+    """Round-6 ADVICE fix: broadcast_queries=True must not run ANY
+    Spark action at plan-construction time (fully lazy composition);
+    False forces the shuffle plan; both agree with the default plan."""
+    import pandas as pd
+
+    from proj_spark.operators.joins import radius_join
+
+    pts = pd.DataFrame({"point_id": range(200),
+                        "lon": [(i % 40) / 4.0 for i in range(200)],
+                        "lat": [(i % 25) / 2.5 for i in range(200)]})
+    qs = pd.DataFrame({"query_id": [0, 1],
+                       "lon": [1.0, 5.0], "lat": [2.0, 6.0]})
+    P, Q = spark.createDataFrame(pts), spark.createDataFrame(qs)
+
+    # a queries side whose evaluation EXPLODES if anything touches it
+    # at plan time: an action-at-construction would raise here
+    from pyspark.sql import functions as F
+
+    bomb = Q.withColumn(
+        "lat", F.when(F.lit(True),
+                      F.col("lat")).otherwise(F.raise_error("boom")))
+    forced = radius_join(P, bomb, 150_000.0, broadcast_queries=True)
+    assert "ResolvedHint" in forced._jdf.queryExecution().analyzed().toString()
+
+    got_f = {(r.query_id, r.point_id)
+             for r in radius_join(P, Q, 150_000.0,
+                                  broadcast_queries=True).collect()}
+    got_s = {(r.query_id, r.point_id)
+             for r in radius_join(P, Q, 150_000.0,
+                                  broadcast_queries=False).collect()}
+    got_d = {(r.query_id, r.point_id)
+             for r in radius_join(P, Q, 150_000.0).collect()}
+    assert got_f == got_s == got_d and len(got_d) > 0
