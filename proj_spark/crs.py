@@ -908,6 +908,73 @@ for _z in range(46, 60):
         datum_name="Geocentric Datum of Australia 2020", datum_code=1168,
         base_geog="EPSG:7844", base_geog_name="GDA2020")
 
+# JGD2011 (EPSG:6668 geographic + the 19 Japan Plane Rectangular CS
+# zones EPSG:6669-6687) — the round-6 registry long-tail ask: pure
+# tmerc rows (k=0.9999, zone-specific natural origins, GRS80)
+EPSG["EPSG:6668"] = _e(
+    "EPSG:6668", "JGD2011", "geographic", "+proj=longlat +ellps=GRS80",
+    towgs84=(0, 0, 0), axis_order="ne", unit="deg", datum_ellps="GRS80",
+    area=Area(122.38, 17.09, 157.65, 46.05), area_name="Japan.",
+    datum_name="Japanese Geodetic Datum 2011", datum_code=1128)
+_JPRCS = [  # zone -> (lat_0, lon_0); published natural origins
+    ("I", 33.0, 129.5), ("II", 33.0, 131.0),
+    ("III", 36.0, 132.0 + 10.0 / 60.0), ("IV", 33.0, 133.5),
+    ("V", 36.0, 134.0 + 20.0 / 60.0), ("VI", 36.0, 136.0),
+    ("VII", 36.0, 137.0 + 10.0 / 60.0), ("VIII", 36.0, 138.5),
+    ("IX", 36.0, 139.0 + 50.0 / 60.0), ("X", 40.0, 140.0 + 50.0 / 60.0),
+    ("XI", 44.0, 140.25), ("XII", 44.0, 142.25), ("XIII", 44.0, 144.25),
+    ("XIV", 26.0, 142.0), ("XV", 26.0, 127.5), ("XVI", 26.0, 124.0),
+    ("XVII", 26.0, 131.0), ("XVIII", 20.0, 136.0), ("XIX", 26.0, 154.0),
+]
+for _i, (_zn, _la0, _lo0) in enumerate(_JPRCS):
+    EPSG[f"EPSG:{6669 + _i}"] = _e(
+        f"EPSG:{6669 + _i}",
+        f"JGD2011 / Japan Plane Rectangular CS {_zn}", "projected",
+        f"+proj=tmerc +lat_0={_la0!r} +lon_0={_lo0!r} +k=0.9999 "
+        f"+x_0=0 +y_0=0 +ellps=GRS80 +units=m",
+        towgs84=(0, 0, 0), datum_ellps="GRS80",
+        area=Area(_lo0 - 1.7, _la0 - 7.0, _lo0 + 1.7, _la0 + 7.0),
+        area_name=f"Japan - zone {_zn}.",
+        datum_name="Japanese Geodetic Datum 2011", datum_code=1128,
+        base_geog="EPSG:6668", base_geog_name="JGD2011")
+
+# Korea 2000 (EPSG:4737 geographic + the unified / central-belt tmerc
+# rows the national services publish)
+EPSG["EPSG:4737"] = _e(
+    "EPSG:4737", "Korea 2000", "geographic", "+proj=longlat +ellps=GRS80",
+    towgs84=(0, 0, 0), axis_order="ne", unit="deg", datum_ellps="GRS80",
+    area=Area(122.71, 28.6, 134.28, 40.27), area_name="Republic of Korea.",
+    datum_name="Geocentric datum of Korea", datum_code=6737)
+EPSG["EPSG:5179"] = _e(
+    "EPSG:5179", "Korea 2000 / Unified CS", "projected",
+    "+proj=tmerc +lat_0=38 +lon_0=127.5 +k=0.9996 +x_0=1000000 "
+    "+y_0=2000000 +ellps=GRS80 +units=m",
+    towgs84=(0, 0, 0), datum_ellps="GRS80",
+    area=Area(122.71, 28.6, 134.28, 40.27),
+    area_name="Republic of Korea.",
+    datum_name="Geocentric datum of Korea", datum_code=6737,
+    base_geog="EPSG:4737", base_geog_name="Korea 2000")
+EPSG["EPSG:5186"] = _e(
+    "EPSG:5186", "Korea 2000 / Central Belt 2010", "projected",
+    "+proj=tmerc +lat_0=38 +lon_0=127 +k=1 +x_0=200000 "
+    "+y_0=600000 +ellps=GRS80 +units=m",
+    towgs84=(0, 0, 0), datum_ellps="GRS80",
+    area=Area(126.0, 33.14, 128.0, 38.64),
+    area_name="Republic of Korea - 126°E to 128°E.",
+    datum_name="Geocentric datum of Korea", datum_code=6737,
+    base_geog="EPSG:4737", base_geog_name="Korea 2000")
+
+# GDA94 national Lambert (the continental-analysis companion of the
+# MGA zone rows above)
+EPSG["EPSG:3112"] = _e(
+    "EPSG:3112", "GDA94 / Geoscience Australia Lambert", "projected",
+    "+proj=lcc +lat_0=0 +lon_0=134 +lat_1=-18 +lat_2=-36 +x_0=0 +y_0=0 "
+    "+ellps=GRS80 +units=m",
+    towgs84=(0, 0, 0), datum_ellps="GRS80",
+    area=Area(93.41, -60.55, 173.34, -8.47), area_name="Australia.",
+    datum_name="Geocentric Datum of Australia 1994", datum_code=6283,
+    base_geog="EPSG:4283", base_geog_name="GDA94")
+
 # RGF93 / Lambert conic conformal zones CC42-CC50 (EPSG:3942-3950)
 for _n in range(42, 51):
     EPSG[f"EPSG:{3900 + _n}"] = _e(

@@ -1702,3 +1702,32 @@ def test_geos_inverse_roundtrip_and_geometry():
                                inverse=True, errors="mask")
     assert e3[0] == "Invalid coordinate"
     assert t.has_inverse  # the capability is now declared, too
+
+
+def test_round6_registry_longtail():
+    """JGD2011 zones, Korea 2000, GDA94 Lambert (round-6 ask #9): each
+    resolves, projects its own area-of-use sample consistently with a
+    direct proj-string transform, and WKT round-trips."""
+    from proj_spark.crs import registry_codes, resolve_crs
+
+    codes = ([f"EPSG:{c}" for c in range(6668, 6688)]
+             + ["EPSG:4737", "EPSG:5179", "EPSG:5186", "EPSG:3112"])
+    assert all(c in registry_codes() for c in codes)
+    for code in codes:
+        entry = resolve_crs(code)
+        t = Transform.new_known_crs("EPSG:4326", code)
+        area = entry.area
+        lon = (area.west + area.east) / 2.0
+        lat = (area.south + area.north) / 2.0
+        if entry.kind == "projected":
+            x, y = t.convert(lon, lat)
+            tp = Transform.new(entry.proj)
+            xp, yp = tp.project(math.radians(lon), math.radians(lat))
+            assert abs(x - xp) < 1e-3 and abs(y - yp) < 1e-3, code
+        w = Transform.new(code).as_wkt()
+        assert Transform.new(w) is not None, code
+    # zone IX pins Tokyo against its defining tmerc geometry: ~6 km
+    # west / ~35 km south of the 36N 139d50m origin, k_0 applied
+    t9 = Transform.new_known_crs("EPSG:4326", "EPSG:6677")
+    x, y = t9.convert(139.767125, 35.681236)
+    assert -6100 < x < -5900 and -35500 < y < -35200
