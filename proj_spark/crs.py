@@ -493,7 +493,7 @@ def make_step(params: dict) -> _StepBase:
 class CrsEntry:
     code: str
     name: str
-    kind: str  # "geographic" | "projected"
+    kind: str  # "geographic" | "geographic3d" | "projected" | "vertical" | "compound"
     proj: str  # proj-string (projection only; datum handled via towgs84)
     towgs84: Optional[tuple] = None  # None -> only ballpark available
     axis_order: str = "en"  # user-facing declared order: "en" or "ne"
@@ -510,14 +510,18 @@ class CrsEntry:
     datum_code: int = 0
     base_geog: str = ""       # e.g. "EPSG:4269"
     base_geog_name: str = ""  # e.g. "NAD83"
+    # compound CRS only: (horizontal member code, vertical member code)
+    members: tuple = ()
 
 
 def _e(code, name, kind, proj, towgs84=None, axis_order="en", unit="m",
        area=None, area_name="", accuracy=-1.0, datum_ellps="WGS84",
-       datum_name="", datum_code=0, base_geog="", base_geog_name=""):
+       datum_name="", datum_code=0, base_geog="", base_geog_name="",
+       members=()):
     return CrsEntry(code, name, kind, proj, towgs84, axis_order, unit, area,
                     area_name, accuracy, datum_ellps,
-                    datum_name, datum_code, base_geog, base_geog_name)
+                    datum_name, datum_code, base_geog, base_geog_name,
+                    members)
 
 
 _CA6_LCC = (
@@ -974,6 +978,49 @@ EPSG["EPSG:3112"] = _e(
     area=Area(93.41, -60.55, 173.34, -8.47), area_name="Australia.",
     datum_name="Geocentric Datum of Australia 1994", datum_code=6283,
     base_geog="EPSG:4283", base_geog_name="GDA94")
+
+# 3D / vertical / compound CRS (round 6) — identification + WKT/
+# PROJJSON export parity for the height-bearing codes that pair with
+# the vgridshift capability.  Transform semantics: a vertical CRS is a
+# z-axis identity (the horizontal plane untouched); a compound CRS
+# transforms through its HORIZONTAL member and carries z (the grid-less
+# ballpark vertical, exactly what libproj does without a geoid grid —
+# attach +proj=vgridshift explicitly to apply one).
+EPSG["EPSG:4979"] = _e(
+    "EPSG:4979", "WGS 84", "geographic3d", "+proj=longlat +ellps=WGS84",
+    towgs84=(0, 0, 0), axis_order="ne", unit="deg",
+    area=Area(-180, -90, 180, 90), area_name="World.",
+    datum_name=_WGS84E_NAME, datum_code=6326)
+EPSG["EPSG:5714"] = _e(
+    "EPSG:5714", "MSL height", "vertical", "+proj=noop",
+    area=Area(-180, -90, 180, 90), area_name="World.",
+    datum_name="Mean Sea Level", datum_code=5100)
+EPSG["EPSG:5701"] = _e(
+    "EPSG:5701", "ODN height", "vertical", "+proj=noop",
+    area=Area(-7.06, 49.93, 1.8, 58.71),
+    area_name="United Kingdom (UK) - Great Britain mainland onshore.",
+    datum_name="Ordnance Datum Newlyn", datum_code=5101)
+EPSG["EPSG:5773"] = _e(
+    "EPSG:5773", "EGM96 height", "vertical", "+proj=noop",
+    area=Area(-180, -90, 180, 90), area_name="World.",
+    datum_name="EGM96 geoid", datum_code=5171)
+EPSG["EPSG:7405"] = _e(
+    "EPSG:7405", "OSGB36 / British National Grid + ODN height",
+    "compound", EPSG["EPSG:27700"].proj,
+    towgs84=EPSG["EPSG:27700"].towgs84, datum_ellps="airy",
+    area=Area(-7.06, 49.93, 1.8, 58.71),
+    area_name="United Kingdom (UK) - Great Britain mainland onshore.",
+    datum_name=EPSG["EPSG:27700"].datum_name,
+    datum_code=EPSG["EPSG:27700"].datum_code,
+    base_geog=EPSG["EPSG:27700"].base_geog,
+    base_geog_name=EPSG["EPSG:27700"].base_geog_name,
+    members=("EPSG:27700", "EPSG:5701"))
+EPSG["EPSG:9707"] = _e(
+    "EPSG:9707", "WGS 84 + EGM96 height", "compound",
+    "+proj=longlat +ellps=WGS84", towgs84=(0, 0, 0), axis_order="ne",
+    unit="deg", area=Area(-180, -90, 180, 90), area_name="World.",
+    datum_name=_WGS84E_NAME, datum_code=6326,
+    members=("EPSG:4326", "EPSG:5773"))
 
 # RGF93 / Lambert conic conformal zones CC42-CC50 (EPSG:3942-3950)
 for _n in range(42, 51):

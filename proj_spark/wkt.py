@@ -632,6 +632,11 @@ def _geog_cs_axes(m) -> list:
                       _Node("ORDER", "1"), _angleunit())
         second = _Node("AXIS", _q("geodetic latitude (Lat)"), "north",
                        _Node("ORDER", "2"), _angleunit())
+    if m["entry"].kind == "geographic3d":
+        h = _Node("AXIS", _q("ellipsoidal height (h)"), "up",
+                  _Node("ORDER", "3"),
+                  _Node("LENGTHUNIT", _q("metre"), "1"))
+        return [_Node("CS", "ellipsoidal", "3"), first, second, h]
     return [_Node("CS", "ellipsoidal", "2"), first, second]
 
 
@@ -754,7 +759,7 @@ def _wkt1_geogcs(m, esri: bool) -> _Node:
 def _wkt1_node(m, esri: bool) -> _Node:
     entry = m["entry"]
     geogcs = _wkt1_geogcs(m, esri)
-    if entry.kind == "geographic":
+    if entry.kind in ("geographic", "geographic3d"):
         return geogcs
     _, _, gdal_name, esri_name, _ = _METHODS[m["proj"]]
     name = (entry.name.replace(" / ", "_").replace(" ", "_")
@@ -786,16 +791,92 @@ def _wkt1_node(m, esri: bool) -> _Node:
 # ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
+def _vertcrs_node(entry, v2019: bool) -> _Node:
+    kids = [
+        _q(entry.name),
+        _Node("VDATUM", _q(entry.datum_name)),
+        _Node("CS", "vertical", "1"),
+        _Node("AXIS", _q("gravity-related height (H)"), "up",
+              _Node("LENGTHUNIT", _q("metre"), "1")),
+    ]
+    kids.extend(_vert_usage(entry, v2019))
+    kids.append(_id_node(entry.code))
+    return _Node("VERTCRS", *kids)
+
+
+def _vert_usage(entry, v2019: bool) -> list:
+    # mirrors _usage_nodes but from the entry alone (no projection model)
+    if entry.area is None:
+        return []
+    a = entry.area
+    area = _Node("AREA", _q(entry.area_name or "unknown"))
+    bbox = _Node("BBOX", _n(a.south), _n(a.west), _n(a.north), _n(a.east))
+    scope = _Node("SCOPE", _q(_SCOPES.get(entry.code, "unknown")))
+    if v2019:
+        return [_Node("USAGE", scope, area, bbox)]
+    return [scope, area, bbox]
+
+
+def _wkt1_vert_node(entry) -> _Node:
+    return _Node(
+        "VERT_CS", _q(entry.name),
+        _Node("VERT_DATUM", _q(entry.datum_name), "2005",
+              _Node("AUTHORITY", _q("EPSG"), _q(str(entry.datum_code)))),
+        _Node("UNIT", _q("metre"), "1"),
+        _Node("AXIS", _q("Gravity-related height"), "UP"),
+        _Node("AUTHORITY", _q("EPSG"),
+              _q(entry.code.partition(":")[2])),
+    )
+
+
+def _compound_node(entry, version: str, multiline: bool):
+    """COMPOUNDCRS (WKT2) / COMPD_CS (WKT1): render both members with
+    the same dialect and wrap them."""
+    from .crs import resolve_crs
+
+    horiz = resolve_crs(entry.members[0])
+    vert = resolve_crs(entry.members[1])
+    v2019 = "2019" in version
+    if version.startswith("WKT1"):
+        hm = _model(horiz)
+        hnode = _wkt1_node(hm, esri=(version == "WKT1_ESRI"))
+        vnode = _wkt1_vert_node(vert)
+        return _Node("COMPD_CS", _q(entry.name), hnode, vnode,
+                     _Node("AUTHORITY", _q("EPSG"),
+                           _q(entry.code.partition(":")[2])))
+    hm = _model(horiz)
+    hnode = (_geogcrs_node(hm, v2019)
+             if horiz.kind in ("geographic", "geographic3d")
+             else _projcrs_node(hm, v2019))
+    vnode = _vertcrs_node(vert, v2019)
+    kids = [_q(entry.name), hnode, vnode]
+    kids.extend(_vert_usage(entry, v2019))
+    kids.append(_id_node(entry.code))
+    return _Node("COMPOUNDCRS", *kids)
+
+
 def to_wkt(entry, version: str = "WKT2_2019", multiline: bool = True) -> str:
     version = version.upper()
     if version not in WKT_VERSIONS:
         raise ValueError(f"unknown WKT version {version!r}; one of {WKT_VERSIONS}")
+    if entry.kind == "vertical":
+        if version.startswith("WKT1"):
+            return _render(_wkt1_vert_node(entry), multiline)
+        node = _vertcrs_node(entry, "2019" in version)
+        if version.endswith("_SIMPLIFIED"):
+            node = _strip_for_simplified(node)
+        return _render(node, multiline)
+    if entry.kind == "compound":
+        node = _compound_node(entry, version, multiline)
+        if version.endswith("_SIMPLIFIED"):
+            node = _strip_for_simplified(node)
+        return _render(node, multiline)
     m = _model(entry)
     if version.startswith("WKT1"):
         node = _wkt1_node(m, esri=(version == "WKT1_ESRI"))
         return _render(node, multiline)
     v2019 = "2019" in version
-    if entry.kind == "geographic":
+    if entry.kind in ("geographic", "geographic3d"):
         node = _geogcrs_node(m, v2019)
     else:
         node = _projcrs_node(m, v2019)
@@ -852,17 +933,62 @@ def _geog_json(m, with_id: bool = True) -> dict:
     return obj
 
 
+def _vert_json(entry) -> dict:
+    return {
+        "type": "VerticalCRS",
+        "name": entry.name,
+        "datum": {"type": "VerticalReferenceFrame",
+                  "name": entry.datum_name},
+        "coordinate_system": {
+            "subtype": "vertical",
+            "axis": [{"name": "Gravity-related height",
+                      "abbreviation": "H", "direction": "up",
+                      "unit": "metre"}],
+        },
+        "id": _id_json(entry.code),
+    }
+
+
 def to_projjson_dict(entry, schema: str) -> dict:
     """Full PROJJSON CRS description (datum/ensemble, ellipsoid, CS,
     conversion with EPSG method/parameter codes, scope/area/bbox, id)."""
+    if entry.kind == "vertical":
+        obj = {"$schema": schema}
+        obj.update(_vert_json(entry))
+        if entry.area is not None:
+            obj["bbox"] = {
+                "south_latitude": entry.area.south,
+                "west_longitude": entry.area.west,
+                "north_latitude": entry.area.north,
+                "east_longitude": entry.area.east,
+            }
+        return obj
+    if entry.kind == "compound":
+        from .crs import resolve_crs
+
+        horiz = resolve_crs(entry.members[0])
+        vert = resolve_crs(entry.members[1])
+        h_json = to_projjson_dict(horiz, schema)
+        h_json.pop("$schema", None)
+        return {
+            "$schema": schema,
+            "type": "CompoundCRS",
+            "name": entry.name,
+            "components": [h_json, _vert_json(vert)],
+            "id": _id_json(entry.code),
+        }
     m = _model(entry)
-    obj: dict = {"$schema": schema}
-    if entry.kind == "geographic":
+    obj = {"$schema": schema}
+    if entry.kind in ("geographic", "geographic3d"):
         obj["type"] = "GeographicCRS"
         g = _geog_json(m, with_id=False)
         g.pop("name")
         obj["name"] = entry.name
         obj.update(g)
+        if entry.kind == "geographic3d":
+            obj["coordinate_system"]["axis"].append(
+                {"name": "Ellipsoidal height", "abbreviation": "h",
+                 "direction": "up", "unit": "metre"})
     else:
         obj["type"] = "ProjectedCRS"
         obj["name"] = entry.name

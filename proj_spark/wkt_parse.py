@@ -35,7 +35,7 @@ __all__ = ["WktNode", "parse_wkt", "looks_like_wkt", "wkt_to_entry",
 
 _WKT_ROOTS = (
     "GEOGCRS", "GEODCRS", "PROJCRS", "GEOGCS", "PROJCS", "GEOCCS",
-    "BOUNDCRS", "COMPOUNDCRS", "VERTCRS",
+    "BOUNDCRS", "COMPOUNDCRS", "VERTCRS", "VERT_CS", "COMPD_CS",
 )
 
 

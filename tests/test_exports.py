@@ -221,3 +221,55 @@ def test_accuracy_option_enforced():
     # ballpark (NAD83 has no towgs84): accuracy request refused
     with pytest.raises(ProjCreateError):
         Transform.new_known_crs("EPSG:4269", "EPSG:4326", accuracy=10.0)
+
+
+def test_vertical_and_compound_crs_round6():
+    """Vertical / compound / 3D-geographic CRS (round 6): WKT + PROJJSON
+    export with round-trip import, and the documented transform
+    semantics — compound transforms through its horizontal member,
+    vertical is a z-identity (grid-less ballpark vertical; attach
+    +proj=vgridshift to apply a geoid)."""
+    import json
+
+    import numpy as np
+
+    from proj_spark.crs import Transform, resolve_crs
+
+    # kinds + members
+    assert resolve_crs("EPSG:5701").kind == "vertical"
+    assert resolve_crs("EPSG:4979").kind == "geographic3d"
+    e7405 = resolve_crs("EPSG:7405")
+    assert e7405.kind == "compound"
+    assert e7405.members == ("EPSG:27700", "EPSG:5701")
+
+    # WKT structure + all-dialect identity round-trip
+    w = Transform.new("EPSG:7405").as_wkt(multiline=False)
+    assert w.startswith('COMPOUNDCRS["OSGB36 / British National Grid')
+    assert 'VERTCRS["ODN height"' in w
+    assert 'VDATUM["Ordnance Datum Newlyn"' in w
+    assert 'ID["EPSG",7405]' in w
+    for code in ("EPSG:5701", "EPSG:5714", "EPSG:5773",
+                 "EPSG:7405", "EPSG:9707"):
+        t = Transform.new(code)
+        for ver in ("WKT2_2019", "WKT2_2015", "WKT1_GDAL", "WKT1_ESRI",
+                    "WKT2_2019_SIMPLIFIED", "WKT2_2015_SIMPLIFIED"):
+            t2 = Transform.new(t.as_wkt(version=ver, multiline=False))
+            assert t2._src.code == code, (code, ver)
+        j = json.loads(t.to_projjson())
+        assert j["type"] in ("VerticalCRS", "CompoundCRS")
+        assert Transform.new(t.to_projjson())._src.code == code
+    j = json.loads(Transform.new("EPSG:7405").to_projjson())
+    assert [c["type"] for c in j["components"]] == \
+        ["ProjectedCRS", "VerticalCRS"]
+    j3 = json.loads(Transform.new("EPSG:4979").to_projjson())
+    assert len(j3["coordinate_system"]["axis"]) == 3
+
+    # transform semantics
+    t = Transform.new("EPSG:7405")
+    th = Transform.new("EPSG:27700")
+    lam, phi = np.radians(-2.0), np.radians(53.0)
+    assert t.project(lam, phi) == th.project(lam, phi)
+    x, y, z = t._run3(np.array([lam]), np.array([phi]), np.array([42.0]))
+    assert z[0] == 42.0  # ballpark vertical: z carried, not invented
+    tv = Transform.new("EPSG:5701")
+    assert tv.convert(1.5, 2.5) == (1.5, 2.5)

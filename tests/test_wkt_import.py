@@ -13,11 +13,21 @@ from proj_spark.wkt import WKT_VERSIONS
 
 
 def test_wkt_roundtrip_every_registry_code_every_dialect():
+    from proj_spark.crs import resolve_crs
+
     for code in registry_codes():
         t = Transform.new(code)
+        entry = resolve_crs(code)
         for ver in WKT_VERSIONS:
             for ml in (True, False):
                 t2 = Transform.new(t.as_wkt(ver, multiline=ml))
+                if entry.kind == "geographic3d" and ver == "WKT1_ESRI":
+                    # WKT1 cannot express a 3D geographic CRS and the
+                    # ESRI dialect carries no identifiers: the export
+                    # demotes to the 2D horizontal base (GDAL's WKT1
+                    # morphing does the same)
+                    assert t2._src.kind == "geographic", (code, ver)
+                    continue
                 assert t2.equivalent_to(t, ComparisonCriterion.Equivalent), \
                     (code, ver, ml)
                 if "ESRI" not in ver:  # ESRI WKT carries no ids
