@@ -294,14 +294,16 @@ def resolve_grid_name(name_or_path: str) -> str:
     executors open the same file the driver validated."""
     if os.path.isabs(name_or_path):
         return name_or_path
+    # same precedence as read_resource_bytes: cwd-relative first, then
+    # package data, then builder search paths
+    if os.path.exists(name_or_path):
+        return os.path.abspath(name_or_path)
     if os.path.exists(os.path.join(GRID_DIR, name_or_path)):
         return name_or_path  # package data: ships inside the zip
     for base in _EXTRA_SEARCH:
         cand = os.path.join(base, name_or_path)
         if os.path.exists(cand):
             return os.path.abspath(cand)
-    if os.path.exists(name_or_path):
-        return os.path.abspath(name_or_path)
     from . import network
 
     if network.is_network_enabled():

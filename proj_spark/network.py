@@ -241,13 +241,11 @@ def fetch_grid(name: str, timeout: float = 30.0) -> str:
     os.makedirs(d, exist_ok=True)
     if _CACHE_ENABLED:
         _evict_to_bound(d, len(body))
-        tmp = dest + ".part"
-        with open(tmp, "wb") as f:
-            f.write(body)
-        os.replace(tmp, dest)  # atomic: readers never see a torn file
-        return dest
-    # cache disabled: still needs a path — write without retention
-    os.makedirs(d, exist_ok=True)
-    with open(dest, "wb") as f:
+    # disabling the cache disables the LOOKUP (every fetch re-downloads,
+    # the reference-KAT semantics, src/proj.rs:1615-1617); the file is
+    # still written because callers need a path to open
+    tmp = dest + ".part"
+    with open(tmp, "wb") as f:
         f.write(body)
+    os.replace(tmp, dest)  # atomic: readers never see a torn file
     return dest
