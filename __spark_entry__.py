@@ -644,7 +644,47 @@ def q29_media_verify(spark, sf_dir):
 
     prog = pg.mapInPandas(
         _verify_prog, "image_id string, kind string, all_ok boolean")
-    return base.unionByName(jpeg).unionByName(sub).unionByName(prog)
+
+    # round-6 ARITHMETIC part: SOF9+DAC fixtures (mixed 4:2:0/4:4:4,
+    # with and without restart markers) must decode byte-identical to
+    # the Huffman decode of the same raster (shared coefficient front
+    # end), clear PSNR>=40, and beat the Huffman stream size (the
+    # adaptive QM coder's defining property on smooth rasters)
+    from proj_spark.sources.datagen import synthesize_jpeg_arith
+
+    aj = synthesize_jpeg_arith(spark, 80, partitions=8).localCheckpoint()
+
+    def _verify_arith(batches):
+        import numpy as np
+
+        from proj_spark.sources.datagen import (raster_smooth_for,
+                                                splitmix64)
+        from proj_spark.sources.images import psnr
+        from proj_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for image_id, data, w, h, sub_, ri in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["subsampling"], pdf["restart"]):
+                seq = np.array([int(image_id[2:])], dtype=np.uint64)
+                seed = int(splitmix64(seq)[0])
+                src = raster_smooth_for(seed, int(w), int(h))
+                dec = decode_jpeg(bytes(data))
+                huff = encode_jpeg(src, 90, subsampling=sub_)
+                ok = (dec.shape[0] == int(h) and dec.shape[1] == int(w)
+                      and bool(psnr(src, dec) >= 40.0)
+                      and np.array_equal(dec, decode_jpeg(huff))
+                      and len(data) < len(huff)
+                      and (int(ri) == 0) == (b"\xff\xdd" not in bytes(data)))
+                rows.append((image_id, "arith:" + sub_, ok))
+            yield pd.DataFrame(rows, columns=["image_id", "kind",
+                                              "all_ok"])
+
+    arith = aj.mapInPandas(
+        _verify_arith, "image_id string, kind string, all_ok boolean")
+    return (base.unionByName(jpeg).unionByName(sub).unionByName(prog)
+            .unionByName(arith))
 
 
 def q35_av_verify(spark, sf_dir):
@@ -1824,6 +1864,13 @@ FROM scored WHERE rank <= 5
         f"'prog:' || CASE WHEN ((({h29p} >> 23) & 1) = 1) "
         "THEN '4:2:0' ELSE '4:4:4' END AS kind, true AS all_ok",
     )
+    ch = O.Chain("SELECT i FROM unnest(range(0, 80)) AS t(i)")
+    h29a = O.chain_splitmix64(ch, "i", "h29a")
+    _jpegarith = ch.finish(
+        "printf('aj%012d', i) AS image_id, "
+        f"'arith:' || CASE WHEN ((({h29a} >> 25) & 1) = 1) "
+        "THEN '4:2:0' ELSE '4:4:4' END AS kind, true AS all_ok",
+    )
     out["q29_media_verify"] = f"""
 SELECT printf('img%012d', i) AS image_id, 'base' AS kind, true AS all_ok
 FROM unnest(range(0, 200)) AS t(i)
@@ -1833,6 +1880,8 @@ UNION ALL
 SELECT * FROM ({_jpegsub})
 UNION ALL
 SELECT * FROM ({_jpegprog})
+UNION ALL
+SELECT * FROM ({_jpegarith})
 """
 
     # ---- q28/q32/q33: LSH paths, gated by embedding the deterministic

@@ -170,6 +170,13 @@ def bench_queries(spark, sf_dir):
 
     run("jpeg_progressive", n_prog, lambda: _sink(
         prog_fx.mapInPandas(_dec_prog, "n int")))
+    # round-6 arithmetic-coded JPEG decode throughput (SOF9 + DAC,
+    # QM-coder entropy path; fixtures encoded outside the timed region)
+    from proj_spark.sources.datagen import synthesize_jpeg_arith
+    n_arith = 800
+    arith_fx = synthesize_jpeg_arith(spark, n_arith).localCheckpoint()
+    run("jpeg_arith", n_arith, lambda: _sink(
+        arith_fx.mapInPandas(_dec_prog, "n int")))
     from proj_spark.operators.joins import radius_join
     run("radius_join", n_cust, lambda: _sink(
         radius_join(cust, E._knn_queries(spark, sf_dir), 500_000.0,

@@ -31,6 +31,7 @@ __all__ = [
     "meta_for",
     "synthesize_images",
     "synthesize_jpeg_subsampled",
+    "synthesize_jpeg_arith",
     "IMAGES_DDL",
 ]
 
@@ -249,3 +250,42 @@ def synthesize_jpeg_progressive(spark: SparkSession, n: int,
     return rng_df.mapInPandas(
         _gen,
         "image_id string, bytes binary, w int, h int, subsampling string")
+
+
+def synthesize_jpeg_arith(spark: SparkSession, n: int,
+                          quality: int = 90,
+                          partitions: int | None = None) -> DataFrame:
+    """Deterministic ARITHMETIC-coded JPEG fixture table (round-6: the
+    SOF9 + DAC path): smooth rasters through
+    ``encode_jpeg_arithmetic``, subsampling chosen by splitmix64 bit
+    25 and a restart interval (0 or 4 MCUs) by bit 27, both
+    replicable in the SQL oracle.
+    Columns: image_id, bytes, w, h, subsampling, restart."""
+    rng_df = spark.range(0, n, 1,
+                         partitions or spark.sparkContext.defaultParallelism)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg_arith import encode_jpeg_arithmetic
+
+        for pdf in batches:
+            seq = pdf["id"].to_numpy(dtype=np.uint64)
+            meta = meta_for(seq)
+            rows = []
+            for i in range(len(seq)):
+                seed = int(meta["hash"][i])
+                w, h = int(meta["w"][i]), int(meta["h"][i])
+                sub = "4:2:0" if (seed >> 25) & 1 else "4:4:4"
+                ri = 4 if (seed >> 27) & 1 else 0
+                arr = raster_smooth_for(seed, w, h)
+                data = encode_jpeg_arithmetic(arr, quality,
+                                              subsampling=sub,
+                                              restart_interval=ri)
+                rows.append((f"aj{int(seq[i]):012d}", bytearray(data),
+                             w, h, sub, ri))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "bytes", "w", "h", "subsampling", "restart"])
+
+    return rng_df.mapInPandas(
+        _gen,
+        "image_id string, bytes binary, w int, h int, "
+        "subsampling string, restart int")

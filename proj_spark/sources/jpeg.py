@@ -861,6 +861,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     scan_order: list[dict] = []
     progressive = False
+    arithmetic = False
+    arith_coeffs: list[np.ndarray] | None = None
+    dc_cond: dict[int, tuple] = {}
+    ac_cond: dict[int, int] = {}
     prog_coeffs: list[np.ndarray] | None = None
     prog_geom = None
     dc_preds: list[int] = []
@@ -895,7 +899,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17:p + 17 + n])
                 huff[(cls, tid)] = _build_decode(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 seq., SOF2 progr.
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            p = 0
+            while p < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 15
+                cs = seg[p + 1]
+                if tc == 0:
+                    low, up = cs & 15, cs >> 4
+                    if not (0 <= low <= up <= 15):
+                        raise ValueError(f"bad DC conditioning {cs:#x}")
+                    dc_cond[tb] = (low, up)
+                else:
+                    if not (1 <= cs <= 63):
+                        raise ValueError(f"bad AC conditioning Kx={cs}")
+                    ac_cond[tb] = cs
+                p += 2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # seq. / progr. / arith
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -907,6 +926,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "tq": tq, "hi": hi, "vi": vi})
             frame = (h, w, nc)
             progressive = marker == 0xC2
+            arithmetic = marker == 0xC9
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             (dri,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
@@ -932,6 +952,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comp = next(c for c in comps if c["id"] == cid)
                 scan_order.append({
                     **comp, "dc": tabs >> 4, "ac": tabs & 15})
+            if arithmetic:
+                from .jpeg_arith import decode_arith_scan
+
+                h, w, nc = frame
+                hmax = max(c["hi"] for c in comps)
+                vmax = max(c["vi"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                arith_coeffs = [
+                    np.zeros((mcuy * sc["vi"] * mcux * sc["hi"], 64),
+                             dtype=np.int32) for sc in scan_order]
+                decode_arith_scan(data, pos + seglen, scan_order,
+                                  arith_coeffs, mcux, mcuy, dri,
+                                  dc_cond, ac_cond)
+                break
             pos += seglen
             break
         pos += seglen
@@ -955,6 +990,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     mcuy = -(-h // (8 * vmax))
     if progressive:
         coeffs = prog_coeffs
+    elif arithmetic:
+        coeffs = arith_coeffs
     else:
         coeffs = [np.zeros((mcuy * sc["vi"] * mcux * sc["hi"], 64),
                            dtype=np.float64) for sc in scan_order]
