@@ -131,6 +131,19 @@ _TPEQD_CA = ("+proj=tpeqd +lat_1=36.035 +lon_1=-120.045 "
 # inverse closing the last partial kernel)
 _GEOS_CA = ("+proj=geos +lon_0=-117.0 +h=35785831.0 "
             "+ellps=WGS84 +units=m")
+# round-6 kernels.  nsper: low-orbit perspective over the CA band
+# (horizon circle ~40 deg vs a <3 deg point spread — the NaN branch
+# never fires at oracle precision); tcea: transverse equal-area strip
+# on the band's meridian; the world four: Goode homolosine, Collignon,
+# central cylindrical (band caps at +-84.95), and the rotated-pole
+# ob_tran composition with a Mollweide base.
+_NSPER_CA = "+proj=nsper +h=2000000.0 +lon_0=-116.0 +lat_0=33.5 +R=6378137"
+_TCEA_CA = "+proj=tcea +lat_0=33.0 +lon_0=-116.0 +R=6378137"
+_GOODE_W = "+proj=goode +R=6378137"
+_COLLG_W = "+proj=collg +R=6378137"
+_CC_W = "+proj=cc +R=6378137"
+_OBMOLL_W = ("+proj=ob_tran +o_proj=moll +o_lat_p=45.0 +o_lon_p=-90.0 "
+             "+R=6378137")
 
 # battery A: cylindrical / pseudocylindrical world projections
 _WORLD_A = [
@@ -188,11 +201,15 @@ def q01_proj_world_a(spark, sf_dir):
 
 def q02_proj_world_b(spark, sf_dir):
     # projection battery B (was q68/q69/q75/q76/q84/q78/q07/q56 + the
-    # round-5 vandg/igh kernels' first gate coverage)
+    # round-5 vandg/igh kernels' first gate coverage; round 6 adds
+    # goode/collg/cc and the ob_tran(moll) rotated-pole composition)
     df = _pts(spark, sf_dir, "orders", "o_orderkey", "world")
     members = [(nm, proj_udf("EPSG:4326", code), "lon", "lat")
                for nm, code in _WORLD_B]
     members.append(("aeqd", projstring_udf(_AEQD_PARIS), "lon", "lat"))
+    for nm, pstr in (("goode", _GOODE_W), ("collg", _COLLG_W),
+                     ("cc", _CC_W), ("obmoll", _OBMOLL_W)):
+        members.append((nm, projstring_udf(pstr), "lon", "lat"))
     return _battery(df, members)
 
 
@@ -210,7 +227,8 @@ def q03_proj_regional(spark, sf_dir):
                for nm, code, suf in _REGIONAL]
     for nm, pstr in (("ortho", _ORTHO_CA), ("cass", _CASS_CA),
                      ("gnom", _GNOM_CA), ("tpeqd", _TPEQD_CA),
-                     ("geossat", _GEOS_CA)):
+                     ("geossat", _GEOS_CA), ("nsper", _NSPER_CA),
+                     ("tcea", _TCEA_CA)):
         members.append((nm, projstring_udf(pstr), "lon_ca", "lat_ca"))
     return _battery(df, members)
 
@@ -1389,6 +1407,10 @@ def oracle_sql() -> dict[str, str]:
         ("igh", *O.chain_igh_fwd(ch, "lon", "lat")),
         ("poly", *O.sql_poly_fwd("lon", "lat", "ESRI:54021")),
         ("aeqd", *O.chain_aeqd_fwd(ch, "lon", "lat", _AEQD_PARIS)),
+        ("goode", *O.chain_goode_fwd(ch, "lon", "lat", _GOODE_W)),
+        ("collg", *O.sql_collg_fwd("lon", "lat", _COLLG_W)),
+        ("cc", *O.sql_cc_fwd("lon", "lat", _CC_W)),
+        ("obmoll", *O.chain_ob_moll_fwd(ch, "lon", "lat", _OBMOLL_W)),
     ]
     out["q02_proj_world_b"] = ch.finish(_battery_select(bb))
 
@@ -1431,6 +1453,8 @@ def oracle_sql() -> dict[str, str]:
         ("gnom", *O.sql_gnom_fwd("lon_ca", "lat_ca", _GNOM_CA)),
         ("tpeqd", *O.sql_tpeqd_fwd("lon_ca", "lat_ca", _TPEQD_CA)),
         ("geossat", *O.sql_geos_fwd("lon_ca", "lat_ca", _GEOS_CA)),
+        ("nsper", *O.sql_nsper_fwd("lon_ca", "lat_ca", _NSPER_CA)),
+        ("tcea", *O.sql_tcea_fwd("lon_ca", "lat_ca", _TCEA_CA)),
     ]
     out["q03_proj_regional"] = ch.finish(_battery_select(bc))
 

@@ -33,6 +33,8 @@ pre/post steps).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from proj_spark import geodesy as _geodesy
@@ -2890,6 +2892,278 @@ def poly_inv(x, y, P):
     return adjlon(lam), phi
 
 
+# ---------------------------------------------------------------------------
+# nsper / tpers — Vertical and Tilted Perspective (Snyder ch. 23,
+# eqs. 23-16..23-24; PROJ nsper/tpers).  The satellite view: a sphere
+# seen from height h above (lon_0, lat_0); points beyond the horizon
+# circle cos(c) = 1/P are outside the projection domain (NaN).  tpers
+# adds the camera tilt (omega) / azimuth (gamma) transform.
+# ---------------------------------------------------------------------------
+def nsper_setup(params, a, es):
+    h = float(params["h"])
+    if h <= 0.0:
+        raise ValueError("nsper/tpers requires +h > 0")
+    pn1 = h / a
+    phi0 = np.radians(float(params.get("lat_0", 0.0)))
+    P = {
+        "pn1": pn1, "p": 1.0 + pn1, "rp": 1.0 / (1.0 + pn1),
+        "h1": 1.0 / pn1, "pfact": (2.0 + pn1) / pn1,
+        "sp0": float(np.sin(phi0)), "cp0": float(np.cos(phi0)),
+        "tilt": False,
+    }
+    if "tilt" in params or "azi" in params:
+        omega = np.radians(float(params.get("tilt", 0.0)))
+        gamma = np.radians(float(params.get("azi", 0.0)))
+        P.update(tilt=True, sw=float(np.sin(omega)), cw=float(np.cos(omega)),
+                 sg=float(np.sin(gamma)), cg=float(np.cos(gamma)))
+    return P
+
+
+def nsper_fwd(lam, phi, P):
+    sp, cp = fsin(phi), fcos(phi)
+    sl, cl = fsin(lam), fcos(lam)
+    cosc = P["sp0"] * sp + P["cp0"] * cp * cl
+    bad = cosc < P["rp"]  # behind the horizon circle (Snyder 23-20)
+    k = P["pn1"] / (P["p"] - np.where(bad, 0.0, cosc))
+    x = k * cp * sl
+    y = k * (P["cp0"] * sp - P["sp0"] * cp * cl)
+    if P["tilt"]:
+        yt = y * P["cg"] + x * P["sg"]
+        ba = 1.0 / (yt * P["sw"] * P["h1"] + P["cw"])
+        x, y = (x * P["cg"] - y * P["sg"]) * P["cw"] * ba, yt * ba
+    return np.where(bad, np.nan, x), np.where(bad, np.nan, y)
+
+
+def nsper_inv(x, y, P):
+    x = np.asarray(x, dtype=np.float64).copy()
+    y = np.asarray(y, dtype=np.float64).copy()
+    if P["tilt"]:
+        yt = 1.0 / (P["pn1"] - y * P["sw"])
+        bm = P["pn1"] * x * yt
+        bq = P["pn1"] * y * P["cw"] * yt
+        x = bm * P["cg"] + bq * P["sg"]
+        y = bq * P["cg"] - bm * P["sg"]
+    rh = np.hypot(x, y)
+    arg = 1.0 - rh * rh * P["pfact"]
+    bad = arg < 0.0
+    safe_rh = np.where(rh > 1e-12, rh, 1.0)
+    # Snyder 23-24: sin(c) from the quadratic in the view ray
+    sinz = (P["p"] - np.sqrt(np.clip(arg, 0.0, None))) / (
+        P["pn1"] / safe_rh + safe_rh / P["pn1"])
+    cosz = np.sqrt(np.clip(1.0 - sinz * sinz, 0.0, None))
+    phi = farcsin(np.clip(
+        cosz * P["sp0"] + y * sinz * P["cp0"] / safe_rh, -1.0, 1.0))
+    lam = np.arctan2(x * sinz * P["cp0"],
+                     (cosz - P["sp0"] * fsin(phi)) * safe_rh)
+    phi = np.where(rh > 1e-12, phi, farcsin(np.full_like(rh, P["sp0"])))
+    lam = np.where(rh > 1e-12, lam, 0.0)
+    return np.where(bad, np.nan, lam), np.where(bad, np.nan, phi)
+
+
+# ---------------------------------------------------------------------------
+# tcea — Transverse Cylindrical Equal-Area (Snyder ch. 10, eqs.
+# 10-1..10-7; PROJ tcea, spherical form).
+# ---------------------------------------------------------------------------
+def tcea_setup(params, a, es):
+    return {
+        "k0": float(params.get("k", params.get("k_0", 1.0))),
+        "phi0": float(np.radians(float(params.get("lat_0", 0.0)))),
+    }
+
+
+def tcea_fwd(lam, phi, P):
+    x = fcos(phi) * fsin(lam) / P["k0"]
+    y = P["k0"] * (np.arctan2(ftan(phi), fcos(lam)) - P["phi0"])
+    return x, y
+
+
+def tcea_inv(x, y, P):
+    xk = np.asarray(x, dtype=np.float64) * P["k0"]
+    t = np.asarray(y, dtype=np.float64) / P["k0"] + P["phi0"]
+    bad = np.abs(xk) > 1.0
+    root = np.sqrt(np.clip(1.0 - xk * xk, 0.0, None))
+    phi = farcsin(np.clip(root * fsin(t), -1.0, 1.0))
+    lam = np.arctan2(xk, root * fcos(t))
+    return np.where(bad, np.nan, lam), np.where(bad, np.nan, phi)
+
+
+# ---------------------------------------------------------------------------
+# collg — Collignon (PROJ collg): the equal-area triangular world map.
+# x = (2/sqrt(pi)) lam sqrt(1-sin phi), y = sqrt(pi) (1 - sqrt(1-sin phi)).
+# ---------------------------------------------------------------------------
+_COLLG_FXC = 2.0 / np.sqrt(np.pi)
+_COLLG_FYC = np.sqrt(np.pi)
+
+
+def collg_setup(params, a, es):
+    return {}
+
+
+def collg_fwd(lam, phi, P):
+    s = np.sqrt(np.clip(1.0 - fsin(phi), 0.0, None))
+    return _COLLG_FXC * np.asarray(lam, dtype=np.float64) * s, \
+        _COLLG_FYC * (1.0 - s)
+
+
+def collg_inv(x, y, P):
+    s = 1.0 - np.asarray(y, dtype=np.float64) / _COLLG_FYC
+    sinphi = 1.0 - s * s
+    bad = np.abs(sinphi) > 1.0 + 1e-7
+    phi = farcsin(np.clip(sinphi, -1.0, 1.0))
+    denom = _COLLG_FXC * np.sqrt(np.clip(1.0 - sinphi, 0.0, None))
+    lam = np.where(denom > 1e-14,
+                   np.asarray(x, dtype=np.float64) / np.maximum(denom, 1e-14),
+                   0.0)
+    return np.where(bad, np.nan, lam), np.where(bad, np.nan, phi)
+
+
+# ---------------------------------------------------------------------------
+# cc — Central Cylindrical (PROJ cc): x = lam, y = tan phi (the
+# perspective cylindrical; poles diverge, masked near +-90).
+# ---------------------------------------------------------------------------
+def cc_setup(params, a, es):
+    return {}
+
+
+def cc_fwd(lam, phi, P):
+    bad = np.abs(np.asarray(phi, dtype=np.float64)) > HALFPI - 1e-10
+    return np.where(bad, np.nan, np.asarray(lam, dtype=np.float64)), \
+        np.where(bad, np.nan, ftan(phi))
+
+
+def cc_inv(x, y, P):
+    return np.asarray(x, dtype=np.float64), \
+        np.arctan(np.asarray(y, dtype=np.float64))
+
+
+# ---------------------------------------------------------------------------
+# goode — UNinterrupted Goode homolosine (PROJ goode, spherical):
+# sinusoidal inside |phi| <= 40d44'11.8" (where the two projections'
+# parallel scale matches), Mollweide shifted by Y_COR outside.  The
+# seam constants are solved at import by igh (the interrupted twin,
+# kernels._igh_seam).
+# ---------------------------------------------------------------------------
+def goode_setup(params, a, es):
+    return {}
+
+
+def goode_fwd(lam, phi, P):
+    lam = np.asarray(lam, dtype=np.float64)
+    phi = np.asarray(phi, dtype=np.float64)
+    in_moll = np.abs(phi) > _IGH_PHI0
+    theta = _moll_theta(phi)
+    xm = _MOLL_CX * lam * fcos(theta)
+    ym = _MOLL_CY * fsin(theta) - np.sign(phi) * _IGH_Y0
+    return np.where(in_moll, xm, lam * fcos(phi)), \
+        np.where(in_moll, ym, phi)
+
+
+def goode_inv(x, y, P):
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    in_moll = np.abs(y) > _IGH_PHI0
+    lam_m, phi_m = moll_inv(x, y + np.sign(y) * _IGH_Y0, P)
+    phi_s = y
+    cs = fcos(phi_s)
+    lam_s = np.where(np.abs(cs) > 1e-14, x / np.maximum(cs, 1e-14), 0.0)
+    return np.where(in_moll, lam_m, lam_s), np.where(in_moll, phi_m, phi_s)
+
+
+# ---------------------------------------------------------------------------
+# ob_tran — general oblique transformation (PROJ ob_tran): rotate the
+# sphere so the point (180d, o_lat_p) becomes the rotated-frame north
+# pole (general form; o_lat_p=90, o_lon_p=0 is the identity rotation),
+# then apply the +o_proj projection to the rotated coordinates.  The
+# rotation is an isometry (angular distances preserved — pinned in
+# tests); the base projection runs spherical, as in PROJ.
+# Pole spec: +o_lat_p/+o_lon_p directly, or the two-point form
+# +o_lat_1/+o_lon_1/+o_lat_2/+o_lon_2 (pole of the great circle
+# through the two points).
+# ---------------------------------------------------------------------------
+def ob_tran_setup(params, a, es):
+    name = str(params.get("o_proj", ""))
+    if not name or name == "ob_tran":
+        raise ValueError("ob_tran requires +o_proj=<projection>")
+    if name not in PROJECTIONS:
+        raise ValueError(f"ob_tran: unsupported +o_proj={name}")
+    sub = {k: v for k, v in params.items()
+           if not str(k).startswith("o_") and k != "proj"}
+    sub["proj"] = name
+    setup, fwd, inv = PROJECTIONS[name]
+    base_P = dict(setup(sub, a, 0.0))  # rotation path is spherical
+    if "o_alpha" in params:
+        raise ValueError("ob_tran: +o_alpha form not supported "
+                         "(use +o_lat_p/+o_lon_p or the two-point form)")
+    lamp = math.radians(float(params.get("o_lon_p", 0.0)))
+    if "o_lat_p" in params:
+        # pole form: the rotated pole sits at geographic (180d, o_lat_p)
+        # (its geographic longitude rides +lon_0, the NWP rotated-pole
+        # convention); o_lon_p shifts the rotated-frame longitudes
+        phip = math.radians(float(params["o_lat_p"]))
+        lamoff = 0.0
+    elif "o_lat_1" in params:
+        lam1 = math.radians(float(params["o_lon_1"]))
+        phi1 = math.radians(float(params["o_lat_1"]))
+        lam2 = math.radians(float(params["o_lon_2"]))
+        phi2 = math.radians(float(params["o_lat_2"]))
+        # pole of the great circle through the two points: the cross
+        # product of their unit vectors (exactly 90 deg from both, so
+        # both points land on the rotated equator — pinned in tests)
+        v1 = (math.cos(phi1) * math.cos(lam1),
+              math.cos(phi1) * math.sin(lam1), math.sin(phi1))
+        v2 = (math.cos(phi2) * math.cos(lam2),
+              math.cos(phi2) * math.sin(lam2), math.sin(phi2))
+        n = (v1[1] * v2[2] - v1[2] * v2[1],
+             v1[2] * v2[0] - v1[0] * v2[2],
+             v1[0] * v2[1] - v1[1] * v2[0])
+        norm = math.sqrt(n[0] ** 2 + n[1] ** 2 + n[2] ** 2)
+        if norm < 1e-10:
+            raise ValueError("ob_tran: degenerate two-point pole spec "
+                             "(coincident or antipodal points)")
+        phip = math.asin(n[2] / norm)
+        lamoff = math.atan2(n[1], n[0]) + math.pi
+    else:
+        raise ValueError("ob_tran: missing pole spec "
+                         "(+o_lat_p/+o_lon_p or +o_lat_1/...)")
+    return {
+        "sphip": math.sin(phip), "cphip": math.cos(phip), "lamp": lamp,
+        "lamoff": lamoff, "bfwd": fwd, "binv": inv, "bP": base_P,
+    }
+
+
+def _ob_rotate_fwd(lam, phi, P):
+    lam = np.asarray(lam, dtype=np.float64) - P["lamoff"]
+    sp, cp = fsin(phi), fcos(phi)
+    sl, cl = fsin(lam), fcos(lam)
+    phir = farcsin(np.clip(P["sphip"] * sp - P["cphip"] * cp * cl,
+                           -1.0, 1.0))
+    lamr = adjlon(np.arctan2(cp * sl, P["sphip"] * cp * cl
+                             + P["cphip"] * sp) + P["lamp"])
+    return lamr, phir
+
+
+def _ob_rotate_inv(lamr, phir, P):
+    lamr = np.asarray(lamr, dtype=np.float64) - P["lamp"]
+    sp, cp = fsin(phir), fcos(phir)
+    sl, cl = fsin(lamr), fcos(lamr)
+    phi = farcsin(np.clip(P["sphip"] * sp + P["cphip"] * cp * cl,
+                          -1.0, 1.0))
+    lam = adjlon(np.arctan2(cp * sl,
+                            P["sphip"] * cp * cl - P["cphip"] * sp)
+                 + P["lamoff"])
+    return lam, phi
+
+
+def ob_tran_fwd(lam, phi, P):
+    lamr, phir = _ob_rotate_fwd(lam, phi, P)
+    return P["bfwd"](lamr, phir, P["bP"])
+
+
+def ob_tran_inv(x, y, P):
+    lamr, phir = P["binv"](x, y, P["bP"])
+    return _ob_rotate_inv(lamr, phir, P)
+
+
 PROJECTIONS = {
     "longlat": (longlat_setup, longlat_fwd, longlat_inv),
     "latlong": (longlat_setup, longlat_fwd, longlat_inv),
@@ -2933,4 +3207,11 @@ PROJECTIONS = {
     "tpeqd": (tpeqd_setup, tpeqd_fwd, tpeqd_inv),
     "nzmg": (nzmg_setup, nzmg_fwd, nzmg_inv),
     "poly": (poly_setup, poly_fwd, poly_inv),
+    "nsper": (nsper_setup, nsper_fwd, nsper_inv),
+    "tpers": (nsper_setup, nsper_fwd, nsper_inv),
+    "tcea": (tcea_setup, tcea_fwd, tcea_inv),
+    "collg": (collg_setup, collg_fwd, collg_inv),
+    "cc": (cc_setup, cc_fwd, cc_inv),
+    "goode": (goode_setup, goode_fwd, goode_inv),
+    "ob_tran": (ob_tran_setup, ob_tran_fwd, ob_tran_inv),
 }

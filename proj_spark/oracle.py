@@ -1714,3 +1714,157 @@ def sql_poly_fwd(lon: str, lat: str,
     y = (f"({_f(a)} * ({ml} - {_f(ml0)} + {cot} * (1.0 - cos({E})))"
          f" + {_f(y0)})")
     return x, y
+
+
+def sql_nsper_fwd(lon: str, lat: str, proj: str) -> tuple[str, str]:
+    """Near-sided perspective forward (dialect pair: kernels.nsper_fwd,
+    Snyder ch. 23).  Caller's point domain must stay inside the horizon
+    circle cos(c) >= 1/P — beyond it the kernel NaNs."""
+    import math
+
+    from . import kernels as K
+    from .crs import parse_proj_string
+
+    params = parse_proj_string(proj)[0]
+    a, _es = K.ellipsoid(params)
+    P = K.nsper_setup(params, a, 0.0)
+    lam0 = math.radians(float(params.get("lon_0", 0.0)))
+    sp0, cp0 = P["sp0"], P["cp0"]
+    lam = f"(radians({lon}) - {_f(lam0)})"
+    phi = f"radians({lat})"
+    sp, cp = f"sin({phi})", f"cos({phi})"
+    cosc = f"({_f(sp0)}*{sp} + {_f(cp0)}*{cp}*cos({lam}))"
+    k = f"({_f(P['pn1'])} / ({_f(P['p'])} - {cosc}))"
+    x = f"({_f(a)} * {k} * {cp} * sin({lam}))"
+    y = f"({_f(a)} * {k} * ({_f(cp0)}*{sp} - {_f(sp0)}*{cp}*cos({lam})))"
+    return x, y
+
+
+def sql_tcea_fwd(lon: str, lat: str, proj: str) -> tuple[str, str]:
+    """Transverse cylindrical equal-area forward (dialect pair:
+    kernels.tcea_fwd, spherical Snyder ch. 10)."""
+    import math
+
+    from . import kernels as K
+    from .crs import parse_proj_string
+
+    params = parse_proj_string(proj)[0]
+    a, _es = K.ellipsoid(params)
+    P = K.tcea_setup(params, a, 0.0)
+    lam0 = math.radians(float(params.get("lon_0", 0.0)))
+    lam = f"(radians({lon}) - {_f(lam0)})"
+    phi = f"radians({lat})"
+    x = f"({_f(a)} * cos({phi}) * sin({lam}) / {_f(P['k0'])})"
+    y = (f"({_f(a)} * {_f(P['k0'])} * (atan2(tan({phi}), cos({lam}))"
+         f" - {_f(P['phi0'])}))")
+    return x, y
+
+
+def sql_collg_fwd(lon: str, lat: str, proj: str) -> tuple[str, str]:
+    """Collignon forward (dialect pair: kernels.collg_fwd)."""
+    from . import kernels as K
+    from .crs import parse_proj_string
+
+    params = parse_proj_string(proj)[0]
+    a, _es = K.ellipsoid(params)
+    phi = f"radians({lat})"
+    s = f"sqrt(greatest(1.0 - sin({phi}), 0.0))"
+    x = f"({_f(a * K._COLLG_FXC)} * radians({lon}) * {s})"
+    y = f"({_f(a * K._COLLG_FYC)} * (1.0 - {s}))"
+    return x, y
+
+
+def sql_cc_fwd(lon: str, lat: str, proj: str) -> tuple[str, str]:
+    """Central cylindrical forward (dialect pair: kernels.cc_fwd)."""
+    from . import kernels as K
+    from .crs import parse_proj_string
+
+    params = parse_proj_string(proj)[0]
+    a, _es = K.ellipsoid(params)
+    return (f"({_f(a)} * radians({lon}))",
+            f"({_f(a)} * tan(radians({lat})))")
+
+
+def _chain_moll_theta_rad(ch: Chain, phi_col: str, tag: str,
+                          iters: int = 12) -> str:
+    """Newton for 2t + sin(2t) = pi*sin(phi) on a RADIAN column —
+    mirrors kernels._moll_theta step for step (the chain_moll_fwd
+    loop, reused by goode and ob_tran oracles)."""
+    ch.add({f"k_{tag}": f"(pi() * sin({phi_col}))"})
+    th = f"th0_{tag}"
+    ch.add({th: phi_col})
+    for i in range(iters):
+        nxt = f"th{i + 1}_{tag}"
+        denom = f"(2.0 + 2.0 * cos(2.0 * {th}))"
+        step = (f"(CASE WHEN abs({denom}) > 1e-14 THEN "
+                f"(2.0 * {th} + sin(2.0 * {th}) - k_{tag})"
+                f" / greatest({denom}, 1e-14) ELSE 0.0 END)")
+        ch.add({nxt: f"({th} - {step})"})
+        th = nxt
+    return th
+
+
+def chain_goode_fwd(ch: Chain, lon: str, lat: str,
+                    proj: str) -> tuple[str, str]:
+    """Goode homolosine forward (dialect pair: kernels.goode_fwd):
+    sinusoidal inside |phi| <= PHI_LIM, Mollweide shifted by the seam
+    correction outside — both seam constants are the kernel's import-
+    time floats embedded bit-exact."""
+    from . import kernels as K
+    from .crs import parse_proj_string
+
+    params = parse_proj_string(proj)[0]
+    a, _es = K.ellipsoid(params)
+    tag = f"goode_{ch.i}"
+    ch.add({f"phi_{tag}": f"radians({lat})",
+            f"lam_{tag}": f"radians({lon})"})
+    th = _chain_moll_theta_rad(ch, f"phi_{tag}", tag)
+    cx = 2.0 * math.sqrt(2.0) / math.pi
+    cy = math.sqrt(2.0)
+    in_sinu = f"(abs(phi_{tag}) <= {_f(K._IGH_PHI0)})"
+    x = (f"(CASE WHEN {in_sinu} "
+         f"THEN {_f(a)} * lam_{tag} * cos(phi_{tag}) "
+         f"ELSE {_f(a * cx)} * lam_{tag} * cos({th}) END)")
+    y = (f"(CASE WHEN {in_sinu} THEN {_f(a)} * phi_{tag} "
+         f"ELSE {_f(a)} * ({_f(cy)} * sin({th})"
+         f" - sign(phi_{tag}) * {_f(K._IGH_Y0)}) END)")
+    return x, y
+
+
+def chain_ob_moll_fwd(ch: Chain, lon: str, lat: str,
+                      proj: str) -> tuple[str, str]:
+    """ob_tran(o_proj=moll) forward (dialect pair: kernels.ob_tran_fwd):
+    the spherical pole rotation (kernels._ob_rotate_fwd, including the
+    adjlon wrap) followed by the Mollweide Newton on the rotated
+    radian coordinates."""
+    from . import kernels as K
+    from .crs import parse_proj_string
+
+    params = parse_proj_string(proj)[0]
+    a, _es = K.ellipsoid(params)
+    P = K.ob_tran_setup(params, a, 0.0)
+    if params.get("o_proj") != "moll":
+        raise ValueError("chain_ob_moll_fwd replicates o_proj=moll only")
+    tag = f"obm_{ch.i}"
+    ch.add({f"phi_{tag}": f"radians({lat})",
+            f"lam_{tag}": f"(radians({lon}) - {_f(P['lamoff'])})"})
+    sphip, cphip = _f(P["sphip"]), _f(P["cphip"])
+    ch.add({
+        f"phir_{tag}": (
+            f"asin(least(greatest({sphip}*sin(phi_{tag})"
+            f" - {cphip}*cos(phi_{tag})*cos(lam_{tag}), -1.0), 1.0))"),
+        f"lamr0_{tag}": (
+            f"(atan2(cos(phi_{tag})*sin(lam_{tag}), "
+            f"{sphip}*cos(phi_{tag})*cos(lam_{tag})"
+            f" + {cphip}*sin(phi_{tag})) + {_f(P['lamp'])})"),
+    })
+    # kernels.adjlon: lam - 2*pi*floor((lam + pi) / (2*pi))
+    ch.add({f"lamr_{tag}": (
+        f"(lamr0_{tag} - 2.0*pi()*floor((lamr0_{tag} + pi())"
+        f" / (2.0*pi())))")})
+    th = _chain_moll_theta_rad(ch, f"phir_{tag}", tag)
+    cx = 2.0 * math.sqrt(2.0) / math.pi
+    cy = math.sqrt(2.0)
+    x = f"({_f(a * cx)} * lamr_{tag} * cos({th}))"
+    y = f"({_f(a * cy)} * sin({th}))"
+    return x, y
