@@ -40,6 +40,8 @@ __all__ = [
     "sample_frames",
     "synthesize_audio",
     "audio_features",
+    "encode_wav",
+    "decode_wav",
     "resize_images",
     "np_resize_bilinear",
 ]
@@ -185,6 +187,64 @@ def synthesize_audio(spark: SparkSession, n: int, sample_rate: int = 8000,
     return rng_df.mapInPandas(_gen, schema=AUDIO_DDL)
 
 
+def encode_wav(pcm: bytes | np.ndarray, sample_rate: int,
+               channels: int = 1) -> bytes:
+    """int16 PCM -> RIFF/WAVE bytes (the canonical PCM container,
+    format tag 1).  Round-6: a REAL container format for the audio
+    column, mirroring what rawgrid does for video."""
+    if isinstance(pcm, np.ndarray):
+        if pcm.dtype != np.dtype("<i2"):
+            raise ValueError("encode_wav expects little-endian int16")
+        pcm = pcm.tobytes()
+    block = 2 * channels
+    if len(pcm) % block:
+        raise ValueError("PCM length is not a whole number of frames")
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block, block, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
+    """RIFF/WAVE bytes -> (int16 samples [frames, channels],
+    sample_rate, channels).  A real chunk walker: unknown chunks are
+    skipped (word-aligned), only PCM s16 (format tag 1, 16-bit) is
+    supported — compressed tags raise, like the image codecs."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    (riff_len,) = struct.unpack("<I", data[4:8])
+    end = min(len(data), 8 + riff_len)
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= end:
+        cid = data[pos:pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("WAVE without fmt/data chunks")
+    tag, channels, rate, _byterate, block, bits = fmt
+    if tag != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAVE format tag {tag}/{bits}-bit requires a codec lib; "
+            "only PCM s16 is supported")
+    if block != 2 * channels:
+        raise ValueError(f"inconsistent block align {block} "
+                         f"for {channels} channel(s)")
+    n = len(pcm) // block
+    samples = np.frombuffer(pcm[:n * block], dtype="<i2")
+    return samples.reshape(n, channels), int(rate), int(channels)
+
+
 def audio_features(df: DataFrame) -> DataFrame:
     """Feature extraction over raw PCM: RMS, zero-crossing rate, peak,
     duration.  ``pcm_s16le`` is computed for real in numpy; codec
@@ -196,12 +256,17 @@ def audio_features(df: DataFrame) -> DataFrame:
             rows = []
             for aid, fmt, pcm, sr in zip(pdf["audio_id"], pdf["fmt"],
                                          pdf["pcm"], pdf["sample_rate"]):
-                if fmt != "pcm_s16le":
+                if fmt == "wav":
+                    samples, sr, _ch = decode_wav(bytes(pcm))
+                    x = samples.mean(axis=1).astype(np.float64)
+                elif fmt == "pcm_s16le":
+                    x = np.frombuffer(bytes(pcm),
+                                      dtype="<i2").astype(np.float64)
+                else:
                     raise NotImplementedError(
                         f"audio codec {fmt!r} requires a decoder lib; "
                         "this container ships none"
                     )
-                x = np.frombuffer(bytes(pcm), dtype="<i2").astype(np.float64)
                 x /= 32767.0
                 rms = float(np.sqrt(np.mean(x * x)))
                 zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))

@@ -100,3 +100,84 @@ def test_resize_images_stage(spark):
         arr = decode_png(bytes(r["bytes"]))
         assert arr.shape == (8, 8, 3)
         assert int(r["phash"]) == phash64(arr)
+
+
+# ---------------------------------------------------------------------------
+# WAV container (round 6: real RIFF/WAVE for the audio column)
+# ---------------------------------------------------------------------------
+def test_wav_roundtrip_mono_and_stereo():
+    from proj_spark.sources.media import decode_wav, encode_wav
+
+    rng = np.random.default_rng(9)
+    mono = rng.integers(-32768, 32767, 400).astype("<i2")
+    data = encode_wav(mono, 8000)
+    s, rate, ch = decode_wav(data)
+    assert rate == 8000 and ch == 1
+    assert np.array_equal(s[:, 0], mono)
+    stereo = rng.integers(-32768, 32767, (300, 2)).astype("<i2")
+    s2, rate2, ch2 = decode_wav(encode_wav(stereo.reshape(-1), 44100,
+                                           channels=2))
+    assert rate2 == 44100 and ch2 == 2
+    assert np.array_equal(s2, stereo)
+
+
+def test_wav_chunk_walker_skips_unknown_chunks():
+    import struct as _s
+
+    from proj_spark.sources.media import decode_wav, encode_wav
+
+    pcm = np.arange(-50, 50, dtype="<i2")
+    data = bytearray(encode_wav(pcm, 16000))
+    # splice a LIST chunk with an ODD length between fmt and data
+    # (exercises the word-alignment rule)
+    i = data.index(b"data")
+    junk = b"LIST" + _s.pack("<I", 5) + b"INFOx" + b"\x00"
+    data[i:i] = junk
+    data[4:8] = _s.pack("<I", len(data) - 8)
+    s, rate, ch = decode_wav(bytes(data))
+    assert rate == 16000 and np.array_equal(s[:, 0], pcm)
+
+
+def test_wav_error_paths():
+    import struct as _s
+
+    import pytest as _pt
+
+    from proj_spark.sources.media import decode_wav, encode_wav
+
+    with _pt.raises(ValueError):
+        decode_wav(b"RIFX" + b"\x00" * 20)
+    with _pt.raises(ValueError):
+        encode_wav(b"\x00\x01\x02", 8000)  # not whole frames
+    # non-PCM format tag (e.g. 3 = IEEE float) must raise, not garble
+    good = bytearray(encode_wav(np.zeros(10, dtype="<i2"), 8000))
+    i = good.index(b"fmt ") + 8
+    good[i:i + 2] = _s.pack("<H", 3)
+    with _pt.raises(NotImplementedError):
+        decode_wav(bytes(good))
+
+
+def test_audio_features_over_wav(spark):
+    from pyspark.sql import functions as F
+
+    from proj_spark.sources.media import (audio_features, encode_wav,
+                                          synthesize_audio)
+
+    aud = synthesize_audio(spark, 12, partitions=2).localCheckpoint()
+    pcm_feats = audio_features(aud).toPandas().set_index("audio_id")
+
+    def _wrap(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["pcm"] = [
+                bytearray(encode_wav(bytes(p), int(sr)))
+                for p, sr in zip(pdf["pcm"], pdf["sample_rate"])]
+            pdf["fmt"] = "wav"
+            yield pdf
+
+    wav = aud.mapInPandas(_wrap, schema=aud.schema)
+    wav_feats = audio_features(wav).toPandas().set_index("audio_id")
+    # container adds headers but features must be numerically identical
+    for col in ("rms", "zcr", "peak", "duration_s"):
+        assert np.allclose(pcm_feats[col], wav_feats.loc[pcm_feats.index,
+                                                         col], atol=0)
