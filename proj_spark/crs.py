@@ -597,11 +597,6 @@ for entry in [
        towgs84=(0, 0, 0),
        area=Area(-9.86, 41.15, 10.38, 51.56), area_name="France.",
        datum_ellps="GRS80"),
-    _e("EPSG:5070", "NAD83 / Conus Albers", "projected",
-       "+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 "
-       "+x_0=0 +y_0=0 +ellps=GRS80 +units=m",
-       area=Area(-124.79, 24.41, -66.91, 49.38),
-       area_name="United States (USA) - CONUS onshore.", datum_ellps="GRS80"),
     _e("EPSG:8857", "WGS 84 / Equal Earth Greenwich", "projected",
        "+proj=eqearth +lon_0=0 +ellps=WGS84 +units=m", towgs84=(0, 0, 0),
        area=Area(-180, -90, 180, 90), area_name="World."),
