@@ -1647,10 +1647,26 @@ class Transform:
                 return 0.0
             return 2.0 if len(tw) >= 7 else 5.0
 
+        def _is_angular(entry) -> bool:
+            # a CRS does angular (degree) I/O when its horizontal
+            # definition is longlat: plain geographic, geographic 3D
+            # (EPSG:4979-style), or a compound whose horizontal member
+            # is geographic (EPSG:9707-style).  Compounds with a
+            # PROJECTED horizontal member (EPSG:7405) are linear.
+            if entry.kind in ("geographic", "geographic3d"):
+                return True
+            if entry.kind == "compound":
+                p = parse_proj_string(entry.proj)
+                return len(p) == 1 and p[0].get("proj") in ("longlat",
+                                                            "latlong")
+            return False
+
+        src_angular = _is_angular(src)
+        dst_angular = _is_angular(dst)
         steps: list[_StepBase] = []
         # normalized input is degrees lon,lat for geographic src,
         # CRS units E,N for projected src
-        if src.kind == "geographic":
+        if src_angular:
             steps.append(DegRadStep())
         else:
             for p in reversed(parse_proj_string(src.proj)):
@@ -1685,7 +1701,7 @@ class Transform:
                     f"accuracy {req} m (best available: "
                     f"{'unknown (ballpark)' if op_accuracy < 0 else f'{op_accuracy} m'})"
                 )
-        if dst.kind == "geographic":
+        if dst_angular:
             steps.append(DegRadStep())
             # DegRadStep is direction-aware; wrap to run inverse on fwd
             steps[-1] = _InverseOf(steps[-1])
@@ -1700,8 +1716,8 @@ class Transform:
             definition=f"{from_crs} -> {to_crs}",
             src=src,
             dst=dst,
-            angular_io=("deg" if src.kind == "geographic" else "unit",
-                        "deg" if dst.kind == "geographic" else "unit"),
+            angular_io=("deg" if src_angular else "unit",
+                        "deg" if dst_angular else "unit"),
             area=area or dst.area,
             name=f"{src.name} -> {dst.name}",
         )

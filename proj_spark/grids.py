@@ -276,8 +276,11 @@ def read_ntv2_bytes(raw: bytes, path: str = "<bytes>") -> NTv2File:
                                   i))
     sorted_grids = tuple(subgrids[i] for i in order)
     roots = [j for j, g in enumerate(sorted_grids) if g.parent == "NONE"]
+    # the ROOT is the top-level (coarsest) grid; with several PARENT=
+    # NONE subgrids (legal per the spec) the densest-first ordering
+    # puts the coarsest root LAST
     return NTv2File(subgrids=sorted_grids,
-                    root_index=roots[0] if roots else len(sorted_grids) - 1)
+                    root_index=roots[-1] if roots else len(sorted_grids) - 1)
 
 
 _GRID_CACHE: dict[str, NTv2File] = {}
@@ -304,6 +307,17 @@ def resolve_grid_name(name_or_path: str) -> str:
         cand = os.path.join(base, name_or_path)
         if os.path.exists(cand):
             return os.path.abspath(cand)
+    try:
+        # zip-only package data (driver itself running from the
+        # --py-files zip): the grid ships with the job, so it wins over
+        # a network fetch — same precedence as read_resource_bytes
+        from importlib import resources
+
+        if (resources.files("proj_spark") / "data"
+                / name_or_path).is_file():
+            return name_or_path
+    except (ModuleNotFoundError, OSError):
+        pass
     from . import network
 
     if network.is_network_enabled():
@@ -348,7 +362,15 @@ def read_resource_bytes(name_or_path: str) -> bytes:
         from . import network
 
         if network.is_network_enabled():
-            cached = network.fetch_grid(name_or_path)
+            try:
+                cached = network.fetch_grid(name_or_path)
+            except network.DownloadError as e:
+                # documented contract: a missing grid is a
+                # FileNotFoundError regardless of the network toggle
+                raise FileNotFoundError(
+                    f"grid {name_or_path!r} not found (searched cwd, "
+                    f"{GRID_DIR}, {_EXTRA_SEARCH}, package data, and "
+                    f"the network endpoint: {e})") from e
             with open(cached, "rb") as f:
                 return f.read()
     raise FileNotFoundError(

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import os
 import time
+import socket
 import urllib.error
 import urllib.request
 
@@ -178,20 +179,35 @@ def request_with_retries(url: str, timeout: float = 30.0,
     quadratic backoff up to MAX_RETRIES; other 4xx fail immediately;
     exhausted retries raise with the final status."""
     request = _request or _do_request
-    retries = 0
-    status, body = request(url, timeout)
 
-    def _retryable(s: int) -> bool:
+    def _attempt():
+        # transport failures (DNS, refused connection, timeout) are as
+        # transient as a 5xx: map them to a retryable pseudo-status so
+        # they get the same backoff, and to DownloadError (not a raw
+        # URLError) on exhaustion — callers catch DownloadError to fall
+        # through to packaged grids
+        try:
+            return request(url, timeout)
+        except (urllib.error.URLError, TimeoutError, ConnectionError,
+                socket.error) as e:
+            return f"transport error ({e})", b""
+
+    retries = 0
+    status, body = _attempt()
+
+    def _retryable(s) -> bool:
+        if isinstance(s, str):
+            return True
         return 500 <= s < 600 or s in RETRY_CODES
 
     if _retryable(status):
-        while _retryable(status) and retries <= MAX_RETRIES:
+        while _retryable(status) and retries < MAX_RETRIES:
             retries += 1
             _sleep(get_wait_time(retries))
-            status, body = request(url, timeout)
+            status, body = _attempt()
     elif 400 <= status < 500:
         raise DownloadError(status, url, retries)
-    if not (200 <= status < 300):
+    if isinstance(status, str) or not (200 <= status < 300):
         raise DownloadError(status, url, retries)
     return body
 

@@ -1728,6 +1728,10 @@ def sql_nsper_fwd(lon: str, lat: str, proj: str) -> tuple[str, str]:
     params = parse_proj_string(proj)[0]
     a, _es = K.ellipsoid(params)
     P = K.nsper_setup(params, a, 0.0)
+    if P["tilt"]:
+        raise ValueError("sql_nsper_fwd replicates the untilted nsper "
+                         "only — the tpers tilt/azimuth transform is "
+                         "not mirrored in SQL")
     lam0 = math.radians(float(params.get("lon_0", 0.0)))
     sp0, cp0 = P["sp0"], P["cp0"]
     lam = f"(radians({lon}) - {_f(lam0)})"

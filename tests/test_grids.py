@@ -216,3 +216,61 @@ def test_search_path_grid_pins_absolute_path(tmp_path):
         assert t2._steps[0].grids_name == "synthetic_shift.gsb"
     finally:
         G._EXTRA_SEARCH.remove(str(tmp_path))
+
+
+def test_missing_grid_is_file_not_found_even_with_network_on(monkeypatch):
+    """The documented contract: a missing grid raises FileNotFoundError
+    regardless of the network toggle (DownloadError never escapes
+    read_resource_bytes)."""
+    from proj_spark import network as N
+
+    monkeypatch.setattr(N, "_ENABLED", True)
+    monkeypatch.setattr(
+        N, "request_with_retries",
+        lambda url, timeout=30.0: (_ for _ in ()).throw(
+            N.DownloadError(404, url, 0)))
+    with pytest.raises(FileNotFoundError) as ei:
+        G.read_resource_bytes("definitely_missing.gsb")
+    assert "network endpoint" in str(ei.value)
+
+
+def test_resolve_prefers_packaged_grid_over_network(monkeypatch):
+    """A grid that ships as package data must never trigger a fetch,
+    even with networking enabled (zip-importer precedence)."""
+    from proj_spark import network as N
+
+    monkeypatch.setattr(N, "_ENABLED", True)
+
+    def boom(name, timeout=30.0):
+        raise AssertionError("network fetch attempted for packaged grid")
+
+    monkeypatch.setattr(N, "fetch_grid", boom)
+    assert G.resolve_grid_name("synthetic_shift.gsb") == \
+        "synthetic_shift.gsb"
+
+
+def test_multi_root_ntv2_root_is_coarsest(tmp_path):
+    """Several PARENT=NONE subgrids (legal per the NTv2 spec): the file
+    root must be the top-level COARSEST grid, not an arbitrary dense
+    one."""
+    def mk(name, inc, n):
+        return G.NTv2Grid(
+            name=name, s_lat=120000.0, n_lat=120000.0 + inc * (n - 1),
+            e_long=420000.0, w_long=420000.0 + inc * (n - 1),
+            lat_inc=inc, long_inc=inc,
+            dlat_sec=np.full((n, n), 0.5, dtype="<f4"),
+            dlon_west_sec=np.full((n, n), -0.25, dtype="<f4"),
+            parent="NONE")
+
+    p = str(tmp_path / "two_roots.gsb")
+    # write the DENSE root first so parse order cannot mask the bug
+    G.write_ntv2_file(p, [mk("DENSE", 60.0, 11), mk("COARSE", 300.0, 5)])
+    f = G.read_ntv2(p)
+    root = f.subgrids[f.root_index]
+    assert root.name.strip() == "COARSE"
+    assert root.lat_inc == 300.0
+    # evaluation still picks the densest containing subgrid
+    lon_deg = -(420000.0 + 200.0) / 3600.0
+    lat_deg = (120000.0 + 200.0) / 3600.0
+    dlon, dlat = G.grid_shift(f, lon_deg, lat_deg)
+    assert np.isfinite(dlon[0]) and np.isfinite(dlat[0])

@@ -90,12 +90,15 @@ def test_exhausted_retries_raise_with_final_status(monkeypatch):
 
     with pytest.raises(N.DownloadError) as ei:
         N.request_with_retries("http://x/g.gsb", _request=fake)
-    # initial request + retries while retries <= MAX_RETRIES
-    # (the reference's loop shape, src/network.rs:141-152)
-    assert calls["n"] == 1 + N.MAX_RETRIES + 1
+    # initial request + exactly MAX_RETRIES retries (the reference's
+    # contract, src/network.rs:141-152: at most 8 retries, final
+    # backoff 8^2 x 100 ms = 6.4 s)
+    assert calls["n"] == 1 + N.MAX_RETRIES
     assert ei.value.status == 503
+    assert ei.value.retries == N.MAX_RETRIES
     assert waits[0] == pytest.approx(0.1)
-    assert waits[-1] == pytest.approx(N.get_wait_time(N.MAX_RETRIES + 1))
+    assert waits[-1] == pytest.approx(N.get_wait_time(N.MAX_RETRIES))
+    assert waits[-1] == pytest.approx(6.4)
 
 
 # ---------------------------------------------------------------------------
@@ -203,3 +206,39 @@ def test_fetch_requires_enable_and_bare_name():
     N.enable_network(True)
     with pytest.raises(ValueError, match="bare"):
         N.fetch_grid("../evil.gsb")
+
+
+def test_transport_errors_retry_and_raise_download_error(monkeypatch):
+    """URLError/timeout are as transient as a 5xx: same backoff, and
+    DownloadError (never a raw URLError) on exhaustion so grid
+    resolution can fall through to packaged grids."""
+    import urllib.error
+
+    calls = {"n": 0}
+    monkeypatch.setattr(N, "_sleep", lambda s: None)
+
+    def fake(url, timeout):
+        calls["n"] += 1
+        raise urllib.error.URLError("dns failure")
+
+    with pytest.raises(N.DownloadError) as ei:
+        N.request_with_retries("http://x/g.gsb", _request=fake)
+    assert calls["n"] == 1 + N.MAX_RETRIES
+    assert "transport error" in str(ei.value.status)
+
+
+def test_transport_error_then_success(monkeypatch):
+    import urllib.error
+
+    calls = {"n": 0}
+    monkeypatch.setattr(N, "_sleep", lambda s: None)
+
+    def fake(url, timeout):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise urllib.error.URLError("connection reset")
+        return 200, b"grid-bytes"
+
+    assert N.request_with_retries("http://x/g.gsb", _request=fake) \
+        == b"grid-bytes"
+    assert calls["n"] == 2

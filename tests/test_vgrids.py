@@ -151,3 +151,28 @@ def test_vgridshift_spark_surface(spark):
         V.load_geoid("synthetic_geoid.gtx"), -117.5, 34.0)[0]
     assert abs(out[0]["z"] - (100.0 + N)) < 1e-9 and out[0]["err"] is None
     assert out[1]["err"] is not None
+
+
+def test_geographic3d_and_compound_sources_do_degree_io():
+    """Round-6 review fix: EPSG:4979 (geographic 3D) and EPSG:9707
+    (compound with a GEOGRAPHIC horizontal member) must consume degrees
+    exactly like EPSG:4326 — previously their kinds fell into the
+    projected branch and degrees were read as radians."""
+    import numpy as np
+
+    from proj_spark.crs import Transform
+
+    ref = Transform.new_known_crs("EPSG:4326", "EPSG:32611")
+    xr, yr = ref.convert_array(np.array([-117.0]), np.array([33.0]))
+    for code in ("EPSG:4979", "EPSG:9707"):
+        t = Transform.new_known_crs(code, "EPSG:32611")
+        x, y = t.convert_array(np.array([-117.0]), np.array([33.0]))
+        assert abs(x[0] - xr[0]) < 1e-9 and abs(y[0] - yr[0]) < 1e-9, code
+        # and z rides through untouched on the 3D path
+        x3, y3, z3 = t.convert_array3(np.array([-117.0]),
+                                      np.array([33.0]), np.array([42.0]))
+        assert z3[0] == 42.0
+    # compound with a PROJECTED horizontal member stays linear
+    t = Transform.new_known_crs("EPSG:7405", "EPSG:4326")
+    lon, lat = t.convert_array(np.array([530000.0]), np.array([180000.0]))
+    assert -1.0 < lon[0] < 1.0 and 51.0 < lat[0] < 52.5
