@@ -138,6 +138,8 @@ _GEOS_CA = ("+proj=geos +lon_0=-117.0 +h=35785831.0 "
 # central cylindrical (band caps at +-84.95), and the rotated-pole
 # ob_tran composition with a Mollweide base.
 _NSPER_CA = "+proj=nsper +h=2000000.0 +lon_0=-116.0 +lat_0=33.5 +R=6378137"
+_TPERS_CA = ("+proj=tpers +h=2000000.0 +lon_0=-116.0 +lat_0=33.5 "
+             "+tilt=20.0 +azi=30.0 +R=6378137")
 _TCEA_CA = "+proj=tcea +lat_0=33.0 +lon_0=-116.0 +R=6378137"
 _GOODE_W = "+proj=goode +R=6378137"
 _COLLG_W = "+proj=collg +R=6378137"
@@ -228,7 +230,7 @@ def q03_proj_regional(spark, sf_dir):
     for nm, pstr in (("ortho", _ORTHO_CA), ("cass", _CASS_CA),
                      ("gnom", _GNOM_CA), ("tpeqd", _TPEQD_CA),
                      ("geossat", _GEOS_CA), ("nsper", _NSPER_CA),
-                     ("tcea", _TCEA_CA)):
+                     ("tpers", _TPERS_CA), ("tcea", _TCEA_CA)):
         members.append((nm, projstring_udf(pstr), "lon_ca", "lat_ca"))
     return _battery(df, members)
 
@@ -1454,6 +1456,7 @@ def oracle_sql() -> dict[str, str]:
         ("tpeqd", *O.sql_tpeqd_fwd("lon_ca", "lat_ca", _TPEQD_CA)),
         ("geossat", *O.sql_geos_fwd("lon_ca", "lat_ca", _GEOS_CA)),
         ("nsper", *O.sql_nsper_fwd("lon_ca", "lat_ca", _NSPER_CA)),
+        ("tpers", *O.sql_tpers_fwd("lon_ca", "lat_ca", _TPERS_CA)),
         ("tcea", *O.sql_tcea_fwd("lon_ca", "lat_ca", _TCEA_CA)),
     ]
     out["q03_proj_regional"] = ch.finish(_battery_select(bc))

@@ -1872,3 +1872,35 @@ def chain_ob_moll_fwd(ch: Chain, lon: str, lat: str,
     x = f"({_f(a * cx)} * lamr_{tag} * cos({th}))"
     y = f"({_f(a * cy)} * sin({th}))"
     return x, y
+
+
+def sql_tpers_fwd(lon: str, lat: str, proj: str) -> tuple[str, str]:
+    """Tilted perspective forward (dialect pair: kernels.nsper_fwd with
+    the tilt branch): the nsper core at unit-sphere scale, then the
+    camera tilt/azimuth transform, then the radius scale — the same
+    operation order as the kernel, so the battery rounds match."""
+    import math
+
+    from . import kernels as K
+    from .crs import parse_proj_string
+
+    params = parse_proj_string(proj)[0]
+    a, _es = K.ellipsoid(params)
+    P = K.nsper_setup(params, a, 0.0)
+    if not P["tilt"]:
+        raise ValueError("sql_tpers_fwd expects a tilted (+tilt/+azi) "
+                         "string; use sql_nsper_fwd for the vertical "
+                         "perspective")
+    lam0 = math.radians(float(params.get("lon_0", 0.0)))
+    sp0, cp0 = P["sp0"], P["cp0"]
+    lam = f"(radians({lon}) - {_f(lam0)})"
+    phi = f"radians({lat})"
+    sp, cp = f"sin({phi})", f"cos({phi})"
+    cosc = f"({_f(sp0)}*{sp} + {_f(cp0)}*{cp}*cos({lam}))"
+    k = f"({_f(P['pn1'])} / ({_f(P['p'])} - {cosc}))"
+    x = f"({k} * {cp} * sin({lam}))"
+    y = f"({k} * ({_f(cp0)}*{sp} - {_f(sp0)}*{cp}*cos({lam})))"
+    yt = f"({y}*{_f(P['cg'])} + {x}*{_f(P['sg'])})"
+    ba = f"(1.0 / ({yt}*{_f(P['sw'] * P['h1'])} + {_f(P['cw'])}))"
+    xt = f"(({x}*{_f(P['cg'])} - {y}*{_f(P['sg'])}) * {_f(P['cw'])} * {ba})"
+    return f"({_f(a)} * {xt})", f"({_f(a)} * {yt} * {ba})"
