@@ -949,7 +949,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             ns = seg[0]
             for i in range(ns):
                 cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next(c for c in comps if c["id"] == cid)
+                comp = next((c for c in comps if c["id"] == cid), None)
+                if comp is None:
+                    raise ValueError(f"SOS names unknown component {cid}")
                 scan_order.append({
                     **comp, "dc": tabs >> 4, "ac": tabs & 15})
             if arithmetic:

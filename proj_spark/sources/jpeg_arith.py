@@ -597,7 +597,14 @@ def decode_arith_scan(data: bytes, pos: int, scan_order, coeffs,
     ``coeffs`` (zigzag int32 per component); returns the position of
     the next marker.  ``dc_cond[t] = (L, U)``, ``ac_cond[t] = Kx``."""
     ncomp = len(scan_order)
-    stats = _Stats(2, 2, ncomp)
+    for sc in scan_order:
+        # T.81 B.2.3: arithmetic conditioning table ids are 0..3
+        if not (0 <= sc["dc"] <= 3 and 0 <= sc["ac"] <= 3):
+            raise ValueError(
+                f"invalid arithmetic conditioning table ids "
+                f"{sc['dc']}/{sc['ac']}")
+    n_tables = 1 + max(max(sc["dc"], sc["ac"]) for sc in scan_order)
+    stats = _Stats(n_tables, n_tables, ncomp)
     dec = _ArithDecoder(data, pos)
     n_mcu = mcuy * mcux
     done = 0

@@ -168,3 +168,50 @@ def test_arith_extreme_coefficients():
         assert np.array_equal(
             decode_jpeg(encode_jpeg_arithmetic(img, quality=q)),
             decode_jpeg(encode_jpeg(img, quality=q))), q
+
+
+def test_arith_decoder_survives_corruption():
+    """Decoder robustness pin (the jpeg.py restart-counter tradition):
+    flipping bytes anywhere in an arithmetic stream must either raise a
+    clean ValueError/NotImplementedError or return SOME image — never
+    hang or crash the process.  The QM decoder's guards (k<=63 bound,
+    magnitude-ladder 0x8000 caps, zero-feed past markers) make every
+    corrupted decision stream terminate."""
+    img = _test_image(h=40, w=40)
+    base = bytearray(encode_jpeg_arithmetic(img, quality=80,
+                                            subsampling="4:2:0",
+                                            restart_interval=2))
+    rng = np.random.default_rng(17)
+    scan_start = bytes(base).find(b"\xff\xda")
+    for trial in range(60):
+        data = bytearray(base)
+        for _ in range(rng.integers(1, 4)):
+            pos = int(rng.integers(scan_start, len(data) - 2))
+            data[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = decode_jpeg(bytes(data))
+            assert out.shape == (40, 40, 3)  # geometry still header-driven
+        except (ValueError, NotImplementedError, KeyError):
+            pass  # clean rejection is fine
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_coder_roundtrip_property(seed):
+    """Property-style widening of the fixed-seed roundtrip: random
+    context counts, biases, stream lengths — including heavily skewed
+    streams that stress carry propagation and 0xFF stacking."""
+    rng = np.random.default_rng(1000 + seed)
+    nctx = int(rng.integers(1, 16))
+    n = int(rng.integers(1, 4000))
+    biases = rng.uniform(0.01, 0.99, nctx)
+    ctx = rng.integers(0, nctx, n)
+    bits = (rng.random(n) < biases[ctx]).astype(np.int64)
+    enc = _ArithEncoder()
+    ebins = bytearray(nctx)
+    for c, b in zip(ctx, bits):
+        enc.encode(ebins, int(c), int(b))
+    enc.flush()
+    dec = _ArithDecoder(bytes(enc.out) + b"\xff\xd9", 0)
+    dbins = bytearray(nctx)
+    assert [dec.decode(dbins, int(c)) for c in ctx] == bits.tolist()
+    assert ebins == dbins
