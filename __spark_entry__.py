@@ -681,6 +681,8 @@ def q29_media_verify(spark, sf_dir):
                                                 splitmix64)
         from proj_spark.sources.images import psnr
         from proj_spark.sources.jpeg import decode_jpeg, encode_jpeg
+        from proj_spark.sources.jpeg_arith import (
+            encode_jpeg_arithmetic_progressive)
 
         for pdf in batches:
             rows = []
@@ -692,10 +694,19 @@ def q29_media_verify(spark, sf_dir):
                 src = raster_smooth_for(seed, int(w), int(h))
                 dec = decode_jpeg(bytes(data))
                 huff = encode_jpeg(src, 90, subsampling=sub_)
+                huff_dec = decode_jpeg(huff)
+                # SOF10 rides the same rows: the progressive-arithmetic
+                # re-encode of the same raster must complete the T.81
+                # DCT-matrix identity (byte-identical pixels)
+                prog_arith = encode_jpeg_arithmetic_progressive(
+                    src, 90, subsampling=sub_)
                 ok = (dec.shape[0] == int(h) and dec.shape[1] == int(w)
                       and bool(psnr(src, dec) >= 40.0)
-                      and np.array_equal(dec, decode_jpeg(huff))
+                      and np.array_equal(dec, huff_dec)
                       and len(data) < len(huff)
+                      and b"\xff\xca" in prog_arith
+                      and np.array_equal(decode_jpeg(prog_arith),
+                                         huff_dec)
                       and (int(ri) == 0) == (b"\xff\xdd" not in bytes(data)))
                 rows.append((image_id, "arith:" + sub_, ok))
             yield pd.DataFrame(rows, columns=["image_id", "kind",

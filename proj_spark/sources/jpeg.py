@@ -914,7 +914,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         raise ValueError(f"bad AC conditioning Kx={cs}")
                     ac_cond[tb] = cs
                 p += 2
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # seq. / progr. / arith
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # seq/prog/arith
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -925,8 +925,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ValueError(f"invalid sampling factors {hi}x{vi}")
                 comps.append({"id": cid, "tq": tq, "hi": hi, "vi": vi})
             frame = (h, w, nc)
-            progressive = marker == 0xC2
-            arithmetic = marker == 0xC9
+            progressive = marker in (0xC2, 0xCA)
+            arithmetic = marker in (0xC9, 0xCA)
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             (dri,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
@@ -942,9 +942,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         np.zeros((mcuy * c["vi"] * mcux * c["hi"], 64),
                                  dtype=np.int32) for c in comps]
                     dc_preds = [0] * nc
-                pos = _run_progressive_scan(
-                    data, pos + seglen, seg, comps, prog_coeffs, huff,
-                    dc_preds, frame, *prog_geom, dri=dri)
+                if arithmetic:
+                    from .jpeg_arith import decode_arith_progressive_scan
+
+                    pos = decode_arith_progressive_scan(
+                        data, pos + seglen, seg, comps, prog_coeffs,
+                        frame, *prog_geom, dri=dri, dc_cond=dc_cond,
+                        ac_cond=ac_cond)
+                else:
+                    pos = _run_progressive_scan(
+                        data, pos + seglen, seg, comps, prog_coeffs,
+                        huff, dc_preds, frame, *prog_geom, dri=dri)
                 continue
             ns = seg[0]
             for i in range(ns):

@@ -30,6 +30,14 @@ exact mirrors by construction: the byte stream is the binary fraction
 of the final C register, 0xFF-stuffed, and the decoder's (c, ct)
 window tracks the remaining code value at the encoder's alignment).
 
+Round-6 also adds the PROGRESSIVE arithmetic frame (SOF10):
+``encode_jpeg_arithmetic_progressive`` runs the same 10-scan spectral-
+selection + successive-approximation script as the Huffman progressive
+encoder through the QM coder (Annex G.1.3 decision models), and
+``decode_arith_progressive_scan`` mirrors it — completing the T.81 DCT
+matrix baseline/progressive x huffman/arithmetic, all both ways, every
+combination decoding byte-identical pixels.
+
 No reference-repo counterpart exists (georust/proj is a coordinate
 library); the payload axis comes from the graft cell.
 """
@@ -52,7 +60,8 @@ from .jpeg import (
     _to_blocks,
 )
 
-__all__ = ["encode_jpeg_arithmetic", "decode_arith_scan"]
+__all__ = ["encode_jpeg_arithmetic", "encode_jpeg_arithmetic_progressive",
+           "decode_arith_scan", "decode_arith_progressive_scan"]
 
 # ---------------------------------------------------------------------------
 # Table D.3 — Qe values and probability estimation state machine.
@@ -652,3 +661,344 @@ def _find_marker(data: bytes, pos: int) -> int:
             return p
         p += 1
     raise ValueError("unterminated arithmetic scan (no marker)")
+
+
+# ---------------------------------------------------------------------------
+# PROGRESSIVE arithmetic (SOF10): spectral selection + successive
+# approximation over the same 10-scan script as encode_jpeg_progressive,
+# entropy-coded with the Annex G.1.3 decision models (DC first = the
+# sequential DC model on point-transformed values, DC refine = one
+# fixed-bin bit per block, AC first = the sequential AC model on the
+# band, AC refine = correction bits at st+2 / newly-nonzero at st+1).
+# Statistics areas and the coder reset at every scan start (F.1.4).
+# ---------------------------------------------------------------------------
+def _enc_dc_first_arith(enc, stats, ci, tbl, dc, al, cond):
+    """DC first scan: code diff of (dc >> Al), arithmetic shift (the
+    same point-transform convention as the Huffman progressive path)."""
+    _enc_dc(enc, stats, ci, tbl, int(dc) >> al, cond)
+
+
+def _enc_ac_first_arith(enc, stats, tbl, zz, ss, se, al, kx):
+    """AC first scan over band [ss..se] with point transform
+    |v| >> Al (sign-magnitude, T.81 G.1.3.2)."""
+    st = stats.ac[tbl]
+    ke = 0
+    for k in range(se, ss - 1, -1):
+        if abs(int(zz[k])) >> al:
+            ke = k
+            break
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        enc.encode(st, base, 0)  # not end-of-band
+        v = abs(int(zz[k])) >> al
+        while v == 0:
+            enc.encode(st, base + 1, 0)
+            base += 3
+            k += 1
+            v = abs(int(zz[k])) >> al
+        enc.encode(st, base + 1, 1)
+        enc.encode(stats.fixed, 0, 1 if int(zz[k]) < 0 else 0)
+        sp = base + 2
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(st, sp, 1)
+            m = 1
+            v2 = v
+            if v2 >> 1:
+                v2 >>= 1
+                enc.encode(st, sp, 1)
+                m <<= 1
+                sp = 189 if k <= kx else 217
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(st, sp, 1)
+                    m <<= 1
+                    sp += 1
+        enc.encode(st, sp, 0)
+        sp += 14
+        while m >> 1:
+            m >>= 1
+            enc.encode(st, sp, 1 if (m & v) else 0)
+        k += 1
+    if ke < se:
+        enc.encode(st, 3 * (k - 1), 1)  # end-of-band
+
+
+def _enc_ac_refine_arith(enc, stats, tbl, zz, ss, se, al):
+    """AC refinement scan (T.81 G.1.3.3 / the jcarith shape):
+    correction bits for previously-nonzero coefficients at st+2,
+    newly-nonzero at st+1 with a fixed-bin sign; the EOB decision is
+    coded only beyond the PREVIOUS stage's end-of-band index."""
+    st = stats.ac[tbl]
+    ah = al + 1  # successive approximation refines one bit
+    kex = 0
+    for k in range(se, ss - 1, -1):
+        if abs(int(zz[k])) >> ah:
+            kex = k
+            break
+    ke = 0
+    for k in range(se, ss - 1, -1):
+        if abs(int(zz[k])) >> al:
+            ke = k
+            break
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        if k > kex:
+            enc.encode(st, base, 0)  # not end-of-band
+        while True:
+            v = abs(int(zz[k])) >> al
+            if v:
+                if v >> 1:  # previously nonzero: one correction bit
+                    enc.encode(st, base + 2, v & 1)
+                else:  # newly nonzero: flag + fixed-bin sign
+                    enc.encode(st, base + 1, 1)
+                    enc.encode(stats.fixed, 0,
+                               1 if int(zz[k]) < 0 else 0)
+                break
+            enc.encode(st, base + 1, 0)
+            base += 3
+            k += 1
+        k += 1
+    if k <= se:
+        enc.encode(st, 3 * (k - 1), 1)  # end-of-band
+
+
+def encode_jpeg_arithmetic_progressive(rgb: np.ndarray, quality: int = 90,
+                                       subsampling: str = "4:4:4") -> bytes:
+    """8-bit RGB -> PROGRESSIVE arithmetic-coded JFIF bytes (SOF10):
+    the encode_jpeg_progressive 10-scan script entropy-coded with the
+    QM coder.  Coefficients are identical to every other encoder at
+    the same quality/subsampling, so all four decodes (baseline /
+    progressive x huffman / arithmetic) are byte-identical (pinned)."""
+    from .jpeg import _PROG_SCRIPT, _comp_true_blocks
+
+    assert rgb.ndim == 3 and rgb.shape[2] == 3 and rgb.dtype == np.uint8
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"unknown subsampling {subsampling!r}; "
+                         f"one of {sorted(_SUBSAMPLING)}")
+    samp = _SUBSAMPLING[subsampling]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    h, w = rgb.shape[:2]
+    qt = (_quality_scale(_Q_LUM, quality), _quality_scale(_Q_CHR, quality))
+    ycc = _rgb_to_ycbcr(rgb.astype(np.float64))
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    comp_zz = []
+    for c, (hi, vi) in enumerate(samp):
+        plane = _downsample_box(ycc[..., c], hmax // hi, vmax // vi)
+        hc, wc = mcuy * vi * 8, mcux * hi * 8
+        p = np.pad(plane,
+                   ((0, hc - plane.shape[0]), (0, wc - plane.shape[1])),
+                   mode="edge")
+        blocks = _to_blocks(p) - 128.0
+        coef = np.einsum("ij,njk,lk->nil", _DCT8, blocks, _DCT8)
+        q = np.round(coef / qt[0 if c == 0 else 1][None]).astype(np.int32)
+        comp_zz.append(q.reshape(-1, 64)[:, _ZIGZAG])
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    for tid, t in enumerate(qt):
+        zzq = t.reshape(-1)[_ZIGZAG].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zzq.tobytes()
+    # SOF10: progressive DCT, arithmetic coding (B.2.2)
+    out += b"\xff\xca" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for c, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
+        hi, vi = samp[c]
+        out += struct.pack(">BBB", cid, (hi << 4) | vi, tq)
+    dac = b""
+    for tc, tb, cs in ((0, 0, (_DEFAULT_U << 4) | _DEFAULT_L),
+                       (0, 1, (_DEFAULT_U << 4) | _DEFAULT_L),
+                       (1, 0, _DEFAULT_KX), (1, 1, _DEFAULT_KX)):
+        dac += struct.pack(">BB", (tc << 4) | tb, cs)
+    out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+
+    cond = (_DEFAULT_L, _DEFAULT_U)
+    for comps, ss, se, ah, al in _PROG_SCRIPT:
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps),
+                                         len(comps))
+        for c in comps:
+            tq = 0 if c == 0 else 1
+            out += struct.pack(">BB", c + 1, (tq << 4) | tq)
+        out += struct.pack(">BBB", ss, se, (ah << 4) | al)
+        enc = _ArithEncoder()
+        stats = _Stats(2, 2, 3)
+        if ss == 0:
+            # interleaved DC scan (first or refine), standard MCU walk
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for c in comps:
+                        hi, vi = samp[c]
+                        t = 0 if c == 0 else 1
+                        bpl = mcux * hi
+                        for by in range(vi):
+                            for bx in range(hi):
+                                b = (my * vi + by) * bpl + (mx * hi + bx)
+                                dc = int(comp_zz[c][b][0])
+                                if ah == 0:
+                                    _enc_dc_first_arith(
+                                        enc, stats, c, t, dc, al, cond)
+                                else:
+                                    enc.encode(stats.fixed, 0,
+                                               (dc >> al) & 1)
+        else:
+            (c,) = comps
+            hi, vi = samp[c]
+            t = 0 if c == 0 else 1
+            hb, wb = _comp_true_blocks(h, w, hi, vi, hmax, vmax)
+            for by in range(hb):
+                for bx in range(wb):
+                    zz = comp_zz[c][by * mcux * hi + bx]
+                    if ah == 0:
+                        _enc_ac_first_arith(enc, stats, t, zz, ss, se,
+                                            al, _DEFAULT_KX)
+                    else:
+                        _enc_ac_refine_arith(enc, stats, t, zz, ss, se,
+                                             al)
+        enc.flush()
+        out += enc.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_arith_progressive_scan(data: bytes, pos: int, seg: bytes,
+                                  comps, coeffs, frame, hmax, vmax,
+                                  mcux, mcuy, dri: int,
+                                  dc_cond, ac_cond) -> int:
+    """Decode one progressive arithmetic scan (SOF10); returns the
+    position of the next marker.  Restart markers inside progressive
+    arithmetic scans are not supported."""
+    if dri:
+        raise NotImplementedError(
+            "restart markers in progressive arithmetic scans are not "
+            "supported")
+    h, w, _nc = frame
+    ns = seg[0]
+    sel = []
+    for i in range(ns):
+        cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+        ci = next((j for j, c in enumerate(comps) if c["id"] == cid),
+                  None)
+        if ci is None:
+            raise ValueError(f"SOS names unknown component {cid}")
+        sel.append((ci, tabs >> 4, tabs & 15))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ahal = seg[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 15
+    for _ci, td, ta in sel:
+        tb = td if ss == 0 else ta
+        if not 0 <= tb <= 3:
+            raise ValueError(f"invalid conditioning table id {tb}")
+    n_tables = 1 + max(max(td, ta) for _, td, ta in sel)
+    stats = _Stats(n_tables, n_tables, len(comps))
+    dec = _ArithDecoder(data, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, td, _ta in sel:
+                    c = comps[ci]
+                    hi, vi = c["hi"], c["vi"]
+                    bpl = mcux * hi
+                    for by in range(vi):
+                        for bx in range(hi):
+                            b = (my * vi + by) * bpl + (mx * hi + bx)
+                            zz = coeffs[ci][b]
+                            if ah == 0:
+                                v = _dec_dc(dec, stats, ci, td,
+                                            dc_cond.get(
+                                                td, (_DEFAULT_L,
+                                                     _DEFAULT_U)))
+                                zz[0] = v << al
+                            elif dec.decode(stats.fixed, 0):
+                                zz[0] = int(zz[0]) | (1 << al)
+    else:
+        if ns != 1:
+            raise ValueError("interleaved AC scan is illegal (T.81)")
+        ci, _td, ta = sel[0]
+        c = comps[ci]
+        hi, vi = c["hi"], c["vi"]
+        from .jpeg import _comp_true_blocks
+
+        hb, wb = _comp_true_blocks(h, w, hi, vi, hmax, vmax)
+        kx = ac_cond.get(ta, _DEFAULT_KX)
+        for by in range(hb):
+            for bx in range(wb):
+                zz = coeffs[ci][by * mcux * hi + bx]
+                if ah == 0:
+                    _dec_ac_first_arith(dec, stats, ta, zz, ss, se, al,
+                                        kx)
+                else:
+                    _dec_ac_refine_arith(dec, stats, ta, zz, ss, se, al)
+    p = dec.marker_pos if dec.marker_pos >= 0 else dec.pos
+    return _find_marker(data, p)
+
+
+def _dec_ac_first_arith(dec, stats, tbl, zz, ss, se, al, kx):
+    st = stats.ac[tbl]
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if dec.decode(st, base):
+            return  # end-of-band
+        while dec.decode(st, base + 1) == 0:
+            base += 3
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC band index overflow")
+        sign = dec.decode(stats.fixed, 0)
+        sp = base + 2
+        m = dec.decode(st, sp)
+        if m:
+            if dec.decode(st, sp):
+                m <<= 1
+                sp = 189 if k <= kx else 217
+                while dec.decode(st, sp):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError(
+                            "arithmetic AC magnitude overflow")
+                    sp += 1
+        v = m
+        sp += 14
+        while m >> 1:
+            m >>= 1
+            if dec.decode(st, sp):
+                v |= m
+        v = (v + 1) << al
+        zz[k] = -v if sign else v
+        k += 1
+
+
+def _dec_ac_refine_arith(dec, stats, tbl, zz, ss, se, al):
+    st = stats.ac[tbl]
+    p1 = 1 << al
+    kex = 0
+    for k in range(se, ss - 1, -1):
+        if int(zz[k]):
+            kex = k
+            break
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex and dec.decode(st, base):
+            return  # end-of-band
+        while True:
+            cur = int(zz[k])
+            if cur:
+                if dec.decode(st, base + 2):
+                    zz[k] = cur - p1 if cur < 0 else cur + p1
+                break
+            if dec.decode(st, base + 1):
+                zz[k] = -p1 if dec.decode(stats.fixed, 0) else p1
+                break
+            base += 3
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC refine index overflow")
+        k += 1

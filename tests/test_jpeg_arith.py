@@ -215,3 +215,56 @@ def test_coder_roundtrip_property(seed):
     dbins = bytearray(nctx)
     assert [dec.decode(dbins, int(c)) for c in ctx] == bits.tolist()
     assert ebins == dbins
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0", "4:2:2"])
+def test_progressive_arith_decode_matches_all_other_encoders(subsampling):
+    """The full T.81 DCT matrix identity: baseline/progressive x
+    huffman/arithmetic all decode to byte-identical pixels (shared
+    coefficient front end; every entropy layer is exact)."""
+    from proj_spark.sources.jpeg import encode_jpeg_progressive
+    from proj_spark.sources.jpeg_arith import (
+        encode_jpeg_arithmetic_progressive)
+
+    img = _test_image(h=88, w=72)
+    ref = decode_jpeg(encode_jpeg(img, 90, subsampling))
+    pa = encode_jpeg_arithmetic_progressive(img, 90, subsampling)
+    assert b"\xff\xca" in pa and b"\xff\xcc" in pa  # SOF10 + DAC
+    assert b"\xff\xc4" not in pa[:pa.find(b"\xff\xda")]  # no DHT
+    assert np.array_equal(decode_jpeg(pa), ref)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(img, 90, subsampling)), ref)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_arithmetic(img, 90, subsampling)), ref)
+
+
+def test_progressive_arith_edge_cases():
+    from proj_spark.sources.jpeg_arith import (
+        encode_jpeg_arithmetic_progressive)
+
+    flat = np.full((24, 24, 3), 128, dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_arithmetic_progressive(flat)),
+        decode_jpeg(encode_jpeg(flat)))
+    img = _test_image(h=17, w=23)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_arithmetic_progressive(img)),
+        decode_jpeg(encode_jpeg(img)))
+    # extreme magnitudes through the band ladders
+    rng = np.random.default_rng(3)
+    hard = np.repeat((rng.integers(0, 2, (64, 64, 1)) * 255)
+                     .astype(np.uint8), 3, axis=2)
+    for q in (5, 100):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_arithmetic_progressive(hard, q)),
+            decode_jpeg(encode_jpeg(hard, q))), q
+
+
+def test_progressive_arith_beats_huffman_progressive_size():
+    from proj_spark.sources.jpeg import encode_jpeg_progressive
+    from proj_spark.sources.jpeg_arith import (
+        encode_jpeg_arithmetic_progressive)
+
+    img = _test_image(h=160, w=160)
+    assert len(encode_jpeg_arithmetic_progressive(img, 90)) < \
+        len(encode_jpeg_progressive(img, 90))
