@@ -683,6 +683,7 @@ def q29_media_verify(spark, sf_dir):
         from proj_spark.sources.jpeg import decode_jpeg, encode_jpeg
         from proj_spark.sources.jpeg_arith import (
             encode_jpeg_arithmetic_progressive)
+        from proj_spark.sources.jpeg_lossless import encode_jpeg_lossless
 
         for pdf in batches:
             rows = []
@@ -700,6 +701,8 @@ def q29_media_verify(spark, sf_dir):
                 # DCT-matrix identity (byte-identical pixels)
                 prog_arith = encode_jpeg_arithmetic_progressive(
                     src, 90, subsampling=sub_)
+                # SOF3 rides too: a crop must roundtrip BIT-identically
+                crop = src[:16, :16]
                 ok = (dec.shape[0] == int(h) and dec.shape[1] == int(w)
                       and bool(psnr(src, dec) >= 40.0)
                       and np.array_equal(dec, huff_dec)
@@ -707,6 +710,9 @@ def q29_media_verify(spark, sf_dir):
                       and b"\xff\xca" in prog_arith
                       and np.array_equal(decode_jpeg(prog_arith),
                                          huff_dec)
+                      and np.array_equal(
+                          decode_jpeg(encode_jpeg_lossless(crop, 4)),
+                          crop)
                       and (int(ri) == 0) == (b"\xff\xdd" not in bytes(data)))
                 rows.append((image_id, "arith:" + sub_, ok))
             yield pd.DataFrame(rows, columns=["image_id", "kind",

@@ -862,6 +862,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     scan_order: list[dict] = []
     progressive = False
     arithmetic = False
+    lossless = False
+    ll_planes: list[np.ndarray] | None = None
     arith_coeffs: list[np.ndarray] | None = None
     dc_cond: dict[int, tuple] = {}
     ac_cond: dict[int, int] = {}
@@ -914,7 +916,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         raise ValueError(f"bad AC conditioning Kx={cs}")
                     ac_cond[tb] = cs
                 p += 2
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):  # seq/prog/arith
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0/1 sequential, SOF2 progressive, SOF3 lossless,
+            # SOF9 arithmetic sequential, SOF10 arithmetic progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -927,9 +931,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             frame = (h, w, nc)
             progressive = marker in (0xC2, 0xCA)
             arithmetic = marker in (0xC9, 0xCA)
+            lossless = marker == 0xC3
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             (dri,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
+            if lossless:
+                from .jpeg_lossless import decode_lossless_scan
+
+                if ll_planes is None:
+                    h, w, nc = frame
+                    ll_planes = [np.zeros((h, w), dtype=np.int64)
+                                 for _ in range(nc)]
+                pos = decode_lossless_scan(data, pos + seglen, seg,
+                                           comps, ll_planes, frame,
+                                           huff)
+                continue
             if progressive:
                 if prog_coeffs is None:
                     h, w, nc = frame
@@ -980,6 +996,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pos += seglen
             break
         pos += seglen
+    if lossless:
+        if ll_planes is None:
+            raise ValueError("lossless JPEG without any scan")
+        arr = np.stack(ll_planes, axis=-1)
+        arr = np.clip(arr, 0, 255).astype(np.uint8)
+        if arr.shape[2] == 1:  # grayscale: replicate to the RGB contract
+            arr = np.repeat(arr, 3, axis=2)
+        return arr
     if progressive:
         if prog_coeffs is None:
             raise ValueError("progressive JPEG without any scan")
