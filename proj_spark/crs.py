@@ -1656,9 +1656,19 @@ class Transform:
             if entry.kind in ("geographic", "geographic3d"):
                 return True
             if entry.kind == "compound":
+                # the registry's members field states the horizontal
+                # component directly; fall back to inspecting the proj
+                # string only when members are absent
+                members = getattr(entry, "members", None)
+                if members:
+                    horiz = EPSG.get(members[0])
+                    if horiz is not None:
+                        return horiz.kind in ("geographic",
+                                              "geographic3d")
                 p = parse_proj_string(entry.proj)
-                return len(p) == 1 and p[0].get("proj") in ("longlat",
-                                                            "latlong")
+                return all(q.get("proj") in ("longlat", "latlong",
+                                             "axisswap", "unitconvert")
+                           for q in p)
             return False
 
         src_angular = _is_angular(src)

@@ -37,6 +37,7 @@ nothing in the repo's test or bench path touches a real network).
 
 from __future__ import annotations
 
+import http.client
 import os
 import time
 import socket
@@ -189,7 +190,9 @@ def request_with_retries(url: str, timeout: float = 30.0,
         try:
             return request(url, timeout)
         except (urllib.error.URLError, TimeoutError, ConnectionError,
-                socket.error) as e:
+                socket.error, http.client.HTTPException) as e:
+            # HTTPException covers truncated/garbled responses
+            # (IncompleteRead, BadStatusLine) — as transient as a 5xx
             return f"transport error ({e})", b""
 
     retries = 0

@@ -1878,7 +1878,12 @@ def sql_tpers_fwd(lon: str, lat: str, proj: str) -> tuple[str, str]:
     """Tilted perspective forward (dialect pair: kernels.nsper_fwd with
     the tilt branch): the nsper core at unit-sphere scale, then the
     camera tilt/azimuth transform, then the radius scale — the same
-    operation order as the kernel, so the battery rounds match."""
+    operation order as the kernel, so the battery rounds match.
+
+    Caller's point domain must stay inside the horizon circle
+    cos(c) >= 1/P AND keep the tilt denominator yt*sw/pn1 + cw
+    positive (true for any moderate tilt over an in-view band) — the
+    kernel NaN-masks beyond the horizon, this SQL mirror does not."""
     import math
 
     from . import kernels as K

@@ -278,6 +278,62 @@ def _downsample_box(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
     return p.reshape(H // fv, fv, W // fh, fh).mean(axis=(1, 3))
 
 
+def _quantized_coeffs(rgb: np.ndarray, quality: int, subsampling: str):
+    """Shared coefficient front end for ALL four DCT encoders
+    (baseline/progressive x huffman/arithmetic): color transform,
+    chroma downsample, MCU padding, DCT, Annex K quantization, zigzag.
+    The T.81 matrix byte-identity (every frame type decodes the same
+    pixels) depends on every encoder quantizing through this one
+    function.  Returns (comp_zz, qt, samp, hmax, vmax, mcux, mcuy,
+    h, w)."""
+    assert rgb.ndim == 3 and rgb.shape[2] == 3 and rgb.dtype == np.uint8
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"unknown subsampling {subsampling!r}; "
+                         f"one of {sorted(_SUBSAMPLING)}")
+    samp = _SUBSAMPLING[subsampling]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    h, w = rgb.shape[:2]
+    qt = (_quality_scale(_Q_LUM, quality), _quality_scale(_Q_CHR, quality))
+    ycc = _rgb_to_ycbcr(rgb.astype(np.float64))
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    comp_zz = []
+    for c, (hi, vi) in enumerate(samp):
+        plane = _downsample_box(ycc[..., c], hmax // hi, vmax // vi)
+        hc, wc = mcuy * vi * 8, mcux * hi * 8
+        p = np.pad(plane,
+                   ((0, hc - plane.shape[0]), (0, wc - plane.shape[1])),
+                   mode="edge")
+        blocks = _to_blocks(p) - 128.0
+        coef = np.einsum("ij,njk,lk->nil", _DCT8, blocks, _DCT8)
+        q = np.round(coef / qt[0 if c == 0 else 1][None]).astype(np.int32)
+        comp_zz.append(q.reshape(-1, 64)[:, _ZIGZAG])
+    return comp_zz, qt, samp, hmax, vmax, mcux, mcuy, h, w
+
+
+def _jfif_dqt_headers(qt) -> bytes:
+    """SOI + APP0(JFIF) + the two DQT segments — identical across all
+    four DCT encoders."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    for tid, t in enumerate(qt):
+        zz = t.reshape(-1)[_ZIGZAG].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz.tobytes()
+    return bytes(out)
+
+
+def _sof_segment(marker: int, h: int, w: int, samp) -> bytes:
+    """A three-component SOFn segment (Y->Tq0, chroma->Tq1)."""
+    out = bytearray(bytes([0xFF, marker]))
+    out += struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for c, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
+        hi, vi = samp[c]
+        out += struct.pack(">BBB", cid, (hi << 4) | vi, tq)
+    return bytes(out)
+
+
 def encode_jpeg(rgb: np.ndarray, quality: int = 90,
                 subsampling: str = "4:4:4",
                 restart_interval: int = 0) -> bytes:
@@ -290,44 +346,10 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90,
     ``restart_interval`` > 0 emits a DRI segment and an RSTm marker
     every that many MCUs (DC predictors reset, byte-aligned) — the
     error-resilience feature most camera/web JPEGs carry."""
-    assert rgb.ndim == 3 and rgb.shape[2] == 3 and rgb.dtype == np.uint8
-    if subsampling not in _SUBSAMPLING:
-        raise ValueError(f"unknown subsampling {subsampling!r}; "
-                         f"one of {sorted(_SUBSAMPLING)}")
-    samp = _SUBSAMPLING[subsampling]
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-    h, w = rgb.shape[:2]
-    qt = (_quality_scale(_Q_LUM, quality), _quality_scale(_Q_CHR, quality))
-
-    ycc = _rgb_to_ycbcr(rgb.astype(np.float64))
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    # per component: downsample -> pad to its MCU grid -> blocks ->
-    # DCT -> quantize, fully vectorized per plane
-    comp_zz = []
-    for c, (hi, vi) in enumerate(samp):
-        plane = _downsample_box(ycc[..., c], hmax // hi, vmax // vi)
-        hc, wc = mcuy * vi * 8, mcux * hi * 8
-        p = np.pad(plane, ((0, hc - plane.shape[0]), (0, wc - plane.shape[1])),
-                   mode="edge")
-        blocks = _to_blocks(p) - 128.0
-        coef = np.einsum("ij,njk,lk->nil", _DCT8, blocks, _DCT8)
-        q = np.round(coef / qt[0 if c == 0 else 1][None]).astype(np.int32)
-        comp_zz.append(q.reshape(-1, 64)[:, _ZIGZAG])
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
-        + struct.pack(">HHBB", 1, 1, 0, 0)  # APP0
-    for tid, t in enumerate(qt):  # DQT
-        zz = t.reshape(-1)[_ZIGZAG].astype(np.uint8)
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz.tobytes()
-    # SOF0: 3 components with their sampling factors
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for c, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
-        hi, vi = samp[c]
-        out += struct.pack(">BBB", cid, (hi << 4) | vi, tq)
+    comp_zz, qt, samp, hmax, vmax, mcux, mcuy, h, w = \
+        _quantized_coeffs(rgb, quality, subsampling)
+    out = bytearray(_jfif_dqt_headers(qt))
+    out += _sof_segment(0xC0, h, w, samp)  # SOF0: baseline sequential
     # DHT x4
     for cls, tid, (bits, vals) in ((0, 0, _DC_LUM), (0, 1, _DC_CHR),
                                    (1, 0, _AC_LUM), (1, 1, _AC_CHR)):
@@ -511,41 +533,10 @@ def encode_jpeg_progressive(rgb: np.ndarray, quality: int = 90,
     10-scan script above.  Quantized coefficients are identical to
     :func:`encode_jpeg` at the same quality/subsampling, so decoding
     both must give byte-identical pixels (pinned in tests)."""
-    assert rgb.ndim == 3 and rgb.shape[2] == 3 and rgb.dtype == np.uint8
-    if subsampling not in _SUBSAMPLING:
-        raise ValueError(f"unknown subsampling {subsampling!r}; "
-                         f"one of {sorted(_SUBSAMPLING)}")
-    samp = _SUBSAMPLING[subsampling]
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-    h, w = rgb.shape[:2]
-    qt = (_quality_scale(_Q_LUM, quality), _quality_scale(_Q_CHR, quality))
-    ycc = _rgb_to_ycbcr(rgb.astype(np.float64))
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    comp_zz = []
-    for c, (hi, vi) in enumerate(samp):
-        plane = _downsample_box(ycc[..., c], hmax // hi, vmax // vi)
-        hc, wc = mcuy * vi * 8, mcux * hi * 8
-        p = np.pad(plane,
-                   ((0, hc - plane.shape[0]), (0, wc - plane.shape[1])),
-                   mode="edge")
-        blocks = _to_blocks(p) - 128.0
-        coef = np.einsum("ij,njk,lk->nil", _DCT8, blocks, _DCT8)
-        q = np.round(coef / qt[0 if c == 0 else 1][None]).astype(np.int32)
-        comp_zz.append(q.reshape(-1, 64)[:, _ZIGZAG])
-
-    out = bytearray(b"\xff\xd8")
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
-        + struct.pack(">HHBB", 1, 1, 0, 0)
-    for tid, t in enumerate(qt):
-        zz = t.reshape(-1)[_ZIGZAG].astype(np.uint8)
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz.tobytes()
-    # SOF2 (progressive DCT, Huffman)
-    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for c, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
-        hi, vi = samp[c]
-        out += struct.pack(">BBB", cid, (hi << 4) | vi, tq)
+    comp_zz, qt, samp, hmax, vmax, mcux, mcuy, h, w = \
+        _quantized_coeffs(rgb, quality, subsampling)
+    out = bytearray(_jfif_dqt_headers(qt))
+    out += _sof_segment(0xC2, h, w, samp)  # SOF2: progressive, Huffman
     for cls, tid, (bits, vals) in ((0, 0, _DC_LUM), (0, 1, _DC_CHR),
                                    (1, 0, _AC_LUM), (1, 1, _AC_CHR)):
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals),

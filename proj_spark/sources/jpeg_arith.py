@@ -513,41 +513,13 @@ def encode_jpeg_arithmetic(rgb: np.ndarray, quality: int = 90,
     byte-identical to decoding the Huffman stream at the same
     quality/subsampling.  Y uses conditioning tables 0, chroma
     tables 1 (both carrying the T.81 defaults L=0, U=1, Kx=5)."""
-    assert rgb.ndim == 3 and rgb.shape[2] == 3 and rgb.dtype == np.uint8
-    if subsampling not in _SUBSAMPLING:
-        raise ValueError(f"unknown subsampling {subsampling!r}; "
-                         f"one of {sorted(_SUBSAMPLING)}")
-    samp = _SUBSAMPLING[subsampling]
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-    h, w = rgb.shape[:2]
-    qt = (_quality_scale(_Q_LUM, quality), _quality_scale(_Q_CHR, quality))
+    from .jpeg import _jfif_dqt_headers, _quantized_coeffs, _sof_segment
 
-    ycc = _rgb_to_ycbcr(rgb.astype(np.float64))
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    comp_zz = []
-    for c, (hi, vi) in enumerate(samp):
-        plane = _downsample_box(ycc[..., c], hmax // hi, vmax // vi)
-        hc, wc = mcuy * vi * 8, mcux * hi * 8
-        p = np.pad(plane, ((0, hc - plane.shape[0]), (0, wc - plane.shape[1])),
-                   mode="edge")
-        blocks = _to_blocks(p) - 128.0
-        coef = np.einsum("ij,njk,lk->nil", _DCT8, blocks, _DCT8)
-        q = np.round(coef / qt[0 if c == 0 else 1][None]).astype(np.int32)
-        comp_zz.append(q.reshape(-1, 64)[:, _ZIGZAG])
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
-        + struct.pack(">HHBB", 1, 1, 0, 0)  # APP0
-    for tid, t in enumerate(qt):  # DQT
-        zzq = t.reshape(-1)[_ZIGZAG].astype(np.uint8)
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zzq.tobytes()
+    comp_zz, qt, samp, hmax, vmax, mcux, mcuy, h, w = \
+        _quantized_coeffs(rgb, quality, subsampling)
+    out = bytearray(_jfif_dqt_headers(qt))
     # SOF9: extended sequential DCT, arithmetic coding (B.2.2)
-    out += b"\xff\xc9" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for c, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
-        hi, vi = samp[c]
-        out += struct.pack(">BBB", cid, (hi << 4) | vi, tq)
+    out += _sof_segment(0xC9, h, w, samp)
     # DAC (B.2.4.3): DC tables carry (U<<4)|L, AC tables carry Kx
     dac = b""
     for tc, tb, cs in ((0, 0, (_DEFAULT_U << 4) | _DEFAULT_L),
@@ -773,43 +745,14 @@ def encode_jpeg_arithmetic_progressive(rgb: np.ndarray, quality: int = 90,
     QM coder.  Coefficients are identical to every other encoder at
     the same quality/subsampling, so all four decodes (baseline /
     progressive x huffman / arithmetic) are byte-identical (pinned)."""
-    from .jpeg import _PROG_SCRIPT, _comp_true_blocks
+    from .jpeg import (_PROG_SCRIPT, _comp_true_blocks, _jfif_dqt_headers,
+                       _quantized_coeffs, _sof_segment)
 
-    assert rgb.ndim == 3 and rgb.shape[2] == 3 and rgb.dtype == np.uint8
-    if subsampling not in _SUBSAMPLING:
-        raise ValueError(f"unknown subsampling {subsampling!r}; "
-                         f"one of {sorted(_SUBSAMPLING)}")
-    samp = _SUBSAMPLING[subsampling]
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-    h, w = rgb.shape[:2]
-    qt = (_quality_scale(_Q_LUM, quality), _quality_scale(_Q_CHR, quality))
-    ycc = _rgb_to_ycbcr(rgb.astype(np.float64))
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    comp_zz = []
-    for c, (hi, vi) in enumerate(samp):
-        plane = _downsample_box(ycc[..., c], hmax // hi, vmax // vi)
-        hc, wc = mcuy * vi * 8, mcux * hi * 8
-        p = np.pad(plane,
-                   ((0, hc - plane.shape[0]), (0, wc - plane.shape[1])),
-                   mode="edge")
-        blocks = _to_blocks(p) - 128.0
-        coef = np.einsum("ij,njk,lk->nil", _DCT8, blocks, _DCT8)
-        q = np.round(coef / qt[0 if c == 0 else 1][None]).astype(np.int32)
-        comp_zz.append(q.reshape(-1, 64)[:, _ZIGZAG])
-
-    out = bytearray(b"\xff\xd8")
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
-        + struct.pack(">HHBB", 1, 1, 0, 0)
-    for tid, t in enumerate(qt):
-        zzq = t.reshape(-1)[_ZIGZAG].astype(np.uint8)
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zzq.tobytes()
+    comp_zz, qt, samp, hmax, vmax, mcux, mcuy, h, w = \
+        _quantized_coeffs(rgb, quality, subsampling)
+    out = bytearray(_jfif_dqt_headers(qt))
     # SOF10: progressive DCT, arithmetic coding (B.2.2)
-    out += b"\xff\xca" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for c, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
-        hi, vi = samp[c]
-        out += struct.pack(">BBB", cid, (hi << 4) | vi, tq)
+    out += _sof_segment(0xCA, h, w, samp)
     dac = b""
     for tc, tb, cs in ((0, 0, (_DEFAULT_U << 4) | _DEFAULT_L),
                        (0, 1, (_DEFAULT_U << 4) | _DEFAULT_L),

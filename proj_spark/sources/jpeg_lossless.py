@@ -155,8 +155,6 @@ def decode_lossless_scan(data: bytes, pos: int, seg: bytes, comps,
                 p = int(predict(int(x[i, j - 1]), int(x[i - 1, j]),
                                 int(x[i - 1, j - 1]), sel))
             x[i, j] = (p + d) & 0xFFFF  # H.1.2.1 modulo reduction
-    p = br.pos
-    n = len(data)
-    while p + 1 < n and not (data[p] == 0xFF and data[p + 1] != 0x00):
-        p += 1
-    return p
+    from .jpeg_arith import _find_marker
+
+    return _find_marker(data, br.pos)
