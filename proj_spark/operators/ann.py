@@ -35,6 +35,21 @@ __all__ = [
 ]
 
 
+def _lit_double_array(vals) -> Column:
+    """Literal array<double> Column built through ONE parser call.
+
+    ``F.array(*[F.lit(float(x)) ...])`` costs one py4j round trip per
+    element — a 64-dim centroid table (8 x 64 x 2 sides) spent ~2 s of
+    DRIVER time per query just constructing literals (measured; the
+    dominant cost of ann_ivf_topk at bench scale).  ``repr`` emits the
+    shortest decimal that round-trips, and the SQL parser reads double
+    literals with the same correctly-rounded parse, so the values are
+    bit-identical to the F.lit path (verified including subnormals,
+    +-0.0 and pi)."""
+    return F.expr(
+        "array(" + ",".join(repr(float(x)) + "D" for x in vals) + ")")
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -119,7 +134,7 @@ def _sign_bits_col(vec: Column, planes: list[list[float]]) -> Column:
     """LSH signature: sign of <v, h_p> per plane, packed to BIGINT."""
     acc = None
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
+        plane = _lit_double_array(p)
         bit = F.when(_dot(vec, plane) > 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -168,15 +183,19 @@ def ann_lsh_topk(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec"))
         .withColumn("__qn", _norm(F.col("q_vec"))),
         "q_vec")
+    # score in the join's stage, THEN dedup collisions: the pair-dedup
+    # exchange carries (query_id, id, cos_sim) scalars instead of both
+    # vector payloads.  cos_sim is a pure function of the pair, so the
+    # deduped result is unchanged.
     cand = (
         v.join(F.broadcast(q), ["band", "key"])
-        .dropDuplicates([query_id_col, id_col])
         .select(
             F.col(query_id_col),
             F.col(id_col),
             (_dot(F.col(vec_col), F.col("q_vec"))
              / (F.col("__vn") * F.col("__qn"))).alias("cos_sim"),
         )
+        .dropDuplicates([query_id_col, id_col])
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
@@ -348,7 +367,7 @@ def ann_ivf_topk(
     cent_norms = {int(r["cent_id"]): _seq_norm(r["cent_vec"]) for r in cents}
 
     def _cent_sim(vec: Column, norm_col: str, row) -> Column:
-        arr = F.array(*[F.lit(float(x)) for x in row["cent_vec"]])
+        arr = _lit_double_array(row["cent_vec"])
         return _dot(vec, arr) / (
             F.col(norm_col) * F.lit(cent_norms[int(row["cent_id"])]))
 
@@ -438,12 +457,16 @@ def embedding_neardup_pairs(
             F.col("a.__n").alias("na"),
             F.col("b.__n").alias("nb"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    # score + threshold BEFORE the pair-dedup: the exchange then moves
+    # (id_a, id_b, cos_sim) for verified pairs only, never the vector
+    # payloads.  cos_sim is a pure function of the pair, so dedup-after-
+    # filter returns the same pair set.
     return (
         cand.withColumn(
             "cos_sim",
             _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
+        .dropDuplicates(["id_a", "id_b"])
     )

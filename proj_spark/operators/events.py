@@ -74,17 +74,21 @@ def asof_join(
     deterministic and mirrored in the DuckDB oracle (q72).
     """
     payload_cols = [right_ts] + [c for c in right_cols if c != right_ts]
-    r = (
-        right.groupBy(by, right_ts)
-        .agg(F.max(F.struct(*[F.col(c) for c in payload_cols])).alias("__p"))
-        .select(
-            F.col(by),
-            F.col(right_ts).alias("__ts"),
-            F.lit(0).alias("__m"),
-            F.col("__p"),
-            *[F.lit(None).cast(f.dataType).alias(f"__l_{f.name}")
-              for f in left.schema.fields],
-        )
+    # Right-side ties (same key, same ts) are resolved INSIDE the window
+    # ordering: adding ``__p`` as the last sort key makes the running
+    # ``last(__p, ignorenulls)`` pick the lexicographically-largest
+    # payload struct of the latest timestamp — exactly what the old
+    # pre-aggregation (groupBy(by, ts).max(struct)) selected, without
+    # its extra Exchange + two Sorts (max of a struct is a sort
+    # aggregate).  Left rows carry a NULL ``__p`` and are skipped by
+    # ignorenulls, so their position within the tie group is irrelevant.
+    r = right.select(
+        F.col(by),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__m"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__p"),
+        *[F.lit(None).cast(f.dataType).alias(f"__l_{f.name}")
+          for f in left.schema.fields],
     )
     l = left.select(
         F.col(by),
@@ -95,7 +99,7 @@ def asof_join(
     )
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col("__ts").asc(), F.col("__m").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__m").asc(), F.col("__p").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (

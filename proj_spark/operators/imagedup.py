@@ -101,7 +101,6 @@ def hamming_neardup_pairs(
                & (F.col("a.key") == F.col("b.key"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(*sel)
-        .dropDuplicates(["id_a", "id_b"])
     )
     x = F.col("__ha").bitwiseXOR(F.col("__hb"))
     if bits < 64:
@@ -109,10 +108,17 @@ def hamming_neardup_pairs(
     out_cols = ["id_a", "id_b", "hamming"] + [
         f"{c}_{s}" for c in keep_cols for s in ("a", "b")
     ]
+    # verify BEFORE the pair-dedup shuffle: the xor+bit_count test is
+    # whole-stage codegen in the join's own stage, so the random band
+    # collisions (quadratic in per-band density) die without ever being
+    # exchanged; dropDuplicates then shuffles only true near-dup pairs
+    # (linear output).  hamming is a pure function of (id_a, id_b), so
+    # dedup-after-filter returns exactly the same pair set.
     return (
         cand.withColumn("hamming", F.bit_count(x).cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select(*out_cols)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -374,31 +374,32 @@ def pip_join(
     ``how``: "inner" (default) or "left" (unmatched points kept with
     null poly_id).
     """
-    ext = F.col(rings_col)[0]
-    lons = F.transform(ext, lambda p: p[0])
-    lats = F.transform(ext, lambda p: p[1])
-    # ONE stats pass over the (small-side) polygon layer: bbox spans for
-    # the adaptive level + total edge count for the chunking decision
-    stats = polys.select(
-        F.avg(F.array_max(lons) - F.array_min(lons)).alias("w"),
-        F.avg(F.array_max(lats) - F.array_min(lats)).alias("h"),
-        F.sum(
-            F.aggregate(
-                F.transform(F.col(rings_col),
-                            lambda r: F.greatest(F.size(r) - 1, F.lit(0))),
-                F.lit(0).cast("long"), lambda acc, v: acc + v,
-            )
-        ).alias("n_edges"),
-    ).first()
     if level is None:
+        # bbox-span stats pass, only when the caller didn't pin the
+        # level (a pinned level previously still paid this job just to
+        # count edges; the edge count now comes free from the packed
+        # blobs below)
+        ext = F.col(rings_col)[0]
+        lons = F.transform(ext, lambda p: p[0])
+        lats = F.transform(ext, lambda p: p[1])
+        stats = polys.select(
+            F.avg(F.array_max(lons) - F.array_min(lons)).alias("w"),
+            F.avg(F.array_max(lats) - F.array_min(lats)).alias("h"),
+        ).first()
         span = max(float(stats["w"] or 0.0), float(stats["h"] or 0.0), 1e-9)
         level = int(min(max(round(math.log2(360.0 / (2.0 * span))), 1), 16))
-    n_edges = int(stats["n_edges"] or 0)
+    # pack the edge buffers ONCE (the collect every pass needs anyway);
+    # the chunking decision reads the edge count from the blobs instead
+    # of a dedicated aggregate job over the polygon layer
+    pack_rows = _pack_edges_sdf(polys, poly_id_col, rings_col).collect()
+    n_edges = sum(
+        int(np.frombuffer(r["cnts"], dtype=np.int64).sum())
+        for r in pack_rows)
     n_chunks = max(1, -(-(n_edges * 32) // max_broadcast_bytes))
 
     if n_chunks == 1:
         hits = _pip_inner(points, polys, level, lon_col, lat_col,
-                          poly_id_col, rings_col)
+                          poly_id_col, rings_col, pack_rows=pack_rows)
     else:
         chunk = F.pmod(F.xxhash64(F.col(poly_id_col).cast("string")),
                        F.lit(n_chunks))
@@ -423,14 +424,16 @@ def pip_join(
 
 
 def _pip_inner(points, polys, level, lon_col, lat_col,
-               poly_id_col, rings_col) -> DataFrame:
-    """One broadcast-sized PIP pass (see :func:`pip_join` for the plan)."""
+               poly_id_col, rings_col, pack_rows=None) -> DataFrame:
+    """One broadcast-sized PIP pass (see :func:`pip_join` for the plan).
+    ``pack_rows`` lets :func:`pip_join` pass the already-collected edge
+    blobs so the single-chunk fast path runs exactly one packing job."""
     spark = points.sparkSession
     cov_sdf = _poly_covering_cells_df(polys, level, rings_col, poly_id_col)
     # executor-side flattening; only packed buffers transit the driver
-    edges_bc = spark.sparkContext.broadcast(
-        _assemble_edges(_pack_edges_sdf(polys, poly_id_col, rings_col).collect())
-    )
+    if pack_rows is None:
+        pack_rows = _pack_edges_sdf(polys, poly_id_col, rings_col).collect()
+    edges_bc = spark.sparkContext.broadcast(_assemble_edges(pack_rows))
 
     pts = points.withColumn("cell", cell_col(F.col(lon_col), F.col(lat_col), level))
     cand = pts.join(F.broadcast(cov_sdf.drop(rings_col)), "cell", "inner")
@@ -864,6 +867,16 @@ def knn_join(
         flagged.where(F.col("__ok")).select(query_id_col).distinct(),
         query_id_col, "left_anti",
     )
+    # Early exit when round 1 proved EVERY query — the designed common
+    # case at adaptive level.  The probe is one tiny job (queries are
+    # the small side by contract and `flagged` is already the
+    # checkpointed frame the probe's anti-join reads), and it saves
+    # constructing + planning the expansion and brute-force subplans,
+    # whose localCheckpoint calls alone measured ~1.2 s of driver time
+    # per call while contributing zero rows.  The result set is
+    # unchanged: expansion/brute over an empty `remaining` is empty.
+    if remaining.isEmpty():
+        return proven[0]
 
     r = ring
     for _ in range(max(expansion_rounds, 0)):
@@ -876,6 +889,11 @@ def knn_join(
             flg.where(F.col("__ok")).select(query_id_col).distinct(),
             query_id_col, "left_anti",
         )
+        if remaining.isEmpty():
+            out = proven[0]
+            for p in proven[1:]:
+                out = out.unionByName(p)
+            return out
 
     # exact brute-force pass for whatever survives expansion (rare:
     # pole-adjacent queries, k > population) — broadcast those queries

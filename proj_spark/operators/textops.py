@@ -150,13 +150,19 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     ``keep_hashed`` (column name) additionally keeps the doc's DISTINCT
     hashed-shingle set as ``array<bigint>`` — the verify stages reuse it
     so Jaccard never re-tokenizes a document per candidate pair."""
-    # one md5 per shingle, then num_hashes XOR permutations of the hash
-    # space (min over a bijection of the keys is a valid MinHash
-    # family).  Two measured pitfalls avoided: inlining the shingle
-    # expression re-tokenizes the doc per signature (~16x), and one md5
-    # PER (shingle, signature) costs 16x the hashing.
-    with_sh = df.withColumn("__shingles",
-                            shingles_col(F.col(text_col), k, unit))
+    # one md5 per DISTINCT shingle, then num_hashes XOR permutations of
+    # the hash space (min over a bijection of the keys is a valid
+    # MinHash family).  Three measured pitfalls avoided: inlining the
+    # shingle expression re-tokenizes the doc per signature (~16x), one
+    # md5 PER (shingle, signature) costs 16x the hashing, and hashing
+    # repeated shingles wastes one md5 per duplicate — dedup FIRST:
+    # min over the distinct set equals min over the multiset, and
+    # md5 maps the first-occurrence-ordered distinct shingles to the
+    # same list array_distinct(__base) produced (equal strings hash
+    # equal), so every output value is unchanged.
+    with_sh = df.withColumn(
+        "__shingles",
+        F.array_distinct(shingles_col(F.col(text_col), k, unit)))
     with_sh = with_sh.withColumn(
         "__base", F.transform(F.col("__shingles"), md5_long_col)
     )
@@ -170,7 +176,7 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
         for i in range(num_hashes)
     ]
     if keep_hashed is not None:
-        sigs.append(F.array_distinct(F.col("__base")).alias(keep_hashed))
+        sigs.append(F.col("__base").alias(keep_hashed))
     return with_sh.select("*", *sigs).drop("__shingles", "__base")
 
 
@@ -235,7 +241,6 @@ def minhash_lsh_pairs(
             F.col("a.__shset").alias("sh_a"),
             F.col("b.__shset").alias("sh_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
     sa, sb = F.col("sh_a"), F.col("sh_b")
     inter = F.size(F.array_intersect(sa, sb)).cast("double")
@@ -244,10 +249,16 @@ def minhash_lsh_pairs(
     # signature bucket; their union is 0 — define jaccard 0, not a
     # divide-by-zero under ANSI mode
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    # verify BEFORE the pair-dedup: the exchange then carries only
+    # (id_a, id_b, jaccard) for verified pairs instead of two hashed-
+    # shingle arrays per candidate.  jaccard is a pure function of the
+    # pair, so a doc pair colliding in several bands yields identical
+    # rows and dedup-after-filter returns the same pair set.
     return (
         cand.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -304,12 +315,21 @@ def minhash_lsh_groups(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
-    bucket_min = ex.groupBy("band", "key").agg(F.min(id_col).alias("bmin"))
+    # bucket-min via a partition-wide window min: ONE exchange on
+    # (band, key) replaces the old aggregate + join-back (which cost an
+    # exchange AND a second pass over the exploded frame, and whose
+    # bucket_min broadcast would not survive 10^12-doc scale).  Same
+    # values: min over the bucket, then min over the doc's bands.
+    wb = Window.partitionBy("band", "key")
     cand = (
-        ex.join(bucket_min, ["band", "key"])
+        ex.withColumn("bmin", F.min(id_col).over(wb))
         .groupBy(id_col)
         .agg(F.min("bmin").alias("cand_canon"))
     )
+    # consumed by BOTH output branches (trivial filter + verify join):
+    # without the checkpoint each union branch replans and re-executes
+    # the signature/explode/bucket subtree (plan-audited duplication)
+    cand = cand.localCheckpoint(eager=False)
     trivial = cand.where(F.col("cand_canon") == F.col(id_col)).select(
         F.col(id_col), F.col(id_col).alias("canonical_id")
     )
@@ -624,17 +644,22 @@ def simhash_dedup_pairs(df: DataFrame, text_col: str = "text",
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
     x = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
     hamming = None
     for i in range(bits):
         bit = F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1))
         hamming = bit if hamming is None else hamming + bit
+    # Hamming verify BEFORE the pair-dedup shuffle (see
+    # hamming_neardup_pairs): random band collisions are filtered in
+    # the join's codegen stage; the exchange sees only verified pairs.
+    # hamming is a pure function of the pair, so the result set is
+    # unchanged.
     return (
         cand.withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

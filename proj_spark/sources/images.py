@@ -180,9 +180,10 @@ def phash64(arr: np.ndarray) -> int:
     low = dct[:8, :8].copy()
     med = np.median(np.concatenate([low.ravel()[1:]]))  # skip DC
     bits = (low.ravel() > med).astype(np.uint64)
-    val = np.uint64(0)
-    for b in bits:
-        val = (val << np.uint64(1)) | b
+    # vectorized bit packing — same value as the old 64-step shift loop
+    # (msb-first), same uint64 wrap semantics
+    weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+    val = (bits * weights).sum(dtype=np.uint64)
     # to signed int64 for a Spark LongType column
     return int(np.int64(val.astype(np.uint64)))
 
@@ -270,17 +271,21 @@ def verify_images(df: DataFrame) -> DataFrame:
             phash_ok = np.zeros(n, dtype=bool)
             caption_ok = np.zeros(n, dtype=bool)
             psnrs = np.zeros(n, dtype=np.float64)
-            for i in range(n):
-                iid = pdf["image_id"].iloc[i]
-                fmt = pdf["fmt"].iloc[i]
-                arr = decode_image(bytes(pdf["bytes"].iloc[i]), fmt)
-                w, h = int(pdf["w"].iloc[i]), int(pdf["h"].iloc[i])
+            # plain-list iteration: per-row .iloc on six columns was a
+            # measurable slice of the loop at bench batch sizes
+            rows = zip(pdf["image_id"].tolist(), pdf["fmt"].tolist(),
+                       pdf["bytes"].tolist(), pdf["w"].tolist(),
+                       pdf["h"].tolist(), pdf["phash"].tolist(),
+                       pdf["caption"].tolist())
+            for i, (iid, fmt, data, w, h, ph, cap) in enumerate(rows):
+                arr = decode_image(bytes(data), fmt)
+                w, h = int(w), int(h)
                 size_ok[i] = arr.shape[0] == h and arr.shape[1] == w
-                phash_ok[i] = phash64(arr) == int(pdf["phash"].iloc[i])
+                phash_ok[i] = phash64(arr) == int(ph)
                 seed = int(splitmix64(np.uint64(int(iid[3:])))[()])
                 ref = raster_for(seed, w, h)
                 psnrs[i] = psnr(ref, arr) if size_ok[i] else 0.0
-                caption_ok[i] = pdf["caption"].iloc[i] == caption_for(iid, seed)
+                caption_ok[i] = cap == caption_for(iid, seed)
             out = pdf[["image_id", "w", "h", "fmt", "caption", "phash"]].copy()
             out["size_ok"] = size_ok
             out["phash_ok"] = phash_ok

@@ -204,20 +204,33 @@ class _BitWriter:
         self.nbits = 0
 
     def put(self, code: int, length: int):
+        # bits accumulate in one Python int and drain in ~32-byte
+        # chunks: int.to_bytes + bytes.replace(FF -> FF00) emits the
+        # identical stuffed byte stream as the old per-byte loop at a
+        # fraction of the interpreter cost (put() runs once or twice
+        # per coefficient — the encoder's hottest call)
         self.acc = (self.acc << length) | (code & ((1 << length) - 1))
         self.nbits += length
-        while self.nbits >= 8:
-            byte = (self.acc >> (self.nbits - 8)) & 0xFF
-            self.out.append(byte)
-            if byte == 0xFF:
-                self.out.append(0x00)  # byte stuffing
-            self.nbits -= 8
-            self.acc &= (1 << self.nbits) - 1
+        if self.nbits >= 256:
+            self._drain()
+
+    def _drain(self):
+        nb = self.nbits & ~7  # whole bytes only; tail bits stay queued
+        if not nb:
+            return
+        rem = self.nbits - nb
+        top = self.acc >> rem
+        self.out += top.to_bytes(nb >> 3, "big").replace(
+            b"\xff", b"\xff\x00")
+        self.nbits = rem
+        self.acc &= (1 << rem) - 1
 
     def flush(self):
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.put((1 << pad) - 1, pad)  # 1-fill, per spec
+        if self.nbits & 7:
+            pad = 8 - (self.nbits & 7)
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)  # 1-fill
+            self.nbits += pad
+        self._drain()
 
     def restart(self, m: int):
         """Byte-align and emit RSTm (T.81 restart marker, m in 0..7)."""
@@ -231,9 +244,14 @@ def _encode_block(w: _BitWriter, zz: np.ndarray, pred: int,
     diff = dc - pred
     s = _category(diff)
     code, ln = dc_codes[s]
-    w.put(code, ln)
     if s:
-        w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        # one put per (huffman code + magnitude bits) pair: the
+        # concatenated bit pattern is identical to two sequential puts
+        w.put((code << s) | ((diff if diff >= 0 else
+                              diff + (1 << s) - 1) & ((1 << s) - 1)),
+              ln + s)
+    else:
+        w.put(code, ln)
     run = 0
     nz = np.nonzero(zz[1:])[0]
     last = nz[-1] + 1 if len(nz) else 0
@@ -248,8 +266,9 @@ def _encode_block(w: _BitWriter, zz: np.ndarray, pred: int,
             run -= 16
         s = _category(v)
         code, ln = ac_codes[(run << 4) | s]
-        w.put(code, ln)
-        w.put(v if v >= 0 else v + (1 << s) - 1, s)
+        w.put((code << s) | ((v if v >= 0 else
+                              v + (1 << s) - 1) & ((1 << s) - 1)),
+              ln + s)
         run = 0
     if last < 63:
         code, ln = ac_codes[0x00]  # EOB
@@ -620,10 +639,47 @@ class _BitReader:
         return b
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        # batch extraction: identical byte consumption and identical
+        # failure mode (_fill raises on marker/EOF exactly where the
+        # old per-bit loop would) at a fraction of the interpreter cost
+        while self.nbits < n:
+            self._fill()
+        if n == 0:
+            return 0
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
+
+    def fill_to(self, n: int) -> bool:
+        """Best-effort non-raising fill: True when ``n`` bits are
+        buffered; False when a marker/EOF interrupts first (reader
+        state stays valid for the per-bit tail path).  Fills
+        opportunistically past ``n`` (to ~48 bits) so the per-symbol
+        refill rate drops — only data bytes are ever consumed, so the
+        stream semantics are unchanged."""
+        d = self.data
+        nd = len(d)
+        acc = self.acc
+        nbits = self.nbits
+        pos = self.pos
+        while nbits < 48:
+            if pos >= nd:
+                break
+            byte = d[pos]
+            if byte == 0xFF:
+                nxt = d[pos + 1] if pos + 1 < nd else 0xD9
+                if nxt != 0x00:
+                    break
+                pos += 2
+            else:
+                pos += 1
+            acc = (acc << 8) | byte
+            nbits += 8
+        self.acc = acc
+        self.nbits = nbits
+        self.pos = pos
+        return nbits >= n
 
     def sync_restart(self, m: int):
         """Discard padding bits, skip stuffed/fill bytes, consume the
@@ -641,25 +697,73 @@ class _BitReader:
         self.pos = p + 2
 
 
+class _HuffTable:
+    """Canonical Huffman decode table: the exact {(length, code): sym}
+    dict (tail / error path) plus a 2^16 direct lookup (fast path) —
+    lut_len[peek16] is the code length (0 = invalid), lut_sym[peek16]
+    the symbol."""
+
+    __slots__ = ("dict", "lut_sym", "lut_len")
+
+    def __init__(self, d, lut_sym, lut_len):
+        self.dict = d
+        self.lut_sym = lut_sym
+        self.lut_len = lut_len
+
+
+_HUFF_MEMO: dict = {}
+
+
 def _build_decode(bits, vals):
-    """{(length, code): symbol}."""
+    """bits/vals (DHT payload) -> :class:`_HuffTable`.  Memoized on the
+    table bytes: fixture corpora reuse a handful of tables, and the
+    2^16 LUT build is the expensive part."""
+    key = (bytes(bits), bytes(vals))
+    t = _HUFF_MEMO.get(key)
+    if t is not None:
+        return t
     table = {}
+    lut_sym = [0] * (1 << 16)
+    lut_len = [0] * (1 << 16)
     code = 0
     k = 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
             table[(ln, code)] = vals[k]
+            span = 1 << (16 - ln)
+            start = code << (16 - ln)
+            lut_sym[start:start + span] = [vals[k]] * span
+            lut_len[start:start + span] = [ln] * span
             code += 1
             k += 1
         code <<= 1
-    return table
+    t = _HuffTable(table, lut_sym, lut_len)
+    if len(_HUFF_MEMO) > 256:  # fuzzed/streamed tables: bound the memo
+        _HUFF_MEMO.clear()
+    _HUFF_MEMO[key] = t
+    return t
 
 
-def _read_symbol(br: _BitReader, table) -> int:
+def _read_symbol(br: _BitReader, t: _HuffTable) -> int:
+    # fast path: with >= 16 real bits buffered, one table probe decodes
+    # the symbol.  Only engaged when 16 actual stream bits exist, so no
+    # padding is ever invented and marker/EOF behaviour at segment
+    # tails is byte-for-byte the old per-bit walk below.
+    nbits = br.nbits
+    if nbits >= 16 or br.fill_to(16):
+        nbits = br.nbits
+        idx = (br.acc >> (nbits - 16)) & 0xFFFF
+        ln = t.lut_len[idx]
+        if ln:
+            nbits -= ln
+            br.nbits = nbits
+            br.acc &= (1 << nbits) - 1
+            return t.lut_sym[idx]
+        raise ValueError("invalid Huffman code in JPEG stream")
     code = 0
     for ln in range(1, 17):
         code = (code << 1) | br.bit()
-        sym = table.get((ln, code))
+        sym = t.dict.get((ln, code))
         if sym is not None:
             return sym
     raise ValueError("invalid Huffman code in JPEG stream")

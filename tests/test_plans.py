@@ -51,14 +51,30 @@ def test_knn_fastpath_plan_broadcasts_queries(spark):
 
 
 def test_knn_full_plan_cartesian_only_in_brute_branch(spark):
+    # k > |points in reach| keeps the query unprovable through every
+    # expansion round, so the brute-force fallback branch is actually
+    # BUILT (round-7 optimization: a round whose remaining set is empty
+    # returns early and never constructs the expansion/brute subplans)
     qs = spark.createDataFrame(pd.DataFrame({
         "query_id": [0], "lon": [1.0], "lat": [1.0]}))
-    full = knn_join(_pts(spark), qs, k=3, level=6)
+    full = knn_join(_pts(spark, n=30), qs, k=50, level=6)
     plan = _plan(full)
     # the brute-force fallback is a broadcast nested loop over the rare
     # unproven queries — never a plain CartesianProduct
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_knn_early_exit_prunes_brute_branch(spark):
+    # the designed common case: every query proven exact in round 1 —
+    # the returned plan must NOT carry the expansion/brute subplans
+    # (they contribute zero rows and cost ~1s of driver planning)
+    qs = spark.createDataFrame(pd.DataFrame({
+        "query_id": [0], "lon": [1.0], "lat": [1.0]}))
+    full = knn_join(_pts(spark), qs, k=3, level=6)
+    plan = _plan(full)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_parquet_scan_pushdown_and_pruning(spark, tmp_path):
@@ -273,10 +289,11 @@ def test_corpus_clean_plan_single_shuffle_no_python(spark):
 
 def test_asof_join_plan_single_shuffle_no_python(spark):
     """asof_join: one union + one window — the physical plan carries
-    exactly two hash Exchanges (the by-key window shuffle, plus the
-    RIGHT side's tie-dedup aggregate — the small side only; the left
-    table shuffles once) and no Python stage; no range-join explosion
-    (no CartesianProduct, no broadcast nested loop)."""
+    exactly ONE hash Exchange (the by-key window shuffle; round-7
+    optimization folded the right side's tie-dedup into the window
+    ordering, removing its aggregate exchange) and no Python stage; no
+    range-join explosion (no CartesianProduct, no broadcast nested
+    loop)."""
     from proj_spark.operators.events import asof_join
 
     base = pd.Timestamp("2024-01-01")
@@ -293,7 +310,7 @@ def test_asof_join_plan_single_shuffle_no_python(spark):
     p = _plan(asof_join(left, right, by="user_id", right_cols=("v",)))
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
-    assert p.count("Exchange hashpartitioning") == 2, p
+    assert p.count("Exchange hashpartitioning") == 1, p
 
 
 def test_projection_battery_plan_one_arrow_stage_no_shuffle(spark):
