@@ -670,6 +670,27 @@ def _block_guard_col(q_lon: Column, q_lat: Column, level: int, ring: int) -> Col
             F.lit(2.0 * EARTH_RADIUS_M)
             * F.asin(F.cos(F.radians(max_abs_lat)) * F.sin(F.radians(dlon) / F.lit(2.0)))
         )
+        # Latitude-split refinement for pole-reaching blocks: when the
+        # band touches a pole, cos(max|lat|) -> 0 and the chord bound
+        # above degenerates to ~0 m, leaving every polar query
+        # unprovable (measured: the two southernmost bench queries
+        # forced a full expansion round + brute pass on every call).
+        # For ANY split latitude t >= |lat_q|, an in-band point beyond
+        # the longitude wall either has |lat| <= t — then
+        # h >= cos(lat_q) cos(lat_p) sin^2(dlon/2) >= cos^2(t)
+        # sin^2(dl/2), i.e. d >= 2R asin(cos t sin(dl/2)) — or
+        # |lat| > t — then |dlat| >= t - |lat_q| and d >= R * dphi.
+        # min() of the two is a valid lower bound for every t, so the
+        # max over a fixed t-grid is too; it stays nonzero at the
+        # poles.  Pure Column math over the (small) query side.
+        absq = F.abs(q_lat)
+        half = F.sin(F.radians(dlon) / F.lit(2.0))
+        for j in range(1, 8):
+            t = absq + (F.lit(90.0) - absq) * F.lit(j / 8.0)
+            b1 = (F.lit(2.0 * EARTH_RADIUS_M)
+                  * F.asin(F.cos(F.radians(t)) * half))
+            b2 = F.radians(t - absq) * F.lit(EARTH_RADIUS_M)
+            g_lon = F.greatest(g_lon, F.least(b1, b2))
     return F.least(g_s, g_n, g_lon)
 
 
@@ -824,7 +845,16 @@ def knn_join(
             n_points = points.count()
         target = max(4 * k, 64)
         raw = math.log(max(n_points * block_cells / target, 1.0), 4.0)
-        level = int(min(max(round(raw), 1), MAX_LEVEL))
+        # FLOOR, not round: rounding the level up halves (to a quarter
+        # of) the expected per-block candidate count, which leaves the
+        # exactness guard unprovable for borderline queries and forces
+        # an expansion round (measured: the whole ring-4 retry +
+        # checkpoint + guard cycle ran on every bench call).  Flooring
+        # keeps the designed invariant "a ring block holds AT LEAST
+        # ~target candidates", so round 1 proves in the common case.
+        # Results are unchanged at any level (exactness guard +
+        # fallback); only the candidate density changes.
+        level = int(min(max(math.floor(raw), 1), MAX_LEVEL))
     if two_phase is None:
         # the pre-reduce pays a Python stage; it wins only when the
         # per-query candidate set is large — which adaptive level

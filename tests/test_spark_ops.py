@@ -233,6 +233,45 @@ def test_knn_join_matches_bruteforce(spark):
         assert got_ids == want_ids, f"query {qi}"
 
 
+def test_knn_polar_queries_match_bruteforce(spark):
+    """Round-7 guard refinement: pole-reaching blocks used to get a
+    ~0 m longitude-wall bound (cos(max|lat|) -> 0), so polar queries
+    could never prove exact in round 1.  The latitude-split bound must
+    stay a TRUE lower bound: polar-query results must still equal the
+    haversine brute force exactly."""
+    rng = np.random.default_rng(77)
+    npts, k = 4000, 5
+    lon = rng.uniform(-180, 180, npts)
+    lat = rng.uniform(-89.5, 89.5, npts)
+    qlon = np.array([-169.7, -156.0, 12.0, 179.0, 0.0])
+    qlat = np.array([-79.8, -73.5, 84.2, -88.0, 87.9])
+    pts = spark.createDataFrame(
+        pd.DataFrame({"point_id": np.arange(npts), "lon": lon, "lat": lat}))
+    qs = spark.createDataFrame(
+        pd.DataFrame({"query_id": np.arange(len(qlon)), "lon": qlon,
+                      "lat": qlat}))
+    got = (
+        knn_join(pts, qs, k=k, level=5, ring=1)
+        .select("query_id", "point_id", "rank")
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    R = 6371008.8
+    p1 = np.radians(lat)[None, :]
+    p2 = np.radians(qlat)[:, None]
+    dphi = (p1 - p2) / 2
+    dlam = (np.radians(lon)[None, :] - np.radians(qlon)[:, None]) / 2
+    h = np.sin(dphi) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlam) ** 2
+    dist = 2 * R * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+    assert len(got) == len(qlon) * k
+    for qi in range(len(qlon)):
+        order = np.lexsort((np.arange(npts), dist[qi]))
+        want_ids = list(order[:k])
+        got_ids = list(got[got["query_id"] == qi]["point_id"])
+        assert got_ids == want_ids, f"polar query {qi}"
+
+
 def test_knn_exact_fallback_sparse(spark):
     # fewer points than ring candidates can supply: fallback must kick in
     pts = spark.createDataFrame(
