@@ -403,12 +403,47 @@ def dedup_full(
     )
 
 
+def _cc_local(u: "np.ndarray", v: "np.ndarray", max_iters: int,
+              stats: dict | None):
+    """Driver-local min-label propagation with pointer doubling —
+    the EXACT numpy mirror of the distributed loop below (same
+    synchronous round schedule, doubling engaged from round 3, same
+    change counting), so results AND the reported stats are identical
+    whichever path runs."""
+    import numpy as np
+
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[:len(u)], inv[len(u):]
+    su = np.concatenate([ui, vi])
+    sv = np.concatenate([vi, ui])
+    n = len(nodes)
+    label = np.arange(n, dtype=np.int64)
+    big = np.iinfo(np.int64).max
+    rounds = 0
+    changed = 0
+    for _ in range(max_iters):
+        rounds += 1
+        old = label
+        m = np.full(n, big, dtype=np.int64)
+        np.minimum.at(m, su, label[sv])
+        mid = np.minimum(label, np.where(m == big, label, m))
+        label = mid[mid] if rounds >= 3 else mid
+        changed = int((label != old).sum())
+        if changed == 0:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = rounds > 0 and changed == 0
+    return nodes, nodes[label]
+
+
 def dedup_connected_components(
     pairs: DataFrame,
     id_col_a: str = "id_a",
     id_col_b: str = "id_b",
     max_iters: int = 12,
     stats: dict | None = None,
+    small_cut: int = 2_000_000,
 ) -> DataFrame:
     """FULL transitive closure over a verified near-dup pair set:
     min-label propagation WITH pointer doubling until fixpoint.
@@ -446,6 +481,35 @@ def dedup_connected_components(
     against a union-find reference.  Output: (node, component_id).
     """
     e = pairs.select(F.col(id_col_a).alias("u"), F.col(id_col_b).alias("v"))
+    # Bounded driver-local fast path (round 7): each DISTRIBUTED round
+    # costs three shuffles plus a count action — ~1.5 s of fixed cost
+    # per round at any data size — while a verified near-dup edge list
+    # is usually tiny relative to the corpus.  When the pair count is
+    # under ``small_cut`` (2M pairs ~ 32 MB, the same order as the
+    # repo's broadcast budgets), pull the edges once through Arrow and
+    # run the numpy mirror of the SAME algorithm; identical labels,
+    # identical stats, and the result comes back as a LocalRelation the
+    # planner can broadcast into the caller's final join.  Long ids
+    # only (the dedup callers' shape); anything else — or a bigger
+    # graph — takes the distributed loop unchanged.  ``small_cut=0``
+    # disables the probe entirely.
+    from pyspark.sql.types import LongType
+
+    if (small_cut > 0
+            and isinstance(pairs.schema[id_col_a].dataType, LongType)
+            and isinstance(pairs.schema[id_col_b].dataType, LongType)):
+        import numpy as np
+        import pandas as pd
+
+        e = e.localCheckpoint(eager=False)  # materialized once, reused
+        if e.count() <= small_cut:
+            pdf = e.toPandas()
+            nodes, comp = _cc_local(
+                pdf["u"].to_numpy(np.int64), pdf["v"].to_numpy(np.int64),
+                max_iters, stats)
+            out = pd.DataFrame({"node": nodes, "component_id": comp})
+            return pairs.sparkSession.createDataFrame(
+                out, schema="node long, component_id long")
     edges = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False)
