@@ -169,13 +169,13 @@ def phash64(arr: np.ndarray) -> int:
     xs = (np.arange(32) * w // 32)
     ye = np.maximum(((np.arange(32) + 1) * h + 31) // 32, ys + 1)
     xe = np.maximum(((np.arange(32) + 1) * w + 31) // 32, xs + 1)
-    small = np.empty((32, 32))
     csum = np.zeros((h + 1, w + 1))
     csum[1:, 1:] = gray.cumsum(0).cumsum(1)
-    for r in range(32):
-        a, b = ys[r], ye[r]
-        block = csum[b, xe] - csum[a, xe] - csum[b, xs] + csum[a, xs]
-        small[r] = block / ((b - a) * (xe - xs))
+    # fully vectorized block means — elementwise identical to the old
+    # per-row loop (same subtraction order, same int product divisor)
+    small = (csum[np.ix_(ye, xe)] - csum[np.ix_(ys, xe)]
+             - csum[np.ix_(ye, xs)] + csum[np.ix_(ys, xs)]) \
+        / ((ye - ys)[:, None] * (xe - xs)[None, :])
     dct = _DCT32 @ small @ _DCT32.T
     low = dct[:8, :8].copy()
     med = np.median(np.concatenate([low.ravel()[1:]]))  # skip DC
@@ -210,12 +210,13 @@ def phash64_batch(arrs: np.ndarray) -> np.ndarray:
     xe = np.maximum(((np.arange(32) + 1) * w + 31) // 32, xs + 1)
     csum = np.zeros((n, h + 1, w + 1))
     csum[:, 1:, 1:] = gray.cumsum(1).cumsum(2)
-    small = np.empty((n, 32, 32))
-    for r in range(32):
-        a, b = ys[r], ye[r]
-        block = (csum[:, b][:, xe] - csum[:, a][:, xe]
-                 - csum[:, b][:, xs] + csum[:, a][:, xs])
-        small[:, r] = block / ((b - a) * (xe - xs))
+    # vectorized over rows too — elementwise identical to the per-row
+    # form (same subtraction order, same int product divisor)
+    iy, ix = np.ix_(ye, xe)
+    iy0, ix0 = np.ix_(ys, xs)
+    small = (csum[:, iy, ix] - csum[:, iy0, ix]
+             - csum[:, iy, ix0] + csum[:, iy0, ix0]) \
+        / ((ye - ys)[:, None] * (xe - xs)[None, :])
     dct = np.empty((n, 32, 32))
     for i in range(n):  # per-slice 2-D BLAS, same calls as the scalar
         dct[i] = _DCT32 @ small[i] @ _DCT32.T

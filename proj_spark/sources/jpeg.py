@@ -773,6 +773,37 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _read_sym_val(br: _BitReader, t: _HuffTable) -> tuple:
+    """One call = Huffman symbol + its EXTENDed magnitude (low nibble
+    of the symbol is the size, the baseline/progressive-first T.81
+    shape).  Fast path decodes both from one buffered peek; tail path
+    is exactly the old two-step sequence, so stream consumption and
+    failure behaviour are unchanged."""
+    if br.nbits >= 31 or br.fill_to(31):
+        acc = br.acc
+        nbits = br.nbits
+        idx = (acc >> (nbits - 16)) & 0xFFFF
+        ln = t.lut_len[idx]
+        if not ln:
+            raise ValueError("invalid Huffman code in JPEG stream")
+        rs = t.lut_sym[idx]
+        s = rs & 15
+        nbits -= ln
+        if s:
+            nbits -= s
+            v = (acc >> nbits) & ((1 << s) - 1)
+            if v < (1 << (s - 1)):
+                v = v - (1 << s) + 1
+        else:
+            v = 0
+        br.nbits = nbits
+        br.acc = acc & ((1 << nbits) - 1)
+        return rs, v
+    rs = _read_symbol(br, t)
+    s = rs & 15
+    return rs, (_extend(br.bits(s), s) if s else 0)
+
+
 # ---------------------------------------------------------------------------
 # progressive scan decoders (T.81 G.2 / the libjpeg decode_mcu_*
 # structure).  Coefficients accumulate in int32 zigzag arrays; bit ops
@@ -787,7 +818,7 @@ def _dec_ac_first(br: _BitReader, zz, ss: int, se: int, al: int, act,
         return
     k = ss
     while k <= se:
-        rs = _read_symbol(br, act)
+        rs, v = _read_sym_val(br, act)
         r, s = rs >> 4, rs & 15
         if s == 0:
             if r == 15:
@@ -798,7 +829,7 @@ def _dec_ac_first(br: _BitReader, zz, ss: int, se: int, al: int, act,
         k += r
         if k > se:
             raise ValueError("AC band overflow in progressive scan")
-        zz[k] = _extend(br.bits(s), s) << al
+        zz[k] = v << al
         k += 1
 
 
@@ -888,8 +919,7 @@ def _run_progressive_scan(data: bytes, pos: int, seg: bytes, comps,
                                 b = (my * vi + by) * bpl + (mx * hi + bx)
                                 zz = coeffs[ci][b]
                                 if ah == 0:
-                                    s = _read_symbol(br, huff[(0, td)])
-                                    d = _extend(br.bits(s), s) if s else 0
+                                    _s, d = _read_sym_val(br, huff[(0, td)])
                                     dc_preds[ci] += d
                                     zz[0] = dc_preds[ci] << al
                                 elif br.bit():
@@ -911,8 +941,7 @@ def _run_progressive_scan(data: bytes, pos: int, seg: bytes, comps,
                     done += 1
                     zz = coeffs[ci][by * mcux * hi + bx]
                     if ah == 0:
-                        s = _read_symbol(br, huff[(0, td)])
-                        d = _extend(br.bits(s), s) if s else 0
+                        _s, d = _read_sym_val(br, huff[(0, td)])
                         dc_preds[ci] += d
                         zz[0] = dc_preds[ci] << al
                     elif br.bit():
@@ -1146,14 +1175,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     for by in range(vi):
                         for bx in range(hi):
                             b = (my * vi + by) * bpl + (mx * hi + bx)
-                            s = _read_symbol(br, dct)
-                            diff = _extend(br.bits(s), s) if s else 0
+                            _s, diff = _read_sym_val(br, dct)
                             preds[ci] += diff
                             zz = coeffs[ci][b]
                             zz[0] = preds[ci]
                             k = 1
                             while k < 64:
-                                rs = _read_symbol(br, act)
+                                rs, v = _read_sym_val(br, act)
                                 r, s = rs >> 4, rs & 15
                                 if s == 0:
                                     if r == 15:
@@ -1164,7 +1192,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                 if k > 63:
                                     raise ValueError(
                                         "AC coefficient index overflow")
-                                zz[k] = _extend(br.bits(s), s)
+                                zz[k] = v
                                 k += 1
 
     planes = []
