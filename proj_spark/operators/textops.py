@@ -222,15 +222,22 @@ def minhash_lsh_pairs(
     # operator before this change.  Jaccard over the md5-hashed sets
     # equals Jaccard over the raw shingle sets (both engines hash with
     # the same md5, so the oracle mirrors this exactly).
+    # the band-key explode carries ONLY (id, band, key): the shingle
+    # arrays never enter the self-join or any exchange
+    sig = sig.localCheckpoint(eager=False)
     exploded = sig.select(
-        F.col(id_col), F.col("__shset"), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, "__shset", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # both sides of the self-join consume this frame: checkpoint so the
-    # signature computation runs once, not once per alias
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     exploded = exploded.localCheckpoint(eager=False)
 
     a = exploded.alias("a")
     b = exploded.alias("b")
+    # dedup the BARE id pairs (a doc pair colliding in several bands is
+    # one candidate), then fetch each side's hashed-shingle set with
+    # one equi-join against the materialized signature frame — so the
+    # exact-Jaccard verify runs ONCE per candidate pair and the only
+    # exchanges carrying arrays are the two (tiny) candidate-side
+    # joins, which AQE broadcasts.  Same pair set, same jaccard values.
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.key") == F.col("b.key"))
@@ -238,9 +245,15 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.__shset").alias("sh_a"),
-            F.col("b.__shset").alias("sh_b"),
         )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    shsets = sig.select(id_col, "__shset")
+    cand = (
+        cand.join(shsets.select(F.col(id_col).alias("id_a"),
+                                F.col("__shset").alias("sh_a")), "id_a")
+        .join(shsets.select(F.col(id_col).alias("id_b"),
+                            F.col("__shset").alias("sh_b")), "id_b")
     )
     sa, sb = F.col("sh_a"), F.col("sh_b")
     inter = F.size(F.array_intersect(sa, sb)).cast("double")
@@ -249,16 +262,10 @@ def minhash_lsh_pairs(
     # signature bucket; their union is 0 — define jaccard 0, not a
     # divide-by-zero under ANSI mode
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    # verify BEFORE the pair-dedup: the exchange then carries only
-    # (id_a, id_b, jaccard) for verified pairs instead of two hashed-
-    # shingle arrays per candidate.  jaccard is a pure function of the
-    # pair, so a doc pair colliding in several bands yields identical
-    # rows and dedup-after-filter returns the same pair set.
     return (
         cand.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
