@@ -228,7 +228,9 @@ def minhash_lsh_pairs(
     exploded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    exploded = exploded.localCheckpoint(eager=False)
+    # no second checkpoint: both self-join sides re-derive the (cheap)
+    # explode from the materialized signature RDD — one planning pass
+    # and one materialization job fewer than checkpointing the explode
 
     a = exploded.alias("a")
     b = exploded.alias("b")
